@@ -1,0 +1,132 @@
+"""Benchmark harness: headline queries + the crawl pipeline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>,
+   "crawl_urls_per_sec": ..., "crawl_pages": ..., "cpus": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+
+Each query is forced with a noop-format write (full materialization,
+no driver collect). The crawl runs over a distributed-generated
+synthetic pages table sized by sf; its throughput metric is
+URLs fetched+parsed per second (BASELINE.json:2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ptt_spider_go_spark.config import CrawlConfig
+from ptt_spider_go_spark.datagen import pages_df
+from ptt_spider_go_spark.plans.crawl import run_crawl
+from ptt_spider_go_spark.session import get_spark
+
+HEADLINE = [
+    "push_rate_decode",
+    "first_occurrence_dedup",
+    "priority_topk",
+    "budget_gate_window",
+    "markdown_render",
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "quality_scores",
+    "token_counts",
+    "lang_id",
+    "fingerprints",
+]
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def crawl_scale(sf: float) -> dict:
+    return {
+        "boards": ("Beauty", "Gossiping"),
+        "pages_per_board": max(2, int(400 * sf)),
+        "slots_per_page": 10,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    spark = get_spark(
+        app_name="ptt-spider-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    times: dict[str, float] = {}
+    total = 0.0
+
+    for name in HEADLINE:
+        t0 = time.time()
+        _force(qs[name](spark, sf_dir))
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        total += dt
+
+    # crawl pipeline throughput
+    scale = crawl_scale(sf)
+    pages = pages_df(spark, parallelism=cpus * 2, **scale)
+    pages_path = f"/tmp/ptt_bench_pages_sf{sf}"
+    if not os.path.exists(pages_path):
+        pages.write.mode("overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    n_pages = pages.count()
+
+    cfg = CrawlConfig(
+        board="Beauty", pages=scale["pages_per_board"], push_rate=10,
+        host_salt=cpus, max_supersteps=8, superstep_ms=600_000,
+    )
+    t0 = time.time()
+    res = run_crawl(spark, pages, cfg, boards=list(scale["boards"]),
+                    verify_text=False)
+    _force(res.articles)
+    _force(res.markdown_docs)
+    fetched = res.fetch_log.count()
+    crawl_dt = time.time() - t0
+    times["crawl_pipeline"] = round(crawl_dt, 3)
+    total += crawl_dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (crawl pipeline + SURVEY §2 operator queries)",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "crawl_urls_per_sec": round(fetched / crawl_dt, 1),
+                "crawl_urls_fetched": fetched,
+                "crawl_pages_available": n_pages,
+                "crawl_supersteps": res.supersteps,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,934 @@
+"""Driver-contract query surface: every SURVEY §2 operator re-expressed
+over the driver's testdata views, each paired with DuckDB oracle SQL.
+
+Two groups:
+
+1. Crawl-operator analogues — the reference's scalar/window/join
+   semantics (C1-C11, D1/D3/D4/D5, F1/F3, O1/O3, T1/T2, S7) applied to
+   the TPC-H-ish views. Inputs that don't exist in those tables (push
+   markers, hrefs) are constructed deterministically *inside the query*
+   from key columns, identically on both engines, so the oracle checks
+   the operator's semantics, not the synthesizer.
+2. Training-data pipeline operators over documents/embeddings —
+   dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard),
+   similarity search (brute-force cosine, LSH buckets, IVF),
+   text analysis (lang-ID, quality, token counts, fingerprints),
+   multimodal metadata plumbing.
+
+Hash arithmetic is md5-based and fold order is pinned (pipeline.common,
+pipeline.similarity) so values are bit-identical across engines; float
+aggregations go through decimal or rounding to stay order-independent.
+
+Crawl-pipeline end-to-end queries (superstep loop over the synthetic
+pages table) have no SQL oracle — they get rows-only checks; their
+exact-output verification lives in tests/ against the sequential golden
+model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ptt_spider_go_spark.functions import columns as C
+from ptt_spider_go_spark.pipeline import dedup_text, multimodal, similarity, textstats
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_MARKERS = ["爆", "99", "X5", "X", "", "12", "X13", "7"]
+
+
+def _marker_col():
+    m = F.col("event_id") % 8
+    out = F.when(m == 0, F.lit(_MARKERS[0]))
+    for i in range(1, 7):
+        out = out.when(m == i, F.lit(_MARKERS[i]))
+    return out.otherwise(F.lit(_MARKERS[7]))
+
+
+_MARKER_SQL = (
+    "CASE event_id % 8 WHEN 0 THEN '爆' WHEN 1 THEN '99' WHEN 2 THEN 'X5' "
+    "WHEN 3 THEN 'X' WHEN 4 THEN '' WHEN 5 THEN '12' WHEN 6 THEN 'X13' "
+    "ELSE '7' END"
+)
+
+_GO_INT_RE = "^[+-]?[0-9]+$"
+
+
+# ---------------------------------------------------------------------------
+# 1. crawl-operator analogues
+# ---------------------------------------------------------------------------
+
+def q_push_rate_decode(spark, sf_dir):
+    """C1 (ptt/parser_impl.go:46-60) over synthesized push markers."""
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    return ev.select(
+        "event_id",
+        _marker_col().alias("marker"),
+    ).select(
+        "event_id", "marker", C.push_rate_decode(F.col("marker")).alias("push_rate")
+    )
+
+
+SQL_PUSH_RATE_DECODE = f"""
+WITH m AS (SELECT event_id, {_MARKER_SQL} AS marker FROM events)
+SELECT event_id, marker,
+  CASE WHEN trim(marker) = '爆' THEN 100
+       WHEN trim(marker) LIKE 'X%' THEN
+         CASE WHEN regexp_matches(substr(trim(marker), 2), '{_GO_INT_RE}')
+              THEN -CAST(substr(trim(marker), 2) AS INTEGER) ELSE 0 END
+       WHEN regexp_matches(trim(marker), '{_GO_INT_RE}')
+            THEN CAST(trim(marker) AS INTEGER)
+       ELSE 0 END AS push_rate
+FROM m
+"""
+
+
+def q_push_threshold_filter(spark, sf_dir):
+    """F1 (crawler.go:414): threshold predicate + projection pruning."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") >= 200)
+        .select("doc_id", "n_chars")
+    )
+
+
+SQL_PUSH_THRESHOLD_FILTER = (
+    "SELECT doc_id, n_chars FROM documents WHERE n_chars >= 200"
+)
+
+
+def q_announcement_skip(spark, sf_dir):
+    """F3 (parser_impl.go:41-43): negative-contains filter."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(~F.col("text").contains("spark")).select("doc_id")
+
+
+SQL_ANNOUNCEMENT_SKIP = (
+    "SELECT doc_id FROM documents WHERE text NOT LIKE '%spark%'"
+)
+
+
+def q_url_absolutize(spark, sf_dir):
+    """C2 (parser_impl.go:64): base-URL prefixing."""
+    o = _t(spark, sf_dir, "orders")
+    href = F.concat(F.lit("/bbs/B/M."), F.col("o_orderkey").cast("string"),
+                    F.lit(".A.html"))
+    return o.select("o_orderkey", C.absolutize_url(href).alias("url"))
+
+
+SQL_URL_ABSOLUTIZE = (
+    "SELECT o_orderkey, 'https://www.ptt.cc' || '/bbs/B/M.' || "
+    "CAST(o_orderkey AS VARCHAR) || '.A.html' AS url FROM orders"
+)
+
+
+def q_scheme_normalize(spark, sf_dir):
+    """C3/C4 (parser_impl.go:98-109): image-href filter + normalization."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    m = k % 5
+    href = (
+        F.when(m == 0, F.concat(F.lit("http://img.test/p"), k.cast("string"), F.lit(".jpg")))
+        .when(m == 1, F.concat(F.lit("//img.test/p"), k.cast("string"), F.lit(".png")))
+        .when(m == 2, F.concat(F.lit("https://img.test/p"), k.cast("string"), F.lit(".gif")))
+        .when(m == 3, F.concat(F.lit("https://imgur.com/p"), k.cast("string")))
+        .otherwise(F.concat(F.lit("https://imgur.com/a/p"), k.cast("string")))
+    )
+    return p.select(
+        "p_partkey", href.alias("href"),
+        C.normalize_img_href(href).alias("img_url"),
+    )
+
+
+SQL_SCHEME_NORMALIZE = """
+WITH h AS (
+  SELECT p_partkey,
+    CASE p_partkey % 5
+      WHEN 0 THEN 'http://img.test/p' || CAST(p_partkey AS VARCHAR) || '.jpg'
+      WHEN 1 THEN '//img.test/p' || CAST(p_partkey AS VARCHAR) || '.png'
+      WHEN 2 THEN 'https://img.test/p' || CAST(p_partkey AS VARCHAR) || '.gif'
+      WHEN 3 THEN 'https://imgur.com/p' || CAST(p_partkey AS VARCHAR)
+      ELSE 'https://imgur.com/a/p' || CAST(p_partkey AS VARCHAR)
+    END AS href
+  FROM part)
+SELECT p_partkey, href,
+  CASE
+    WHEN href LIKE '%.jpg' OR href LIKE '%.jpeg' OR href LIKE '%.png' OR href LIKE '%.gif' THEN
+      CASE WHEN href LIKE '//%' THEN 'https:' || href
+           WHEN href LIKE 'http://%' THEN 'https://' || substr(href, 8)
+           ELSE href END
+    WHEN href LIKE '%imgur.com/%' AND href NOT LIKE '%imgur.com/a/%'
+      THEN href || '.jpg'
+    ELSE NULL END AS img_url
+FROM h
+"""
+
+
+def q_image_filename(spark, sf_dir):
+    """C5 (fileutil/filename.go:16-25): URL -> local file name."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    m = k % 4
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://img.test/a/b/file"), k.cast("string"), F.lit(".jpg?w=100")))
+        .when(m == 1, F.concat(F.lit("https://img.test/file"), k.cast("string"), F.lit(".png#frag")))
+        .when(m == 2, F.concat(F.lit("https://imgur.com/noext"), k.cast("string")))
+        .otherwise(F.concat(F.lit("https://img.test/plain"), k.cast("string"), F.lit(".gif")))
+    )
+    return p.select("p_partkey", url.alias("url"),
+                    C.image_file_name(url).alias("file_name"))
+
+
+SQL_IMAGE_FILENAME = """
+WITH u AS (
+  SELECT p_partkey,
+    CASE p_partkey % 4
+      WHEN 0 THEN 'https://img.test/a/b/file' || CAST(p_partkey AS VARCHAR) || '.jpg?w=100'
+      WHEN 1 THEN 'https://img.test/file' || CAST(p_partkey AS VARCHAR) || '.png#frag'
+      WHEN 2 THEN 'https://imgur.com/noext' || CAST(p_partkey AS VARCHAR)
+      ELSE 'https://img.test/plain' || CAST(p_partkey AS VARCHAR) || '.gif'
+    END AS url
+  FROM part),
+b AS (SELECT p_partkey, url,
+             regexp_extract(regexp_replace(url, '[?#].*$', ''), '([^/]*)$', 1) AS base
+      FROM u)
+SELECT p_partkey, url,
+  CASE WHEN url LIKE '%imgur.com%' AND base NOT LIKE '%.%'
+       THEN base || '.jpg' ELSE base END AS file_name
+FROM b
+"""
+
+
+def q_clean_filename(spark, sf_dir):
+    """C6 (crawler.go:36): path-hostile character stripping."""
+    c = _t(spark, sf_dir, "customer")
+    title = F.concat(F.lit('T*'), F.col("c_name"), F.lit('?<x>|y:"z/w\\v'))
+    return c.select("c_custkey", C.clean_file_name(title).alias("clean_title"))
+
+
+SQL_CLEAN_FILENAME = (
+    "SELECT c_custkey, regexp_replace('T*' || c_name || '?<x>|y:\"z/w\\v', "
+    "'[\\\\/:*?\"<>|]', '', 'g') AS clean_title FROM customer"
+)
+
+
+def q_dir_key_format(spark, sf_dir):
+    """C7 (crawler.go:545): '<cleanTitle>_<pushRate>' dir key."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        C.dir_key(F.col("c_name"), F.col("c_nationkey")).alias("dir_key"),
+    )
+
+
+SQL_DIR_KEY_FORMAT = (
+    "SELECT c_custkey, printf('%s_%d', regexp_replace(c_name, "
+    "'[\\\\/:*?\"<>|]', '', 'g'), c_nationkey) AS dir_key FROM customer"
+)
+
+
+def q_max_page_arith(spark, sf_dir):
+    """C8 (parser_impl.go:128-138): index<N>.html -> N+1, NULL on junk."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    href = F.when(
+        k % 7 == 0, F.lit("/bbs/B/indexX.html")
+    ).otherwise(
+        F.concat(F.lit("/bbs/B/index"), (k % 3000).cast("string"), F.lit(".html"))
+    )
+    return o.select("o_orderkey", href.alias("href"),
+                    C.max_page_from_href(href).alias("max_page"))
+
+
+SQL_MAX_PAGE_ARITH = """
+WITH h AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 7 = 0 THEN '/bbs/B/indexX.html'
+         ELSE '/bbs/B/index' || CAST(o_orderkey % 3000 AS VARCHAR) || '.html'
+    END AS href
+  FROM orders)
+SELECT o_orderkey, href,
+  CASE WHEN regexp_extract(href, 'index([0-9]+)\\.html$', 1) <> ''
+       THEN CAST(regexp_extract(href, 'index([0-9]+)\\.html$', 1) AS INTEGER) + 1
+       ELSE NULL END AS max_page
+FROM h
+"""
+
+
+def q_final_title_choice(spark, sf_dir):
+    """C10 (crawler.go:535-541): parsed-vs-list title precedence."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    lt = F.when(k % 3 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("list"), k.cast("string"))
+    )
+    pt = F.when(k % 2 == 0, F.concat(F.lit("parsed"), k.cast("string"))).otherwise(
+        F.lit("")
+    )
+    return d.select(
+        "doc_id", C.final_title(lt, pt, file_mode=False).alias("final_title")
+    )
+
+
+SQL_FINAL_TITLE_CHOICE = """
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN '' ELSE 'list' || CAST(doc_id AS VARCHAR) END AS lt,
+    CASE WHEN doc_id % 2 = 0 THEN 'parsed' || CAST(doc_id AS VARCHAR) ELSE '' END AS pt
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN lt = '' AND pt <> '' THEN pt ELSE lt END AS final_title
+FROM t
+"""
+
+
+def q_display_name(spark, sf_dir):
+    """C11 (crawler.go:477-482): title-or-URL display fallback."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.col("event_id")
+    title = (
+        F.when(k % 3 == 0, F.lit(""))
+        .when(k % 3 == 1, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("T"), k.cast("string")))
+    )
+    url = F.concat(F.lit("u"), k.cast("string"))
+    return ev.select("event_id", C.display_name(title, url).alias("display_name"))
+
+
+SQL_DISPLAY_NAME = """
+WITH t AS (
+  SELECT event_id,
+    CASE WHEN event_id % 3 = 0 THEN '' WHEN event_id % 3 = 1 THEN NULL
+         ELSE 'T' || CAST(event_id AS VARCHAR) END AS title,
+    'u' || CAST(event_id AS VARCHAR) AS url
+  FROM events)
+SELECT event_id, coalesce(nullif(title, ''), url) AS display_name FROM t
+"""
+
+
+def q_first_occurrence_dedup(spark, sf_dir):
+    """D1 (crawler.go:645-656): first occurrence wins, per group."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+    )
+
+
+SQL_FIRST_OCCURRENCE_DEDUP = """
+SELECT user_id, event_type, event_id AS first_event_id FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS r
+  FROM events) WHERE r = 1
+"""
+
+
+def q_collision_suffix_window(spark, sf_dir):
+    """D3 (crawler.go:565-585): _2/_3 suffixing in canonical order."""
+    d = _t(spark, sf_dir, "documents")
+    key = F.concat(F.col("lang"), F.lit("_"), (F.col("n_chars") % 10).cast("string"))
+    w = Window.partitionBy("dir_key0").orderBy("doc_id")
+    return (
+        d.withColumn("dir_key0", key)
+        .withColumn("_r", F.row_number().over(w))
+        .select(
+            "doc_id",
+            F.when(F.col("_r") == 1, F.col("dir_key0"))
+            .otherwise(
+                F.format_string("%s_%d", F.col("dir_key0"), F.col("_r"))
+            )
+            .alias("dir_name"),
+        )
+    )
+
+
+SQL_COLLISION_SUFFIX_WINDOW = """
+SELECT doc_id,
+  CASE WHEN r = 1 THEN k ELSE printf('%s_%d', k, r) END AS dir_name
+FROM (
+  SELECT doc_id, lang || '_' || CAST(n_chars % 10 AS VARCHAR) AS k,
+         row_number() OVER (PARTITION BY lang || '_' || CAST(n_chars % 10 AS VARCHAR)
+                            ORDER BY doc_id) AS r
+  FROM documents)
+"""
+
+
+def q_seen_anti_join(spark, sf_dir):
+    """D4/J2 (crawler pipeline): not-seen filtering via left-anti join."""
+    ev = _t(spark, sf_dir, "events")
+    cand = ev.filter(F.col("event_type") == "view")
+    seen = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 80))
+        .select("user_id")
+        .distinct()
+    )
+    return cand.join(seen, on="user_id", how="left_anti").select("event_id")
+
+
+SQL_SEEN_ANTI_JOIN = """
+SELECT event_id FROM events e
+WHERE e.event_type = 'view'
+  AND NOT EXISTS (SELECT 1 FROM events s
+                  WHERE s.event_type = 'purchase' AND s.value > 80
+                    AND s.user_id = e.user_id)
+"""
+
+
+def q_priority_topk(spark, sf_dir):
+    """O1/O3 (crawler.go:365-380): newest-first top-k per group."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("o_orderpriority", "o_orderkey", "rn")
+    )
+
+
+SQL_PRIORITY_TOPK = """
+SELECT o_orderpriority, o_orderkey, rn FROM (
+  SELECT o_orderpriority, o_orderkey,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+  FROM orders) WHERE rn <= 5
+"""
+
+
+def q_budget_gate_window(spark, sf_dir):
+    """T1 (crawler.go:59-65 politeness -> budget): per-group admission."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 40)
+        .select("event_id", "event_type")
+    )
+
+
+SQL_BUDGET_GATE_WINDOW = """
+SELECT event_id, event_type FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS r
+  FROM events) WHERE r <= 40
+"""
+
+
+def q_retry_backoff(spark, sf_dir):
+    """T2 (crawler/retry.go:57-93): exponential backoff arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    att = li.select(F.col("l_linenumber").alias("attempt")).distinct()
+    return att.select(
+        "attempt", C.retry_backoff_ms(F.col("attempt")).alias("backoff_ms")
+    )
+
+
+SQL_RETRY_BACKOFF = """
+SELECT attempt,
+       CAST(least(1000 * (2 ** (attempt - 1)), 30000) AS BIGINT) AS backoff_ms
+FROM (SELECT DISTINCT l_linenumber AS attempt FROM lineitem)
+"""
+
+
+def q_progress_counts(spark, sf_dir):
+    """D5 (types/progress.go): per-group counting aggregates. Double
+    sums go through decimal so the result is order-independent."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("total_value"),
+    )
+
+
+SQL_PROGRESS_COUNTS = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_markdown_render(spark, sf_dir):
+    """S7 (markdown/generator_impl.go:40-54): byte-exact README render
+    over orders/lineitem standing in for articles/images."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    files = li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.col("l_linenumber"))),
+                lambda n: F.format_string(
+                    "![l%s.jpg](./l%s.jpg)\n", n.cast("string"), n.cast("string")
+                ),
+            ),
+            "",
+        ).alias("img_lines"),
+        F.count("*").alias("n_imgs"),
+    )
+    joined = o.join(files, o["o_orderkey"] == files["l_orderkey"], "inner")
+    url = F.concat(F.lit("https://orders.test/"), F.col("o_orderkey").cast("string"))
+    content = F.concat(
+        F.format_string(
+            "# Order %d\n\n- **文章網址**: [%s](%s)\n- **推文數量**: %d\n\n## 圖片列表\n\n",
+            F.col("o_orderkey"), url, url, F.col("n_imgs"),
+        ),
+        F.col("img_lines"),
+    )
+    return joined.select("o_orderkey", content.alias("content"))
+
+
+SQL_MARKDOWN_RENDER = """
+WITH f AS (
+  SELECT l_orderkey,
+         string_agg('![l' || CAST(l_linenumber AS VARCHAR) || '.jpg](./l' ||
+                    CAST(l_linenumber AS VARCHAR) || '.jpg)' || chr(10),
+                    '' ORDER BY l_linenumber) AS img_lines,
+         count(*) AS n_imgs
+  FROM lineitem GROUP BY l_orderkey)
+SELECT o_orderkey,
+  printf('# Order %d', o_orderkey) || chr(10) || chr(10) ||
+  '- **文章網址**: [https://orders.test/' || CAST(o_orderkey AS VARCHAR) ||
+  '](https://orders.test/' || CAST(o_orderkey AS VARCHAR) || ')' || chr(10) ||
+  printf('- **推文數量**: %d', n_imgs) || chr(10) || chr(10) ||
+  '## 圖片列表' || chr(10) || chr(10) || img_lines AS content
+FROM orders JOIN f ON o_orderkey = l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. training-data pipeline operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), "
+    "'\\s+'), t -> t <> '') AS toks FROM documents)"
+)
+# DuckDB 1.0 can't lateral-join generate_series on a column; unnest in
+# the SELECT clause instead.
+_SHINGLES_CTE = (
+    "sh0 AS (SELECT doc_id, toks, "
+    "unnest(generate_series(0, greatest(len(toks) - 3, 0))) AS j FROM toks), "
+    "shingles AS (SELECT doc_id, concat_ws(' ', toks[j+1], toks[j+2], toks[j+3]) AS sh "
+    "FROM sh0)"
+)
+
+
+def _mh_sql(i: int) -> str:
+    return f"min(('0x' || substr(md5('{i}:' || sh), 1, 15))::BIGINT) AS mh{i}"
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on md5(text)."""
+    return dedup_text.exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (k=4) over word-3-gram shingles."""
+    return dedup_text.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH {_TOKS_CTE}, {_SHINGLES_CTE}
+SELECT doc_id, {_mh_sql(0)}, {_mh_sql(1)}, {_mh_sql(2)}, {_mh_sql(3)}
+FROM shingles GROUP BY doc_id
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """LSH candidate pairs: equal (mh0,mh1) or (mh2,mh3) band."""
+    sigs = dedup_text.minhash_signatures(_t(spark, sf_dir, "documents"))
+    return dedup_text.lsh_candidate_pairs(sigs)
+
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH {_TOKS_CTE}, {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id, {_mh_sql(0)}, {_mh_sql(1)}, {_mh_sql(2)}, {_mh_sql(3)}
+  FROM shingles GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || ',' || CAST(mh1 AS VARCHAR) AS sig FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, CAST(mh2 AS VARCHAR) || ',' || CAST(mh3 AS VARCHAR) AS sig FROM sig)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprints over distinct tokens."""
+    return dedup_text.simhash32(_t(spark, sf_dir, "documents"))
+
+
+SQL_SIMHASH = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.tok FROM documents,
+    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) t(tok)),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+bits AS (
+  SELECT doc_id, i,
+         ((CAST(floor(h / (2 ** i)) AS BIGINT) % 2) * 2 - 1) AS contrib
+  FROM h, generate_series(0, 31) g(i)),
+per_bit AS (SELECT doc_id, i, sum(contrib) AS s FROM bits GROUP BY doc_id, i)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN CAST(2 ** i AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM per_bit GROUP BY doc_id
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup pairs by exact token-set Jaccard within a lang bucket."""
+    return dedup_text.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+SQL_NGRAM_JACCARD_PAIRS = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, lang AS bucket, t.tok FROM documents,
+    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) t(tok)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM tok a JOIN tok b
+    ON a.tok = b.tok AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(common / (sa.sz + sb.sz - common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(common / (sa.sz + sb.sz - common), 4) >= 0.4
+"""
+
+
+# DuckDB twin of pipeline.similarity.dot: sequential left-fold.
+_DOT_SQL = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> ({a}::DOUBLE[])[i] * ({b}::DOUBLE[])[i]), (x, y) -> x + y)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    d = _DOT_SQL.format(a=a, b=b)
+    na = _DOT_SQL.format(a=a, b=a)
+    nb = _DOT_SQL.format(a=b, b=b)
+    return f"({d} / (sqrt({na}) * sqrt({nb})))"
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs the lowest-id embedding."""
+    return similarity.brute_force_topk(_t(spark, sf_dir, "embeddings"), k=10)
+
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings
+           ORDER BY vec_id LIMIT 1),
+qid AS (SELECT min(vec_id) AS qid FROM embeddings),
+scored AS (
+  SELECT vec_id, round({_cos_sql('embedding', 'qvec')}, 6) AS score
+  FROM embeddings, q)
+SELECT vec_id, score FROM scored, qid
+WHERE vec_id <> qid
+ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Sign-bit LSH bucket per vector (4 hyperplanes)."""
+    return similarity.random_hyperplane_buckets(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_ANN_LSH_BUCKETS = f"""
+WITH planes AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS p, embedding AS plane
+  FROM embeddings ORDER BY vec_id LIMIT 4)
+SELECT e.vec_id,
+       CAST(sum(CASE WHEN {_DOT_SQL.format(a='e.embedding', b='planes.plane')} > 0
+                THEN CAST(2 ** (p - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+FROM embeddings e, planes GROUP BY e.vec_id
+"""
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF two-stage ANN: probe 2 label cells, exact search inside."""
+    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"), k=10, n_probe=2)
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings ORDER BY vec_id LIMIT 1),
+qid AS (SELECT min(vec_id) AS qid FROM embeddings),
+cents AS (
+  SELECT label AS cell, embedding AS cvec FROM (
+    SELECT label, embedding,
+           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS r
+    FROM embeddings) WHERE r = 1),
+probe AS (
+  SELECT cell FROM (
+    SELECT cell, round({_cos_sql('cvec', 'qvec')}, 6) AS cs
+    FROM cents, q)
+  ORDER BY cs DESC, cell ASC LIMIT 2)
+SELECT vec_id, round({_cos_sql('e.embedding', 'qvec')}, 6) AS score
+FROM embeddings e JOIN probe ON e.label = probe.cell, q, qid
+WHERE vec_id <> qid
+ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label per-dimension centroid.
+
+    Order-independent exact mean: each float is quantized to an integer
+    (floor(v * 2^20) — exact, since v widened to double times a power
+    of two is exact), summed as BIGINT, divided back. Bit-identical
+    across engines regardless of aggregation order.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    q = F.lit(float(1 << 20))
+    ex = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "v")
+    ).withColumn("qv", F.floor(F.col("v").cast("double") * q).cast("long"))
+    return ex.groupBy("label", "dim").agg(
+        (F.sum("qv").cast("double") / (q * F.count("*"))).alias("centroid")
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = """
+WITH ex AS (
+  SELECT label, embedding,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings)
+SELECT label, i - 1 AS dim,
+       CAST(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / (1048576.0 * count(*)) AS centroid
+FROM ex GROUP BY label, i
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-ratio language-ID heuristic."""
+    return textstats.lang_scores(_t(spark, sf_dir, "documents"))
+
+
+def _sw_list(lang: str) -> str:
+    from ptt_spider_go_spark.pipeline.textstats import STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+
+SQL_LANG_ID = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok FROM documents,
+    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')) t(tok)),
+n AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, 'de' AS lang_cand, count(*) AS hits FROM tok WHERE tok IN ({_sw_list('de')}) GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, 'en', count(*) FROM tok WHERE tok IN ({_sw_list('en')}) GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, 'es', count(*) FROM tok WHERE tok IN ({_sw_list('es')}) GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, 'fr', count(*) FROM tok WHERE tok IN ({_sw_list('fr')}) GROUP BY doc_id),
+ratio AS (
+  SELECT h.doc_id, lang_cand, round(hits / n.n_tok, 4) AS ratio
+  FROM hits h JOIN n ON h.doc_id = n.doc_id)
+SELECT doc_id, lang_cand AS lang_guess, ratio AS best_ratio FROM (
+  SELECT doc_id, lang_cand, ratio,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY ratio DESC, lang_cand ASC) AS r
+  FROM ratio) WHERE r = 1
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    """Length/punct/word-shape quality scoring."""
+    return textstats.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY_SCORES = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS punct
+  FROM documents),
+m AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+    round(CASE WHEN len(toks) > 0
+               THEN length(list_aggregate(toks, 'string_agg', '')) / len(toks)
+               ELSE 0.0 END, 4) AS avg_token_len,
+    round(CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END, 4) AS punct_ratio
+  FROM t)
+SELECT doc_id, n_tokens, avg_token_len, punct_ratio,
+  round(least(n_tokens / 64.0, 1.0) * 0.5
+        + (1.0 - least(punct_ratio * 4, 1.0)) * 0.3
+        + least(avg_token_len / 8.0, 1.0) * 0.2, 4) AS quality
+FROM m
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish-regex token counts."""
+    return textstats.token_counts(_t(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_fingerprints(spark, sf_dir):
+    """Canonical-form md5 fingerprints."""
+    return textstats.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINTS = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-payload media table: typed metadata extraction."""
+    m = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    return m.select(
+        "media_id", F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"), F.col("meta.sha").alias("sha"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id AS media_id, 'image/fake' AS mime,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. crawl pipeline end-to-end (rows-only checks; exact-output parity is
+#    pinned in tests/ against the sequential golden model)
+# ---------------------------------------------------------------------------
+
+def _crawl_result(spark, scale: str = "small"):
+    from ptt_spider_go_spark.config import CrawlConfig
+    from ptt_spider_go_spark.datagen import pages_df
+    from ptt_spider_go_spark.plans.crawl import run_crawl
+
+    n_pages = 4 if scale == "small" else 8
+    pages = pages_df(spark, boards=("Beauty",), pages_per_board=n_pages)
+    cfg = CrawlConfig(board="Beauty", pages=3, push_rate=10, host_salt=4,
+                      max_supersteps=6)
+    return run_crawl(spark, pages, cfg, verify_text=False)
+
+
+def q_crawl_articles(spark, sf_dir):
+    """Full superstep crawl on the synthetic pages table -> articles."""
+    return _crawl_result(spark).articles
+
+
+def q_crawl_markdown(spark, sf_dir):
+    """Full crawl -> byte-exact markdown_docs."""
+    return _crawl_result(spark).markdown_docs
+
+
+def q_crawl_metrics(spark, sf_dir):
+    """Full crawl -> per-superstep fetch metrics (T7 lineage)."""
+    return _crawl_result(spark).metrics
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    # crawl-operator analogues (SQL-oracled)
+    "push_rate_decode": (q_push_rate_decode, SQL_PUSH_RATE_DECODE),
+    "push_threshold_filter": (q_push_threshold_filter, SQL_PUSH_THRESHOLD_FILTER),
+    "announcement_skip": (q_announcement_skip, SQL_ANNOUNCEMENT_SKIP),
+    "url_absolutize": (q_url_absolutize, SQL_URL_ABSOLUTIZE),
+    "scheme_normalize": (q_scheme_normalize, SQL_SCHEME_NORMALIZE),
+    "image_filename": (q_image_filename, SQL_IMAGE_FILENAME),
+    "clean_filename": (q_clean_filename, SQL_CLEAN_FILENAME),
+    "dir_key_format": (q_dir_key_format, SQL_DIR_KEY_FORMAT),
+    "max_page_arith": (q_max_page_arith, SQL_MAX_PAGE_ARITH),
+    "final_title_choice": (q_final_title_choice, SQL_FINAL_TITLE_CHOICE),
+    "display_name": (q_display_name, SQL_DISPLAY_NAME),
+    "first_occurrence_dedup": (q_first_occurrence_dedup, SQL_FIRST_OCCURRENCE_DEDUP),
+    "collision_suffix_window": (q_collision_suffix_window, SQL_COLLISION_SUFFIX_WINDOW),
+    "seen_anti_join": (q_seen_anti_join, SQL_SEEN_ANTI_JOIN),
+    "priority_topk": (q_priority_topk, SQL_PRIORITY_TOPK),
+    "budget_gate_window": (q_budget_gate_window, SQL_BUDGET_GATE_WINDOW),
+    "retry_backoff": (q_retry_backoff, SQL_RETRY_BACKOFF),
+    "progress_counts": (q_progress_counts, SQL_PROGRESS_COUNTS),
+    "markdown_render": (q_markdown_render, SQL_MARKDOWN_RENDER),
+    # training-data pipeline (SQL-oracled)
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    # crawl pipeline end-to-end (rows-only)
+    "crawl_articles": (q_crawl_articles, None),
+    "crawl_markdown": (q_crawl_markdown, None),
+    "crawl_metrics": (q_crawl_metrics, None),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the web-text curation pipeline over sf0.001 documents —
+    fingerprint + quality + token counts + MinHash signature + lang
+    guess, assembled into one curation table (the per-document feature
+    row a 100 TB training-data pipeline materializes before filtering).
+    """
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    out = (
+        docs.select("doc_id", "lang", "source", "n_chars")
+        .join(textstats.fingerprints(docs), "doc_id")
+        .join(textstats.quality_scores(docs), "doc_id")
+        .join(textstats.token_counts(docs), "doc_id")
+        # left joins: a doc with no shingles or no stopword hits must
+        # still get a curation row (it would otherwise be silently
+        # dropped from the corpus accounting).
+        .join(dedup_text.minhash_signatures(docs), "doc_id", "left")
+        .join(textstats.lang_scores(docs), "doc_id", "left")
+        .withColumn("lang_guess", F.coalesce(F.col("lang_guess"), F.lit("unknown")))
+        .withColumn("best_ratio", F.coalesce(F.col("best_ratio"), F.lit(0.0)))
+    )
+    return out

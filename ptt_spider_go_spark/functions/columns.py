@@ -1,0 +1,160 @@
+"""Scalar crawl functions as Catalyst column expressions (SURVEY §2.3).
+
+Everything here is JVM-side (whole-stage-codegen'd) — no Python in the
+hot path. Each builder cites the reference function it reproduces; the
+same semantics also exist in pure Python (htmlparse/) for use inside the
+parse UDFs, and the two are cross-checked in tests.
+
+Spark 4 runs with ANSI mode on, so all string->number conversions go
+through try_cast (mirroring Go's explicit Atoi error handling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+PTT_BASE_URL = "https://www.ptt.cc"
+
+_GO_INT = r"^[+-]?[0-9]+$"  # strconv.Atoi accepts sign + ASCII digits only
+
+
+def _go_atoi(c: Column) -> Column:
+    """Atoi twin: int value when the string parses Go-style, else NULL."""
+    return F.when(c.rlike(_GO_INT), c.try_cast("int"))
+
+
+# --- C1: push-count decode (ptt/parser_impl.go:46-60) ----------------------
+
+def push_rate_decode(s: Column) -> Column:
+    """Decode a push marker (after trim): 爆→100, X<k>→-k (0 if the rest
+    fails Atoi), else Atoi(s) with failure→0 (empty→0)."""
+    t = F.trim(s)
+    rest = F.substring(t, 2, 1_000_000)
+    return (
+        F.when(t == "爆", F.lit(100))
+        .when(t.startswith("X"), F.coalesce(-_go_atoi(rest), F.lit(0)))
+        .otherwise(F.coalesce(_go_atoi(t), F.lit(0)))
+    )
+
+
+# --- C2: URL absolutization (parser_impl.go:64) ----------------------------
+
+def absolutize_url(href: Column) -> Column:
+    return F.concat(F.lit(PTT_BASE_URL), href)
+
+
+# --- C3/C4: image href normalization (parser_impl.go:98-109) ---------------
+
+def normalize_img_href(href: Column) -> Column:
+    """Column-expression twin of htmlparse.ptt.normalize_img_href:
+    the normalized image URL, or NULL when the href is not an image
+    link. Exact reference branch order: scheme fixups only apply in the
+    suffix branch; the imgur branch appends .jpg verbatim."""
+    is_img_suffix = (
+        href.endswith(".jpg")
+        | href.endswith(".jpeg")
+        | href.endswith(".png")
+        | href.endswith(".gif")
+    )
+    suffix_branch = (
+        F.when(href.startswith("//"), F.concat(F.lit("https:"), href))
+        .when(
+            href.startswith("http://"),
+            F.concat(F.lit("https://"), F.substring(href, 8, 1_000_000)),
+        )
+        .otherwise(href)
+    )
+    return (
+        F.when(is_img_suffix, suffix_branch)
+        .when(
+            href.contains("imgur.com/") & ~href.contains("imgur.com/a/"),
+            F.concat(href, F.lit(".jpg")),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+# --- C5: filename from URL (internal/fileutil/filename.go:16-25) -----------
+
+def image_file_name(url: Column) -> Column:
+    """Last path segment of the URL path (query/fragment stripped by
+    parse_url); Go path.Base edge cases ("" -> ".", all-slashes -> "/");
+    imgur links without an extension get .jpg appended."""
+    path = F.try_parse_url(url, F.lit("PATH"))
+    trimmed = F.regexp_replace(path, "/+$", "")
+    base = (
+        F.when(path.isNull() | (path == ""), F.lit("."))
+        .when(trimmed == "", F.lit("/"))
+        .otherwise(F.element_at(F.split(trimmed, "/"), -1))
+    )
+    needs_jpg = url.contains("imgur.com") & ~base.contains(".")
+    return F.when(needs_jpg, F.concat(base, F.lit(".jpg"))).otherwise(base)
+
+
+# --- C6: filename sanitization (crawler/crawler.go:36,640-642) --------------
+
+def clean_file_name(name: Column) -> Column:
+    return F.regexp_replace(name, '[\\\\/:*?"<>|]', "")
+
+
+# --- C7: dir-name format + save dir (crawler/crawler.go:545-546) ------------
+
+def dir_key(title: Column, push_rate: Column) -> Column:
+    return F.format_string("%s_%d", clean_file_name(title), push_rate)
+
+
+def save_dir(board: Column, dir_name: Column) -> Column:
+    return F.concat_ws("/", board, dir_name)
+
+
+# --- C8: max-page arithmetic (parser_impl.go:128-138) -----------------------
+
+def max_page_from_href(href: Column) -> Column:
+    """index<N>.html -> N + 1; NULL when unparsable (error path)."""
+    n = F.regexp_extract(href, r"index([0-9]+)\.html$", 1)
+    return F.when(n != "", n.try_cast("int") + F.lit(1)).otherwise(
+        F.lit(None).cast("int")
+    )
+
+
+# --- C10: final-title choice (crawler/crawler.go:535-541) -------------------
+
+def final_title(list_title: Column, parsed_title: Column, file_mode: bool) -> Column:
+    parsed_nonempty = parsed_title.isNotNull() & (parsed_title != "")
+    if file_mode:
+        return F.when(parsed_nonempty, parsed_title).otherwise(list_title)
+    return F.when((list_title == "") & parsed_nonempty, parsed_title).otherwise(
+        list_title
+    )
+
+
+# --- C11: log-message choice (crawler/crawler.go:477-482) -------------------
+
+def display_name(title: Column, url: Column) -> Column:
+    return F.coalesce(F.nullif(title, F.lit("")), url)
+
+
+# --- T2: retry backoff arithmetic (crawler/retry.go:57-93) ------------------
+
+def retry_backoff_ms(attempt: Column, retry_after_s: Column | None = None) -> Column:
+    """Backoff before retry `attempt` (1-based): Retry-After seconds when
+    present and >0, capped at 30 000 ms; else 1000 * 2^(attempt-1) capped
+    at 30 000 ms (constants/constants.go:32-38)."""
+    expo = F.least(
+        (F.lit(1000) * F.pow(F.lit(2.0), attempt.cast("double") - 1)).cast("long"),
+        F.lit(30000).cast("long"),
+    )
+    if retry_after_s is None:
+        return expo
+    ra = F.when(
+        retry_after_s.isNotNull() & (retry_after_s > 0),
+        F.least(retry_after_s.cast("long") * 1000, F.lit(30000).cast("long")),
+    )
+    return F.coalesce(ra, expo)
+
+
+# --- misc: host extraction (politeness grouping key) -------------------------
+
+def url_host(url: Column) -> Column:
+    return F.try_parse_url(url, F.lit("HOST"))

@@ -1,0 +1,87 @@
+"""Per-host politeness budgets + robots rules + salted skew shuffle.
+
+Reference semantics (T1): every request sleeps U[minMs, maxMs) per
+worker (crawler/crawler.go:59-65,485-498), i.e. each of W workers
+sustains ~1/avg_delay req/s — a *rate* limit. At superstep granularity
+that is a per-host row budget: budget = W * superstep_ms / avg_delay_ms
+(config.py). Rows over budget are deferred to the next superstep, which
+reproduces "the crawl takes longer", never "URLs are dropped".
+
+Skew (T6 [north_rule]): a PTT crawl is single-host, so a naive
+groupBy(host) serializes everything into one task. The budget is split
+across `salt` lanes — budget_lane = budget/salt (+1 for the first
+`budget % salt` lanes, so the host total is exact) — and each lane
+takes its share in priority order. This mirrors the reference exactly:
+its W workers also each apply politeness independently with no global
+priority coordination (SURVEY §4 "single-host serialization").
+
+Robots [north_rule]: the reference does not parse robots.txt; rules
+arrive as a host/path-prefix table and apply as a broadcast anti-filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ptt_spider_go_spark.functions.columns import url_host
+
+
+def apply_robots(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
+    """Drop frontier rows whose (host, path-prefix) is disallowed.
+    `robots` is tiny -> broadcast join; longest matching prefix wins."""
+    if robots is None:
+        return frontier
+    f = frontier.withColumn("_host", url_host(F.col("url"))).withColumn(
+        "_path", F.coalesce(F.try_parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    )
+    r = robots.select(
+        F.col("host").alias("_host"),
+        F.col("path_prefix").alias("_pfx"),
+        F.col("allowed").alias("_allowed"),
+    )
+    matched = f.join(F.broadcast(r), on="_host", how="left").filter(
+        F.col("_pfx").isNull() | F.col("_path").startswith(F.col("_pfx"))
+    )
+    w = Window.partitionBy("url").orderBy(F.length(F.col("_pfx")).desc())
+    best = (
+        matched.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .filter(F.col("_allowed").isNull() | F.col("_allowed"))
+    )
+    return best.drop("_host", "_path", "_pfx", "_allowed", "_r")
+
+
+def budget_gate(frontier: DataFrame, host_budget: int, salt: int,
+                order_cols: list | None = None) -> tuple[DataFrame, DataFrame]:
+    """Split the frontier into (admitted, deferred) under per-host budgets.
+
+    Admission is priority order within each of `salt` lanes per host;
+    lane budgets sum exactly to host_budget. Returns both halves so the
+    superstep loop can re-enqueue the deferred rows.
+    """
+    order_cols = order_cols or [
+        F.col("kind_rank").asc(),
+        F.col("page_no").desc(),
+        F.col("warc_ts").asc(),
+        F.col("url").asc(),
+    ]
+    lane = F.pmod(F.xxhash64(F.col("url")), F.lit(salt))
+    base, rem = divmod(host_budget, salt)
+    lane_budget = F.when(F.col("_lane") < rem, F.lit(base + 1)).otherwise(
+        F.lit(base)
+    )
+    w = Window.partitionBy("_host", "_lane").orderBy(*order_cols)
+    tagged = (
+        frontier.withColumn("_host", url_host(F.col("url")))
+        .withColumn("_lane", lane)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_cap", lane_budget)
+    )
+    admitted = tagged.filter(F.col("_rn") <= F.col("_cap")).drop(
+        "_host", "_lane", "_rn", "_cap"
+    )
+    deferred = tagged.filter(F.col("_rn") > F.col("_cap")).drop(
+        "_host", "_lane", "_rn", "_cap"
+    )
+    return admitted, deferred

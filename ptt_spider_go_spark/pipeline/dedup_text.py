@@ -1,0 +1,156 @@
+"""Document deduplication operators for training-data pipelines.
+
+Four families, each scale-shaped for 100 TB:
+
+- exact: hash-groupBy on md5(text). One shuffle on a short hash key —
+  never on the text bytes themselves (column pruning keeps the scan
+  narrow; the md5 is computed JVM-side in the scan projection).
+- MinHash + LSH: shingle -> k minhashes (explode + groupBy-min, partial
+  aggregation map-side) -> band buckets -> candidate pairs via a
+  self-equi-join on (band, band_hash). The join key is a band hash, so
+  skew only occurs for genuinely near-identical clusters; candidates
+  are then verified with exact Jaccard.
+- SimHash: per-token hash bits summed signed per bit position ->
+  fingerprint; near-dups = fingerprints at small Hamming distance
+  (bucketed by fingerprint prefix).
+- n-gram Jaccard: token-set self-join restricted to a bucketing key
+  (lang here; length band in general) to bound the pair space.
+
+All hash arithmetic is md5-based (pipeline.common) so every operator
+has a bit-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ptt_spider_go_spark.pipeline.common import md5_long, tokens, word_shingles
+
+MINHASH_K = 4
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """(text_hash, n_docs, keeper_doc_id): exact-duplicate groups; the
+    smallest doc_id is the canonical keeper."""
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}) from word-3-gram shingles."""
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("sh")
+    )
+    aggs = [
+        F.min(md5_long(F.col("sh"), seed=i)).alias(f"mh{i}") for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 2) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs: equal signature in at
+    least one band. With k=4, band 0 = (mh0, mh1), band 1 = (mh2, mh3).
+    """
+    k = sum(1 for c in signatures.columns if c.startswith("mh"))
+    rows_per_band = k // bands
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=[F.col("a.band") == F.col("b.band"),
+                      F.col("a.sig") == F.col("b.sig"),
+                      F.col("a.doc_id") < F.col("b.doc_id")])
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.4,
+                        bucket_col: str = "lang") -> DataFrame:
+    """(doc_a, doc_b, jaccard) over distinct-token sets, computed by a
+    token-level self-join bounded to a bucket key. round(.,4) keeps the
+    value oracle-comparable."""
+    tok = docs.select(
+        "doc_id", F.col(bucket_col).alias("bucket"),
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    common = (
+        a.join(b, on=[F.col("a.tok") == F.col("b.tok"),
+                      F.col("a.bucket") == F.col("b.bucket"),
+                      F.col("a.doc_id") < F.col("b.doc_id")])
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash32(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) 32-bit SimHash over distinct tokens.
+
+    bit_i(fingerprint) = 1 iff sum over tokens of (2*bit_i(h(tok)) - 1)
+    is > 0. Bit extraction uses floor(h / 2^i) % 2 — plain arithmetic
+    that is bit-identical in Spark and DuckDB (h < 2^32 keeps the double
+    division exact).
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    )
+    bits = tok.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("i")
+    ).withColumn(
+        "contrib",
+        (
+            F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("i"))).cast("long") % 2
+        ) * 2 - 1,
+    )
+    per_bit = bits.groupBy("doc_id", "i").agg(F.sum("contrib").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("i")).cast("long"))
+            .otherwise(F.lit(0))
+        ).alias("simhash")
+    )

@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k against a query vector. The dot
+  product is a JVM-side fold (zip_with + aggregate over doubles, no
+  Python), evaluated in one scan + one top-k sort — the correct baseline
+  shape; at 100 TB it parallelizes perfectly (narrow, no shuffle until
+  the final k-row reduction).
+- random_hyperplane_buckets: sign-bit LSH bucketing. Hyperplanes here
+  are existing vectors (deterministic, oracle-expressible); bucketed
+  ANN = brute force within the query's bucket only.
+- ivf_topk: IVF-style two-stage search — coarse centroids (one vector
+  per label here, standing in for k-means centroids), probe the nearest
+  n_probe cells, exact search inside them. The scale path: touches
+  |cells_probed| / |cells| of the data.
+
+All folds are sequential left-folds over index order, so DuckDB's
+list_reduce produces bit-identical doubles for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order double-precision dot product (oracle-exact)."""
+    prods = F.zip_with(
+        a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def query_vector(embeddings: DataFrame, vec_id: int | None = None) -> DataFrame:
+    """One-row (qvec) DataFrame: the embedding of `vec_id` (default: the
+    smallest vec_id — deterministic and oracle-expressible)."""
+    if vec_id is None:
+        w = Window.orderBy("vec_id")
+        q = embeddings.withColumn("_r", F.row_number().over(w)).filter(
+            F.col("_r") == 1
+        )
+    else:
+        q = embeddings.filter(F.col("vec_id") == vec_id)
+    return q.select(F.col("embedding").alias("qvec"))
+
+
+def brute_force_topk(embeddings: DataFrame, k: int = 10,
+                     query_id: int | None = None) -> DataFrame:
+    """(vec_id, score) exact cosine top-k vs the query vector; the query
+    row itself is excluded. Deterministic tie-break by vec_id."""
+    q = query_vector(embeddings, query_id)
+    scored = embeddings.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("score"),
+    )
+    qid = (
+        embeddings.agg(F.min("vec_id")).first()[0]
+        if query_id is None
+        else query_id
+    )
+    return (
+        scored.filter(F.col("vec_id") != qid)
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def random_hyperplane_buckets(embeddings: DataFrame, n_planes: int = 4) -> DataFrame:
+    """(vec_id, bucket): bucket = sign bits of dot(v, plane_i).
+
+    Planes are the embeddings of the n_planes smallest vec_ids —
+    deterministic stand-ins for seeded random hyperplanes, chosen so the
+    DuckDB oracle can reproduce them with a subquery.
+    """
+    w = Window.orderBy("vec_id")
+    planes = (
+        embeddings.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_planes)
+        .select(F.col("_r").alias("p"), F.col("embedding").alias("plane"))
+    )
+    joined = embeddings.crossJoin(F.broadcast(planes))
+    bit = F.when(dot(F.col("embedding"), F.col("plane")) > 0,
+                 F.pow(F.lit(2.0), F.col("p") - 1).cast("long")).otherwise(F.lit(0))
+    return joined.groupBy("vec_id").agg(F.sum(bit).alias("bucket"))
+
+
+def ivf_topk(embeddings: DataFrame, k: int = 10, n_probe: int = 2,
+             label_col: str = "label", query_id: int | None = None) -> DataFrame:
+    """IVF-style ANN: centroid per label cell = the cell's lowest-id
+    vector (deterministic coarse quantizer); probe the n_probe cells
+    whose centroid is closest to the query; exact cosine inside them."""
+    w = Window.partitionBy(label_col).orderBy("vec_id")
+    centroids = (
+        embeddings.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(F.col(label_col).alias("cell"), F.col("embedding").alias("cvec"))
+    )
+    q = query_vector(embeddings, query_id)
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(q))
+        .select("cell", F.round(cosine(F.col("cvec"), F.col("qvec")), 6).alias("cs"))
+        .orderBy(F.col("cs").desc(), F.col("cell").asc())
+        .limit(n_probe)
+        .select("cell")
+    )
+    qid = (
+        embeddings.agg(F.min("vec_id")).first()[0]
+        if query_id is None
+        else query_id
+    )
+    in_cells = embeddings.join(
+        F.broadcast(probe_cells), embeddings[label_col] == probe_cells["cell"]
+    )
+    return (
+        in_cells.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("score"),
+        )
+        .filter(F.col("vec_id") != qid)
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )

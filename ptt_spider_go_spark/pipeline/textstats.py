@@ -1,0 +1,107 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+All column-expression only (JVM-side); every one has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ptt_spider_go_spark.pipeline.common import tokens
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio
+# heuristic. Deliberately minimal — the operator shape (portable,
+# deterministic scoring) is the point, not linguistic accuracy.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+    "es": ["el", "la", "de", "que", "y", "los", "un", "una"],
+}
+
+# BPE-ish pretokenizer: letter runs, digit runs, single non-space symbol.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def lang_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_guess, best_ratio): stopword-hit-ratio argmax over
+    the candidate languages; deterministic tie-break by language code."""
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.lower(F.col("text"))))).alias("tok")
+    )
+    n = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    scores = None
+    for lang, words in sorted(STOPWORDS.items()):
+        s = (
+            tok.filter(F.col("tok").isin(words))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("hits"))
+            .withColumn("lang_cand", F.lit(lang))
+        )
+        scores = s if scores is None else scores.unionByName(s)
+    ratio = (
+        scores.join(n, "doc_id")
+        .withColumn("ratio", F.round(F.col("hits") / F.col("n_tok"), 4))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("ratio").desc(), F.col("lang_cand").asc()
+    )
+    return (
+        ratio.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("doc_id", F.col("lang_cand").alias("lang_guess"),
+                F.col("ratio").alias("best_ratio"))
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, avg_token_len, punct_ratio, quality): a
+    length/punctuation/word-shape quality score in [0, 1]-ish range,
+    the standard cheap pre-filter shape for web-text corpora."""
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col("text"))
+    punct = n_chars - F.length(F.regexp_replace(F.col("text"), "[^A-Za-z0-9\\s]", ""))
+    avg_len = F.round(
+        F.when(n_tok > 0, F.length(F.array_join(toks, "")) / n_tok).otherwise(F.lit(0.0)),
+        4,
+    )
+    punct_ratio = F.round(
+        F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0)), 4
+    )
+    quality = F.round(
+        F.least(n_tok / F.lit(64.0), F.lit(1.0)) * 0.5
+        + (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))) * 0.3
+        + F.least(avg_len / F.lit(8.0), F.lit(1.0)) * 0.2,
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        avg_len.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, ws_tokens, bpe_tokens): whitespace tokens and a BPE-ish
+    regex pretokenization count (the standard token-budget estimator)."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)).alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint): md5 of case-folded, whitespace-collapsed
+    text — the canonical-form exact-dup key."""
+    canon = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    return docs.select("doc_id", F.md5(canon).alias("fingerprint"))

@@ -1,0 +1,84 @@
+"""Superstep snapshot checkpointing + exact resume (T5 [north_rule]).
+
+Iceberg-style snapshot semantics on plain Parquet (the sandbox has no
+Iceberg runtime; the layout is deliberately table-format-agnostic —
+swapping `_write`/`read` for Iceberg `writeTo(...).createOrReplace()` /
+snapshot reads changes nothing above this module):
+
+- every superstep writes its state tables under
+  ``<root>/step=<n>/<table>/`` (immutable, never rewritten)
+- a commit is the atomic rename of ``_manifest.json.tmp`` ->
+  ``_manifest.json`` recording the committed step + per-table row
+  counts (per-partition lineage/metrics live in the `metrics` table)
+- resume = read the manifest, load the latest committed step; a crash
+  mid-superstep leaves the previous manifest intact, so replay is exact
+
+Reading checkpointed state back each superstep also truncates Spark's
+logical-plan lineage — without it an iterative loop's plan grows
+superlinearly (the classic iterative-Spark failure at scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CheckpointManager:
+    def __init__(self, root: str, spark: SparkSession):
+        self.root = root
+        self.spark = spark
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "_manifest.json")
+
+    def load_manifest(self) -> dict[str, Any] | None:
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def last_committed_step(self) -> int | None:
+        m = self.load_manifest()
+        return None if m is None else m["step"]
+
+    def table_path(self, step: int, name: str) -> str:
+        return os.path.join(self.root, f"step={step}", name)
+
+    def write_step(self, step: int, tables: dict[str, DataFrame],
+                   extra: dict[str, Any] | None = None) -> dict[str, int]:
+        """Write every state table for `step`, then commit atomically.
+        Returns per-table row counts (the snapshot's summary lineage)."""
+        counts: dict[str, int] = {}
+        for name, df in tables.items():
+            path = self.table_path(step, name)
+            df.write.mode("overwrite").parquet(path)
+            counts[name] = self.spark.read.parquet(path).count()
+        manifest = {
+            "step": step,
+            "tables": counts,
+            "extra": extra or {},
+        }
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path)  # atomic commit
+        return counts
+
+    def read(self, step: int, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.table_path(step, name))
+
+    def read_latest(self, name: str) -> DataFrame | None:
+        step = self.last_committed_step()
+        if step is None:
+            return None
+        path = self.table_path(step, name)
+        if not os.path.exists(path):
+            return None
+        return self.spark.read.parquet(path)

@@ -1,0 +1,389 @@
+"""The iterative frontier crawl plan (SURVEY §3.1 Spark lifecycle).
+
+A bounded BFS expressed as a batch superstep loop — not Structured
+Streaming — because the crawl is an iterative fixpoint over a priority
+frontier (BASELINE.json north_star). Each superstep:
+
+  1. robots filter (broadcast anti-filter)           [north_rule]
+  2. per-host politeness budget gate, salted lanes   (T1/T6)
+  3. retry-ledger resolution of simulated statuses   (T2)
+  4. "fetch" = equi-join frontier ⋈ pages on url     (J1; broadcast
+     hint on the frontier side — the budget bounds its size)
+  5. Arrow-vectorized parse: index pages -> article rows (P1, UDTF
+     shape via mapInPandas), article pages -> content (P2 + D1 + D2)
+  6. push-rate filter on candidates (F1), global URL-seen dedup of
+     new candidates (D4: Bloom shards + exact anti-join verify)
+  7. next frontier = fresh candidates ∪ deferred ∪ retries
+  8. snapshot commit (frontier/seen/output deltas + metrics)
+
+After the loop, one deterministic assembly pass applies the global
+dir-collision window (D3) and renders download_tasks / markdown_docs.
+Assembly is scheduling-independent: its window order is
+(page_no desc, pos, url), so deferred/retried articles land in the
+same directories regardless of which superstep fetched them — this is
+what makes kill-and-resume byte-identical.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ptt_spider_go_spark.config import CrawlConfig
+from ptt_spider_go_spark.functions.columns import final_title
+from ptt_spider_go_spark.functions.udfs import (
+    ARTICLES_SCHEMA,
+    extract_text_udf,
+    parse_articles_map,
+    parse_content_udf,
+)
+from ptt_spider_go_spark.operators.collision import with_unique_dir
+from ptt_spider_go_spark.operators.dedup import BloomShardSet, dedup_against_seen
+from ptt_spider_go_spark.operators.politeness import apply_robots, budget_gate
+from ptt_spider_go_spark.operators.retrysim import apply_fetch_status
+from ptt_spider_go_spark.plans.checkpoint import CheckpointManager
+from ptt_spider_go_spark.sinks.markdown import markdown_docs
+from ptt_spider_go_spark.sources.seeds import (
+    FRONTIER_COLS,
+    board_frontier,
+    file_frontier,
+    probe_max_pages,
+)
+
+CONTENT_COLS = [
+    "url", "board", "page_no", "pos", "title", "author", "push_rate",
+    "parsed_title", "final_title", "img_urls", "file_names", "text_match",
+]
+
+
+@dataclass
+class CrawlResult:
+    articles: DataFrame
+    contents: DataFrame
+    download_tasks: DataFrame
+    markdown_docs: DataFrame
+    seen: DataFrame
+    fetch_log: DataFrame
+    metrics: DataFrame
+    supersteps: int = 0
+    wall_secs: float = 0.0
+    counters: dict = field(default_factory=dict)
+
+
+def _empty(spark: SparkSession, schema: str) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+_FRONTIER_SCHEMA = (
+    "url string, kind string, kind_rank int, board string, page_no int, "
+    "pos int, depth int, warc_ts timestamp, title string, author string, "
+    "push_rate int, attempt int, backoff_ms long"
+)
+_SEEN_SCHEMA = "url string"
+_ARTICLE_SCHEMA = (
+    "board string, page_no int, src_url string, pos int, title string, "
+    "url string, author string, push_rate int"
+)
+_LOG_SCHEMA = (
+    "superstep int, url string, kind string, outcome string, attempt int, "
+    "backoff_ms long"
+)
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: CrawlConfig,
+    boards: list[str] | None = None,
+    file_urls_path: str | None = None,
+    fetch_events: DataFrame | None = None,
+    robots: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    verify_text: bool = True,
+    broadcast_frontier: bool = True,
+) -> CrawlResult:
+    """Run the crawl to fixpoint (or cfg.max_supersteps) and assemble
+    outputs. `checkpoint_dir` enables snapshot/resume; with
+    `resume=True` the loop continues from the last committed superstep.
+    """
+    t0 = time.time()
+    file_mode = file_urls_path is not None
+    ckpt = CheckpointManager(checkpoint_dir, spark) if checkpoint_dir else None
+
+    blooms = BloomShardSet(cfg.bloom_shards, fpp=cfg.bloom_fpp)
+    start_step = 0
+
+    if resume and ckpt and ckpt.last_committed_step() is not None:
+        start_step = ckpt.last_committed_step() + 1
+        frontier = ckpt.read_latest("frontier")
+        seen = ckpt.read_latest("seen")
+        if seen is not None:
+            blooms.add_df(seen)  # rebuild bloom shards from checkpoint
+    else:
+        if file_mode:
+            frontier = file_frontier(spark, file_urls_path)
+        else:
+            boards = boards or [cfg.board]
+            max_pages = probe_max_pages(pages, boards)  # S2, driver lookup
+            frontier = board_frontier(spark, max_pages, cfg.pages)
+        # Seen-set semantics: a URL is "seen" the moment it is ENQUEUED
+        # (reference parity: each URL is produced once per run,
+        # crawler.go:350-424). Enqueue-time membership also guarantees
+        # the frontier never holds duplicates across supersteps —
+        # a deferred URL rediscovered later would otherwise double up.
+        seed_w = Window.partitionBy("url").orderBy(
+            F.col("kind_rank").asc(), F.col("page_no").desc(), F.col("pos").asc()
+        )
+        frontier = (
+            frontier.withColumn("_r", F.row_number().over(seed_w))
+            .filter(F.col("_r") == 1)
+            .drop("_r")
+        )
+        seen = frontier.select("url")
+        blooms.add_df(seen)  # bloom must stay a superset of seen
+
+    pages_fetch = pages.select("url", "warc_ts", "html", "text")
+
+    mem_steps: list[dict] = []
+    step = start_step
+    while step < cfg.max_supersteps:
+        # Lineage truncation: an iterative loop's logical plan otherwise
+        # grows superlinearly. Checkpointed runs cut lineage via the
+        # snapshot re-read below; both modes cut the frontier here.
+        frontier = frontier.select(FRONTIER_COLS).localCheckpoint(eager=True)
+
+        if frontier.isEmpty():
+            break
+
+        # 1. robots + 2. politeness budget
+        allowed = apply_robots(frontier, robots)
+        admitted, deferred = budget_gate(
+            allowed, cfg.host_budget_per_superstep, cfg.host_salt
+        )
+
+        # 3. retry ledger over simulated statuses
+        ok, retry, failed = apply_fetch_status(admitted, fetch_events)
+        ok = ok.drop("status")
+
+        # 4. fetch = join against the pages table. The budget bounds the
+        # admitted side, so broadcast it and stream the (huge) pages scan.
+        probe = ok.drop("warc_ts")
+        build = F.broadcast(probe) if broadcast_frontier else probe
+        found = pages_fetch.join(build, on="url", how="inner")
+        missing = probe.join(pages_fetch.select("url"), on="url", how="left_anti")
+
+        # 5a. index pages -> article rows (P1)
+        idx_pages = found.filter(F.col("kind") == "index").select(
+            "board", "page_no", "url", "html", F.col("warc_ts").alias("page_warc_ts")
+        )
+        parsed = idx_pages.select(
+            "board", "page_no", "url", "html"
+        ).mapInPandas(parse_articles_map, ARTICLES_SCHEMA)
+        # F1 push threshold (board mode producer filter, crawler.go:414)
+        admitted_articles = parsed.filter(F.col("push_rate") >= F.lit(cfg.push_rate))
+
+        # candidate next-frontier rows for the admitted articles
+        ts_by_src = idx_pages.select(F.col("url").alias("src_url"), "page_warc_ts")
+        candidates = (
+            admitted_articles.join(F.broadcast(ts_by_src), on="src_url", how="left")
+            .select(
+                F.col("url"),
+                F.lit("article").alias("kind"),
+                F.lit(1).alias("kind_rank"),
+                "board",
+                "page_no",
+                "pos",
+                F.lit(2).alias("depth"),
+                F.col("page_warc_ts").alias("warc_ts"),
+                "title",
+                "author",
+                "push_rate",
+                F.lit(1).alias("attempt"),
+                F.lit(0).cast("long").alias("backoff_ms"),
+            )
+        )
+
+        # 5b. article pages -> content (P2 + D1 + D2 in the UDF)
+        art_pages = found.filter(F.col("kind") == "article")
+        content = art_pages.withColumn(
+            "parsed", parse_content_udf(F.col("html"))
+        )
+        if verify_text:
+            content = content.withColumn(
+                "text_match", extract_text_udf(F.col("html")) == F.col("text")
+            )
+        else:
+            content = content.withColumn("text_match", F.lit(None).cast("boolean"))
+        content = content.select(
+            "url", "board", "page_no", "pos", "title", "author", "push_rate",
+            F.col("parsed.parsed_title").alias("parsed_title"),
+            final_title(
+                F.coalesce(F.col("title"), F.lit("")),
+                F.col("parsed.parsed_title"),
+                file_mode,
+            ).alias("final_title"),
+            F.col("parsed.img_urls").alias("img_urls"),
+            F.col("parsed.file_names").alias("file_names"),
+            "text_match",
+        )
+
+        # 6. dedup new candidates: within-batch first (deterministic
+        # winner by priority) then against the global seen set.
+        w = Window.partitionBy("url").orderBy(
+            F.col("page_no").desc(), F.col("pos").asc()
+        )
+        candidates = (
+            candidates.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .drop("_r")
+        )
+        fresh = dedup_against_seen(candidates, seen, blooms).select(FRONTIER_COLS)
+
+        # 7. bookkeeping tables for this superstep
+        lit_step = F.lit(step)
+        log_rows = (
+            found.select(
+                lit_step.alias("superstep"), "url", "kind",
+                F.lit("fetched").alias("outcome"), "attempt", "backoff_ms",
+            )
+            .unionByName(missing.select(
+                lit_step.alias("superstep"), "url", "kind",
+                F.lit("missing_404").alias("outcome"), "attempt", "backoff_ms",
+            ))
+        )
+        if retry is not None:
+            log_rows = log_rows.unionByName(retry.select(
+                lit_step.alias("superstep"), "url", "kind",
+                F.lit("retry_429").alias("outcome"), "attempt", "backoff_ms",
+            ))
+        if failed is not None:
+            log_rows = log_rows.unionByName(failed.select(
+                lit_step.alias("superstep"), "url", "kind",
+                F.lit("failed").alias("outcome"), "attempt", "backoff_ms",
+            ))
+
+        next_frontier = fresh.unionByName(deferred.select(FRONTIER_COLS))
+        if retry is not None:
+            next_frontier = next_frontier.unionByName(retry.select(FRONTIER_COLS))
+
+        # Enqueue-time seen update: only the freshly admitted candidates
+        # are new — deferred/retry URLs are already members.
+        new_seen = fresh.select("url")
+        seen = seen.unionByName(new_seen).distinct()
+        blooms.add_df(new_seen)
+
+        # 8. snapshot commit. Output tables are written as per-step
+        # deltas (append-only, like Iceberg appends); frontier/seen are
+        # the loop-carried state and re-read from the committed snapshot,
+        # which both truncates lineage and makes resume exact.
+        if ckpt:
+            ckpt.write_step(
+                step,
+                {
+                    "frontier": next_frontier,
+                    "seen": seen,
+                    "articles_delta": admitted_articles,
+                    "contents_delta": content,
+                    "fetch_log_delta": log_rows,
+                },
+                extra={"board": cfg.board, "file_mode": file_mode},
+            )
+            next_frontier = ckpt.read(step, "frontier")
+            seen = ckpt.read(step, "seen")
+        else:
+            next_frontier = next_frontier.localCheckpoint(eager=True)
+            seen = seen.localCheckpoint(eager=True)
+            mem_steps.append(
+                {
+                    "articles": admitted_articles.localCheckpoint(eager=True),
+                    "contents": content.localCheckpoint(eager=True),
+                    "log": log_rows.localCheckpoint(eager=True),
+                }
+            )
+
+        frontier = next_frontier
+        step += 1
+
+    # ---- final assembly (deterministic, scheduling-independent) ----------
+    if ckpt:
+        steps = list(range(0, (ckpt.last_committed_step() or 0) + 1))
+        articles = _union_steps(spark, ckpt, steps, "articles_delta", _ARTICLE_SCHEMA)
+        contents = _union_steps(spark, ckpt, steps, "contents_delta", None)
+        fetch_log = _union_steps(spark, ckpt, steps, "fetch_log_delta", _LOG_SCHEMA)
+    else:
+        articles = _union_mem(spark, [m["articles"] for m in mem_steps], _ARTICLE_SCHEMA)
+        contents = _union_mem(spark, [m["contents"] for m in mem_steps], None)
+        fetch_log = _union_mem(spark, [m["log"] for m in mem_steps], _LOG_SCHEMA)
+
+    if contents is None:
+        contents = _empty(
+            spark,
+            "url string, board string, page_no int, pos int, title string, "
+            "author string, push_rate int, parsed_title string, "
+            "final_title string, img_urls array<string>, "
+            "file_names array<string>, text_match boolean",
+        )
+
+    # D3: global dir-collision suffixing in canonical priority order.
+    contents = with_unique_dir(contents)
+
+    # download_tasks: explode the per-article aligned (img, file) arrays.
+    tasks = (
+        contents.select(
+            F.col("url").alias("article_url"),
+            "save_dir",
+            F.posexplode(F.arrays_zip("img_urls", "file_names")).alias("seq", "z"),
+        )
+        .select(
+            "article_url",
+            F.col("z.img_urls").alias("img_url"),
+            "save_dir",
+            F.col("z.file_names").alias("file_name"),
+            "seq",
+        )
+    )
+
+    docs = markdown_docs(contents)
+
+    metrics = (
+        fetch_log.groupBy("superstep", "kind", "outcome")
+        .agg(F.count("*").alias("n"), F.sum("backoff_ms").alias("backoff_ms_total"))
+        .orderBy("superstep", "kind", "outcome")
+    )
+
+    return CrawlResult(
+        articles=articles.orderBy(F.col("board"), F.col("page_no").desc(), F.col("pos")),
+        contents=contents,
+        download_tasks=tasks,
+        markdown_docs=docs,
+        seen=seen,
+        fetch_log=fetch_log,
+        metrics=metrics,
+        supersteps=step - start_step,
+        wall_secs=time.time() - t0,
+    )
+
+
+def _union_steps(spark, ckpt, steps, name, schema):
+    dfs = []
+    for s in steps:
+        import os
+
+        p = ckpt.table_path(s, name)
+        if os.path.exists(p):
+            dfs.append(spark.read.parquet(p))
+    return _union_mem(spark, dfs, schema)
+
+
+def _union_mem(spark, dfs, schema):
+    dfs = [d for d in dfs if d is not None]
+    if not dfs:
+        return _empty(spark, schema) if schema else None
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

@@ -1,0 +1,14 @@
+import pytest
+
+from ptt_spider_go_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="ptt-spider-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+    )
+    yield s
+    s.stop()

@@ -1,0 +1,180 @@
+"""Operator-level tests: politeness budget, robots, retry ledger, Bloom
+seen-set, dir-collision window."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ptt_spider_go_spark.operators.collision import with_unique_dir
+from ptt_spider_go_spark.operators.dedup import BloomShardSet, dedup_against_seen
+from ptt_spider_go_spark.operators.politeness import apply_robots, budget_gate
+from ptt_spider_go_spark.operators.retrysim import apply_fetch_status
+
+FRONTIER_SCHEMA = (
+    "url string, kind string, kind_rank int, board string, page_no int, "
+    "pos int, depth int, warc_ts timestamp, title string, author string, "
+    "push_rate int, attempt int, backoff_ms long"
+)
+
+
+def _frontier(spark, urls, kind="article", page_no=1):
+    rows = [
+        (u, kind, 0 if kind == "index" else 1, "B", page_no, i, 2, None,
+         "t", "a", 0, 1, 0)
+        for i, u in enumerate(urls)
+    ]
+    return spark.createDataFrame(rows, FRONTIER_SCHEMA)
+
+
+# --- T1/T6 budget gate -------------------------------------------------------
+
+def test_budget_gate_exact_host_total(spark):
+    urls = [f"https://www.ptt.cc/bbs/B/M.{i}.A.html" for i in range(100)]
+    f = _frontier(spark, urls)
+    admitted, deferred = budget_gate(f, host_budget=37, salt=8)
+    na, nd = admitted.count(), deferred.count()
+    assert na <= 37          # lane split never exceeds the host budget
+    assert na + nd == 100
+    # with 8 lanes over 100 urls every lane has >= floor(37/8) rows ->
+    # admission is budget-exact
+    assert na == 37
+
+
+def test_budget_gate_multiple_hosts_independent(spark):
+    urls = [f"https://h{i % 3}.test/p{i}" for i in range(60)]
+    f = _frontier(spark, urls)
+    admitted, _ = budget_gate(f, host_budget=5, salt=2)
+    per_host = {
+        r["h"]: r["n"]
+        for r in admitted.groupBy(
+            F.parse_url(F.col("url"), F.lit("HOST")).alias("h")
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n == 5 for n in per_host.values())
+
+
+def test_budget_gate_priority_respected_within_lane(spark):
+    # index pages (kind_rank 0) admitted before articles within a lane
+    idx = _frontier(spark, [f"https://www.ptt.cc/bbs/B/index{i}.html" for i in range(10)], "index")
+    art = _frontier(spark, [f"https://www.ptt.cc/bbs/B/M.{i}.A.html" for i in range(10)])
+    f = idx.unionByName(art)
+    admitted, _ = budget_gate(f, host_budget=10, salt=1)
+    kinds = {r["kind"] for r in admitted.collect()}
+    assert kinds == {"index"}
+
+
+# --- robots -------------------------------------------------------------------
+
+def test_apply_robots_prefix_block(spark):
+    f = _frontier(
+        spark,
+        ["https://www.ptt.cc/bbs/Secret/M.1.A.html",
+         "https://www.ptt.cc/bbs/Open/M.1.A.html"],
+    )
+    robots = spark.createDataFrame(
+        [("www.ptt.cc", "/bbs/Secret", False), ("www.ptt.cc", "/", True)],
+        "host string, path_prefix string, allowed boolean",
+    )
+    out = [r["url"] for r in apply_robots(f, robots).collect()]
+    assert out == ["https://www.ptt.cc/bbs/Open/M.1.A.html"]
+
+
+def test_apply_robots_unknown_host_allowed(spark):
+    f = _frontier(spark, ["https://other.test/x"])
+    robots = spark.createDataFrame(
+        [("www.ptt.cc", "/", True)], "host string, path_prefix string, allowed boolean"
+    )
+    assert apply_robots(f, robots).count() == 1
+
+
+# --- T2 retry ledger ----------------------------------------------------------
+
+def test_retry_ledger_flow(spark):
+    f = _frontier(spark, ["https://x/ok", "https://x/once", "https://x/always", "https://x/gone"])
+    events = spark.createDataFrame(
+        [
+            ("https://x/once", 1, 429, None),
+            ("https://x/once", 2, 200, None),
+            ("https://x/always", 1, 429, None),
+            ("https://x/always", 2, 429, None),
+            ("https://x/always", 3, 429, None),
+            ("https://x/gone", 1, 404, None),
+        ],
+        "url string, attempt int, status int, retry_after_s int",
+    )
+    ok, retry, failed = apply_fetch_status(f, events)
+    assert {r["url"] for r in ok.collect()} == {"https://x/ok"}
+    r = retry.collect()
+    assert {x["url"] for x in r} == {"https://x/once", "https://x/always"}
+    assert all(x["attempt"] == 2 for x in r)
+    assert all(x["backoff_ms"] == 1000 for x in r)  # 1000 * 2^0
+    assert {x["url"] for x in failed.collect()} == {"https://x/gone"}
+
+    # second round: re-enqueue the retry rows
+    ok2, retry2, failed2 = apply_fetch_status(retry, events)
+    assert {r["url"] for r in ok2.collect()} == {"https://x/once"}
+    r2 = retry2.collect()
+    assert {x["url"] for x in r2} == {"https://x/always"}
+    assert all(x["backoff_ms"] == 1000 + 2000 for x in r2)
+
+    # third round: attempts exhausted (RetryMaxAttempts = 3)
+    ok3, retry3, failed3 = apply_fetch_status(retry2, events)
+    assert ok3.count() == 0 and retry3.count() == 0
+    assert {x["url"] for x in failed3.collect()} == {"https://x/always"}
+
+
+def test_retry_after_header_honored(spark):
+    f = _frontier(spark, ["https://x/ra"])
+    events = spark.createDataFrame(
+        [("https://x/ra", 1, 429, 7)],
+        "url string, attempt int, status int, retry_after_s int",
+    )
+    _, retry, _ = apply_fetch_status(f, events)
+    assert retry.first()["backoff_ms"] == 7000
+
+
+# --- D4 bloom seen-set --------------------------------------------------------
+
+def test_bloom_dedup_exactness(spark):
+    seen_urls = [f"https://s.test/{i}" for i in range(500)]
+    cand_urls = [f"https://s.test/{i}" for i in range(400, 900)]
+    seen = spark.createDataFrame([(u,) for u in seen_urls], "url string")
+    cand = spark.createDataFrame([(u,) for u in cand_urls], "url string")
+    blooms = BloomShardSet(n_shards=4, expected_per_shard=256)
+    blooms.add_df(seen)
+    out = {r["url"] for r in dedup_against_seen(cand, seen, blooms).collect()}
+    # exactness invariant: exactly the 500..899 range survives — bloom
+    # false positives must have been rescued by the verify join
+    assert out == {f"https://s.test/{i}" for i in range(500, 900)}
+
+
+def test_bloom_probe_no_false_negatives(spark):
+    urls = [f"https://n.test/{i}" for i in range(2000)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    blooms = BloomShardSet(n_shards=4, expected_per_shard=1024)
+    blooms.add_df(df)
+    probed = blooms.with_maybe_seen(df)
+    # a Bloom filter never has false negatives
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+# --- D3 dir collision window --------------------------------------------------
+
+def test_dir_collision_window(spark):
+    rows = [
+        # (url, board, page_no, pos, final_title, push_rate)
+        ("u1", "B", 9, 0, "同標題", 5),
+        ("u2", "B", 9, 1, "同標題", 5),   # same key, later pos -> _2
+        ("u3", "B", 8, 0, "同標題", 5),   # older page -> _3
+        ("u4", "B", 9, 0, "同標題", 7),   # different push -> no suffix
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, board string, page_no int, pos int, "
+              "final_title string, push_rate int"
+    )
+    got = {r["url"]: r["dir_name"] for r in with_unique_dir(df).collect()}
+    assert got == {
+        "u1": "同標題_5",
+        "u2": "同標題_5_2",
+        "u3": "同標題_5_3",
+        "u4": "同標題_7",
+    }

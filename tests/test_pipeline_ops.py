@@ -1,0 +1,154 @@
+"""Training-data pipeline operators: property + numpy cross-checks.
+
+(The Spark-vs-DuckDB value parity of these operators is additionally
+enforced by the driver contract / tools/check_contract.py.)
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ptt_spider_go_spark.pipeline import dedup_text, multimodal, similarity, textstats
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", "en"),
+    (1, "the quick brown fox jumps over the lazy cat", "en"),   # near-dup of 0
+    (2, "the quick brown fox jumps over the lazy dog", "en"),   # exact dup of 0
+    (3, "completely different words entirely here now", "en"),
+    (4, "der hund und die katze und das haus", "de"),
+    (5, "", "en"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t, lang) for i, t, lang in DOCS], "doc_id long, text string, lang string"
+    )
+
+
+def test_exact_dup_groups(spark, docs):
+    rows = {r["keeper_doc_id"]: r["n_docs"] for r in dedup_text.exact_dup_groups(docs).collect()}
+    assert rows[0] == 2          # docs 0 and 2 identical
+    assert rows[1] == 1
+    assert sum(rows.values()) == len(DOCS)
+
+
+def test_minhash_near_dup_vs_distinct(spark, docs):
+    sigs = {r["doc_id"]: (r["mh0"], r["mh1"], r["mh2"], r["mh3"])
+            for r in dedup_text.minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[2]            # exact dups -> identical signature
+    shared01 = sum(a == b for a, b in zip(sigs[0], sigs[1]))
+    shared03 = sum(a == b for a, b in zip(sigs[0], sigs[3]))
+    assert shared01 >= shared03          # near-dup shares >= unrelated
+    assert all(v > 0 for v in sigs[0])   # md5-derived hashes are positive
+
+
+def test_lsh_pairs_include_exact_dup(spark, docs):
+    sigs = dedup_text.minhash_signatures(docs)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup_text.lsh_candidate_pairs(sigs).collect()}
+    assert (0, 2) in pairs
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_text.ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    }
+    assert pairs[(0, 2)] == 1.0
+    # 0 vs 1: tokens {the,quick,brown,fox,jumps,over,lazy,dog/cat}
+    # common 7 of union 9 -> 0.7778
+    assert pairs[(0, 1)] == round(7 / 9, 4)
+    assert (0, 4) not in pairs  # different lang bucket never joined
+
+
+def test_simhash_properties(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup_text.simhash32(docs).collect()}
+    assert sh[0] == sh[2]
+    assert 0 <= sh[0] < 2**32
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(sh[0], sh[1]) <= hamming(sh[0], sh[3])
+
+
+EMB = [(i, [float((i * 7 + j * 3) % 11) / 11 for j in range(8)], i % 3) for i in range(30)]
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.createDataFrame(EMB, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk_matches_numpy(spark, embeddings):
+    got = [(r["vec_id"], r["score"]) for r in similarity.brute_force_topk(embeddings, k=5).collect()]
+    m = np.array([np.array(v, dtype=np.float32).astype(np.float64) for _, v, _ in EMB])
+    q = m[0]
+    cos = m @ q / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    scored = sorted(
+        ((round(float(c), 6), i) for i, c in enumerate(cos) if i != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    want = [(i, s) for s, i in scored]
+    assert [(v, round(s, 6)) for v, s in got] == want
+
+
+def test_ivf_topk_subset_of_brute_force_space(spark, embeddings):
+    ivf = [r["vec_id"] for r in similarity.ivf_topk(embeddings, k=5, n_probe=3).collect()]
+    # probing all 3 cells == exact search
+    brute = [r["vec_id"] for r in similarity.brute_force_topk(embeddings, k=5).collect()]
+    assert ivf == brute
+
+
+def test_lsh_buckets_deterministic(spark, embeddings):
+    b1 = {r["vec_id"]: r["bucket"] for r in similarity.random_hyperplane_buckets(embeddings).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in similarity.random_hyperplane_buckets(embeddings).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 16 for v in b1.values())
+
+
+def test_quality_and_tokens(spark, docs):
+    q = {r["doc_id"]: r for r in textstats.quality_scores(docs).collect()}
+    assert q[5]["n_tokens"] == 0 and q[5]["quality"] == 0.3  # empty text
+    assert q[0]["n_tokens"] == 9
+    t = {r["doc_id"]: r for r in textstats.token_counts(docs).collect()}
+    assert t[0]["ws_tokens"] == 9
+    assert t[0]["bpe_tokens"] == 9  # all plain words
+
+
+def test_fingerprint_canonicalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, " HELLO\tWORLD ")],
+        "doc_id long, text string",
+    )
+    fps = [r["fingerprint"] for r in textstats.fingerprints(df).collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_lang_id_picks_german_stopwords(spark, docs):
+    got = {r["doc_id"]: r["lang_guess"] for r in textstats.lang_scores(docs).collect()}
+    assert got[4] == "de"
+    assert got[0] == "en"
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.to_media_table(docs.filter(F.col("text") != ""))
+    decoded = multimodal.decode_media(media, fake=True)
+    rows = decoded.collect()
+    assert len(rows) == 5
+    assert all(len(r["feature"]) == 8 for r in rows)
+    frames = multimodal.sample_frames(decoded, every_nth=2)
+    assert frames.filter(F.col("frame") % 2 != 0).count() == 0
+    # real decode is stubbed
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"x", fake=False)
+
+
+def test_decode_media_deterministic(spark, docs):
+    media = multimodal.to_media_table(docs.filter(F.col("text") != ""))
+    a = sorted(map(tuple, multimodal.decode_media(media).collect()))
+    b = sorted(map(tuple, multimodal.decode_media(media).collect()))
+    assert a == b
