@@ -45,6 +45,9 @@ HEADLINE = [
     "token_counts",
     "lang_id",
     "fingerprints",
+    "embedding_near_dup",
+    "sessionize",
+    "stream_windowed_counts",
 ]
 
 

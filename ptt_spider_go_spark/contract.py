@@ -31,7 +31,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ptt_spider_go_spark.functions import columns as C
-from ptt_spider_go_spark.pipeline import dedup_text, multimodal, similarity, textstats
+from ptt_spider_go_spark.pipeline import (
+    dedup_text,
+    multimodal,
+    sessions,
+    similarity,
+    textstats,
+)
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -505,6 +511,151 @@ FROM orders JOIN f ON o_orderkey = l_orderkey
 """
 
 
+def q_file_mode_seeds(spark, sf_dir):
+    """S3/F5/O4 (crawler.go:790-829): file-mode URL source — trim each
+    line, keep only lines starting with the PTT board prefix, fill
+    push_rate=0, preserve input-line order (o_orderkey stands in for
+    the line number)."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    m = k % 4
+    line = (
+        F.when(m == 0, F.concat(F.lit("  https://www.ptt.cc/bbs/Beauty/M."), ks, F.lit(".A.html  ")))
+        .when(m == 1, F.concat(F.lit("https://example.com/x"), ks))
+        .when(m == 2, F.concat(F.lit("# comment "), ks))
+        .otherwise(F.concat(F.lit("https://www.ptt.cc/bbs/C_Chat/M."), ks, F.lit(".B.html")))
+    )
+    return (
+        o.select(k.alias("line_no"), F.trim(line).alias("url"))
+        .filter(F.col("url").startswith("https://www.ptt.cc/bbs/"))
+        .select("line_no", "url", F.lit(0).alias("push_rate"))
+    )
+
+
+SQL_FILE_MODE_SEEDS = """
+WITH l AS (
+  SELECT o_orderkey AS line_no,
+    CASE o_orderkey % 4
+      WHEN 0 THEN '  https://www.ptt.cc/bbs/Beauty/M.' || CAST(o_orderkey AS VARCHAR) || '.A.html  '
+      WHEN 1 THEN 'https://example.com/x' || CAST(o_orderkey AS VARCHAR)
+      WHEN 2 THEN '# comment ' || CAST(o_orderkey AS VARCHAR)
+      ELSE 'https://www.ptt.cc/bbs/C_Chat/M.' || CAST(o_orderkey AS VARCHAR) || '.B.html'
+    END AS line
+  FROM orders)
+SELECT line_no, trim(line) AS url, 0 AS push_rate
+FROM l WHERE trim(line) LIKE 'https://www.ptt.cc/bbs/%'
+"""
+
+
+def q_size_cap_filter(spark, sf_dir):
+    """S6/F6 (crawler.go:707,721-730; constants.go:42): 50 MB image
+    size cap — oversize payloads are dropped (deleted in the
+    reference). Byte counts synthesized deterministically from
+    l_extendedprice (floored before scaling: no float-cast ambiguity)."""
+    li = _t(spark, sf_dir, "lineitem")
+    n_bytes = (F.floor(F.col("l_extendedprice")).cast("long") * 1000).alias("n_bytes")
+    cap = 50 * 1024 * 1024
+    return (
+        li.select("l_orderkey", "l_linenumber", n_bytes)
+        .filter(F.col("n_bytes") <= cap)
+    )
+
+
+SQL_SIZE_CAP_FILTER = """
+SELECT l_orderkey, l_linenumber,
+       CAST(floor(l_extendedprice) AS BIGINT) * 1000 AS n_bytes
+FROM lineitem
+WHERE CAST(floor(l_extendedprice) AS BIGINT) * 1000 <= 52428800
+"""
+
+
+def q_page_underflow_guard(spark, sf_dir):
+    """F7/O1 (crawler.go:365-380): newest-first index-page expansion,
+    exactly `pages` pages, never below page 1 (index0.html is never
+    requested — crawler_test.go:453-488). max_page stands in from
+    n_nationkey."""
+    n = _t(spark, sf_dir, "nation")
+    mp = F.col("n_nationkey")
+    seq = F.sequence(mp, F.greatest(mp - 4, F.lit(1)), F.lit(-1))
+    return (
+        n.filter(mp >= 1)
+        .select("n_nationkey", F.explode(seq).alias("page_no"))
+    )
+
+
+SQL_PAGE_UNDERFLOW_GUARD = """
+SELECT n_nationkey,
+       unnest(generate_series(n_nationkey, greatest(n_nationkey - 4, 1), -1)) AS page_no
+FROM nation WHERE n_nationkey >= 1
+"""
+
+
+def q_image_dedup_order(spark, sf_dir):
+    """D1 (crawler.go:645-656, dedup_test.go:50-108): first-occurrence
+    order-preserving dedup of a per-article image list. The list is the
+    order's lineitems in l_linenumber order; array_distinct keeps the
+    first occurrence — single-row scope, no extra shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = F.concat(F.lit("img"), (F.col("l_partkey") % 7).cast("string"))
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("l_linenumber").alias("n"), F.col("v")))
+    )
+    vals = F.transform(ordered, lambda s: s["v"])
+    return (
+        li.select("l_orderkey", "l_linenumber", v.alias("v"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(F.array_distinct(vals), ",").alias("imgs"),
+            F.size(F.array_distinct(vals)).alias("n_unique"),
+        )
+    )
+
+
+SQL_IMAGE_DEDUP_ORDER = """
+WITH v AS (
+  SELECT l_orderkey, l_linenumber,
+         'img' || CAST(l_partkey % 7 AS VARCHAR) AS v
+  FROM lineitem),
+f AS (
+  SELECT l_orderkey, l_linenumber, v,
+         row_number() OVER (PARTITION BY l_orderkey, v ORDER BY l_linenumber) AS rn
+  FROM v)
+SELECT l_orderkey,
+       string_agg(v, ',' ORDER BY l_linenumber, v) AS imgs,
+       count(*) AS n_unique
+FROM f WHERE rn = 1 GROUP BY l_orderkey
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) of the events stream —
+    the batch twin of the streaming stateful operator."""
+    return sessions.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+SQL_SESSIONIZE = sessions.sessionize_sql(gap_minutes=30)
+
+
+def q_stream_windowed_counts(spark, sf_dir):
+    """Structured Streaming: watermarked tumbling-window aggregation over
+    a file-source stream of events, run to completion with availableNow.
+    The oracle is the equivalent batch GROUP BY — streaming/batch parity
+    is the invariant."""
+    from ptt_spider_go_spark import streaming as S
+
+    ev = S.read_events_stream(spark, sf_dir)
+    return S.run_bounded(S.windowed_event_counts(ev), spark)
+
+
+SQL_STREAM_WINDOWED_COUNTS = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # 2. training-data pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -687,6 +838,36 @@ FROM embeddings e JOIN probe ON e.label = probe.cell, q, qid
 WHERE vec_id <> qid
 ORDER BY score DESC, vec_id ASC LIMIT 10
 """
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, bucket-limited self-join
+    (label = the bucket; at scale an LSH band plays that role)."""
+    return similarity.near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS score
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.3
+"""
+
+
+def q_media_decode(spark, sf_dir):
+    """Multimodal decode plumbing: mapInPandas feature extraction over
+    binary payloads (deterministic fake decode; real codecs are stubbed
+    — see pipeline/multimodal.py)."""
+    m = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_media(m, fake=True)
+
+
+def q_frame_sample(spark, sf_dir):
+    """Frame sampling over decoded media: sequence+explode, JVM-side."""
+    return multimodal.sample_frames(q_media_decode(spark, sf_dir), every_nth=2)
 
 
 def q_embedding_centroids(spark, sf_dir):
@@ -880,6 +1061,13 @@ QUERIES = {
     "retry_backoff": (q_retry_backoff, SQL_RETRY_BACKOFF),
     "progress_counts": (q_progress_counts, SQL_PROGRESS_COUNTS),
     "markdown_render": (q_markdown_render, SQL_MARKDOWN_RENDER),
+    "file_mode_seeds": (q_file_mode_seeds, SQL_FILE_MODE_SEEDS),
+    "size_cap_filter": (q_size_cap_filter, SQL_SIZE_CAP_FILTER),
+    "page_underflow_guard": (q_page_underflow_guard, SQL_PAGE_UNDERFLOW_GUARD),
+    "image_dedup_order": (q_image_dedup_order, SQL_IMAGE_DEDUP_ORDER),
+    # sessionization + streaming
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED_COUNTS),
     # training-data pipeline (SQL-oracled)
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
@@ -889,12 +1077,17 @@ QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    # multimodal decode plumbing (rows-only: blake2b fake-decode is not
+    # SQL-expressible; schema/batch-shape stability is the check)
+    "media_decode": (q_media_decode, None),
+    "frame_sample": (q_frame_sample, None),
     # crawl pipeline end-to-end (rows-only)
     "crawl_articles": (q_crawl_articles, None),
     "crawl_markdown": (q_crawl_markdown, None),

@@ -77,6 +77,84 @@ def parse_articles_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         yield pd.DataFrame(out)
 
 
+# Unified one-pass parse output: the superstep loop scans the fetched
+# pages exactly once and derives every downstream table (article rows,
+# article contents, fetch log) from this single materialized result.
+# row_kind: 'art' = article row parsed from an index page (P1),
+# 'content' = parsed article content (P2+D1+D2), 'fetch' = one row per
+# fetched page for the log (T7).
+PARSED_ALL_SCHEMA = (
+    "row_kind string, url string, kind string, board string, page_no int, "
+    "pos int, title string, author string, push_rate int, attempt int, "
+    "backoff_ms long, src_url string, warc_ts timestamp, "
+    "parsed_title string, img_urls array<string>, file_names array<string>, "
+    "text_match boolean"
+)
+
+_PARSED_COLS = [f.strip().split(" ")[0] for f in PARSED_ALL_SCHEMA.split(",")]
+
+
+def make_parse_page_kernel(verify_text: bool):
+    """mapInPandas kernel over fetched pages of BOTH kinds (index +
+    article). One Arrow pass emits P1 article rows, P2 content rows, and
+    per-page fetch-log rows together, so the (huge) pages join is
+    scanned and parsed exactly once per superstep."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in _PARSED_COLS}
+
+            def emit(**kw):
+                for c in _PARSED_COLS:
+                    out[c].append(kw.get(c))
+
+            has_text = "text" in pdf.columns
+            texts = pdf["text"].tolist() if has_text else [None] * len(pdf)
+            rows = zip(
+                pdf["url"].tolist(), pdf["kind"].tolist(), pdf["board"].tolist(),
+                pdf["page_no"].tolist(), pdf["pos"].tolist(),
+                pdf["title"].tolist(), pdf["author"].tolist(),
+                pdf["push_rate"].tolist(), pdf["attempt"].tolist(),
+                pdf["backoff_ms"].tolist(), pdf["warc_ts"].tolist(),
+                pdf["html"].tolist(), texts,
+            )
+            for (url, kind, board, page_no, pos, title, author, push_rate,
+                 attempt, backoff_ms, warc_ts, html, text) in rows:
+                emit(row_kind="fetch", url=url, kind=kind, board=board,
+                     page_no=page_no, attempt=attempt, backoff_ms=backoff_ms)
+                if html is None:
+                    continue
+                if kind == "index":
+                    for a in parse_articles(html):
+                        emit(row_kind="art", url=a["url"], kind="article",
+                             board=board, page_no=page_no, pos=a["pos"],
+                             title=a["title"], author=a["author"],
+                             push_rate=a["push_rate"], src_url=url,
+                             warc_ts=warc_ts)
+                else:
+                    ptitle, imgs = parse_article_content(html)
+                    imgs = unique_in_order(imgs)
+                    tm = None
+                    if verify_text and has_text:
+                        tm = extract_text(html) == text
+                    emit(row_kind="content", url=url, kind="article",
+                         board=board, page_no=page_no, pos=pos, title=title,
+                         author=author, push_rate=push_rate,
+                         parsed_title=ptitle, img_urls=imgs,
+                         file_names=image_file_names(imgs), text_match=tm)
+            opdf = pd.DataFrame(out)
+            # arrow needs concrete dtypes even for all-None columns
+            opdf["page_no"] = opdf["page_no"].astype("Int32")
+            opdf["pos"] = opdf["pos"].astype("Int32")
+            opdf["push_rate"] = opdf["push_rate"].astype("Int32")
+            opdf["attempt"] = opdf["attempt"].astype("Int32")
+            opdf["backoff_ms"] = opdf["backoff_ms"].astype("Int64")
+            opdf["text_match"] = opdf["text_match"].astype("boolean")
+            yield opdf
+
+    return kernel
+
+
 CONTENT_STRUCT = StructType(
     [
         StructField("parsed_title", StringType()),

@@ -92,6 +92,37 @@ def random_hyperplane_buckets(embeddings: DataFrame, n_planes: int = 4) -> DataF
     return joined.groupBy("vec_id").agg(F.sum(bit).alias("bucket"))
 
 
+def near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.3, bucket_col: str = "label"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with
+    cosine >= threshold, candidate-limited to a shared bucket.
+
+    The bucket join is the scale path: a self-join on the bucket key
+    shuffles each side once on that key and compares only within-bucket
+    pairs — O(sum(|bucket|^2)) instead of O(n^2). At 100 TB the bucket
+    would be an LSH band (random_hyperplane_buckets) instead of the
+    label column; the join shape is identical. Deterministic output:
+    pair ordered by vec_id, score rounded to 6 (oracle parity).
+    """
+    a = embeddings.select(
+        F.col(bucket_col).alias("bucket"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = embeddings.select(
+        F.col(bucket_col).alias("bucket"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = a.join(b, on="bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    scored = pairs.select(
+        "vec_a", "vec_b",
+        F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("score"),
+    )
+    return scored.filter(F.col("score") >= threshold)
+
+
 def ivf_topk(embeddings: DataFrame, k: int = 10, n_probe: int = 2,
              label_col: str = "label", query_id: int | None = None) -> DataFrame:
     """IVF-style ANN: centroid per label cell = the cell's lowest-id

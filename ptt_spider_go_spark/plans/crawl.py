@@ -26,7 +26,9 @@ what makes kill-and-resume byte-identical.
 
 from __future__ import annotations
 
+import os
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -35,10 +37,8 @@ from pyspark.sql import functions as F
 from ptt_spider_go_spark.config import CrawlConfig
 from ptt_spider_go_spark.functions.columns import final_title
 from ptt_spider_go_spark.functions.udfs import (
-    ARTICLES_SCHEMA,
-    extract_text_udf,
-    parse_articles_map,
-    parse_content_udf,
+    PARSED_ALL_SCHEMA,
+    make_parse_page_kernel,
 )
 from ptt_spider_go_spark.operators.collision import with_unique_dir
 from ptt_spider_go_spark.operators.dedup import BloomShardSet, dedup_against_seen
@@ -75,6 +75,19 @@ class CrawlResult:
 
 def _empty(spark: SparkSession, schema: str) -> DataFrame:
     return spark.createDataFrame([], schema)
+
+
+_TIMING = os.environ.get("PTT_CRAWL_TIMING", "") not in ("", "0")
+
+
+@contextmanager
+def _timed(label: str):
+    if not _TIMING:
+        yield
+        return
+    t = time.time()
+    yield
+    print(f"[crawl-timing] {label}: {time.time() - t:.2f}s", flush=True)
 
 
 _FRONTIER_SCHEMA = (
@@ -128,7 +141,8 @@ def run_crawl(
             frontier = file_frontier(spark, file_urls_path)
         else:
             boards = boards or [cfg.board]
-            max_pages = probe_max_pages(pages, boards)  # S2, driver lookup
+            with _timed("init.probe_max_pages"):
+                max_pages = probe_max_pages(pages, boards)  # S2, driver lookup
             frontier = board_frontier(spark, max_pages, cfg.pages)
         # Seen-set semantics: a URL is "seen" the moment it is ENQUEUED
         # (reference parity: each URL is produced once per run,
@@ -144,7 +158,8 @@ def run_crawl(
             .drop("_r")
         )
         seen = frontier.select("url")
-        blooms.add_df(seen)  # bloom must stay a superset of seen
+        with _timed("init.bloom_seed"):
+            blooms.add_df(seen)  # bloom must stay a superset of seen
 
     pages_fetch = pages.select("url", "warc_ts", "html", "text")
 
@@ -154,10 +169,12 @@ def run_crawl(
         # Lineage truncation: an iterative loop's logical plan otherwise
         # grows superlinearly. Checkpointed runs cut lineage via the
         # snapshot re-read below; both modes cut the frontier here.
-        frontier = frontier.select(FRONTIER_COLS).localCheckpoint(eager=True)
+        with _timed(f"step{step}.frontier_ckpt"):
+            frontier = frontier.select(FRONTIER_COLS).localCheckpoint(eager=True)
 
-        if frontier.isEmpty():
-            break
+        with _timed(f"step{step}.is_empty"):
+            if frontier.isEmpty():
+                break
 
         # 1. robots + 2. politeness budget
         allowed = apply_robots(frontier, robots)
@@ -169,36 +186,51 @@ def run_crawl(
         ok, retry, failed = apply_fetch_status(admitted, fetch_events)
         ok = ok.drop("status")
 
-        # 4. fetch = join against the pages table. The budget bounds the
-        # admitted side, so broadcast it and stream the (huge) pages scan.
+        # 4+5. fetch ⋈ parse in ONE pass over the pages table: the join
+        # streams the (huge) pages scan against the broadcast frontier,
+        # and a single mapInPandas kernel parses BOTH page kinds, also
+        # emitting the per-page fetch-log rows. The result is
+        # materialized exactly once (localCheckpoint); every downstream
+        # table (articles, contents, log, next frontier) derives from
+        # it without re-scanning pages or re-running the parse — at
+        # 100 TB this is the difference between 1 and 4 full scans per
+        # superstep.
         probe = ok.drop("warc_ts")
         build = F.broadcast(probe) if broadcast_frontier else probe
         found = pages_fetch.join(build, on="url", how="inner")
         missing = probe.join(pages_fetch.select("url"), on="url", how="left_anti")
 
-        # 5a. index pages -> article rows (P1)
-        idx_pages = found.filter(F.col("kind") == "index").select(
-            "board", "page_no", "url", "html", F.col("warc_ts").alias("page_warc_ts")
+        kernel_in = found.select(
+            "url", "kind", "board", "page_no", "pos", "title", "author",
+            "push_rate", "attempt", "backoff_ms", "warc_ts", "html",
+            *(["text"] if verify_text else []),
         )
-        parsed = idx_pages.select(
-            "board", "page_no", "url", "html"
-        ).mapInPandas(parse_articles_map, ARTICLES_SCHEMA)
-        # F1 push threshold (board mode producer filter, crawler.go:414)
-        admitted_articles = parsed.filter(F.col("push_rate") >= F.lit(cfg.push_rate))
+        with _timed(f"step{step}.fetch_parse"):
+            parsed_all = kernel_in.mapInPandas(
+                make_parse_page_kernel(verify_text), PARSED_ALL_SCHEMA
+            ).localCheckpoint(eager=True)
 
-        # candidate next-frontier rows for the admitted articles
-        ts_by_src = idx_pages.select(F.col("url").alias("src_url"), "page_warc_ts")
+        # 5a. article rows from index pages (P1) + F1 push threshold
+        # (board-mode producer filter, crawler.go:414)
+        admitted_articles = (
+            parsed_all.filter(F.col("row_kind") == "art")
+            .filter(F.col("push_rate") >= F.lit(cfg.push_rate))
+            .select("board", "page_no", "src_url", "pos", "title", "url",
+                    "author", "push_rate")
+        )
+
         candidates = (
-            admitted_articles.join(F.broadcast(ts_by_src), on="src_url", how="left")
+            parsed_all.filter(F.col("row_kind") == "art")
+            .filter(F.col("push_rate") >= F.lit(cfg.push_rate))
             .select(
-                F.col("url"),
+                "url",
                 F.lit("article").alias("kind"),
                 F.lit(1).alias("kind_rank"),
                 "board",
                 "page_no",
                 "pos",
                 F.lit(2).alias("depth"),
-                F.col("page_warc_ts").alias("warc_ts"),
+                "warc_ts",
                 "title",
                 "author",
                 "push_rate",
@@ -207,32 +239,22 @@ def run_crawl(
             )
         )
 
-        # 5b. article pages -> content (P2 + D1 + D2 in the UDF)
-        art_pages = found.filter(F.col("kind") == "article")
-        content = art_pages.withColumn(
-            "parsed", parse_content_udf(F.col("html"))
-        )
-        if verify_text:
-            content = content.withColumn(
-                "text_match", extract_text_udf(F.col("html")) == F.col("text")
-            )
-        else:
-            content = content.withColumn("text_match", F.lit(None).cast("boolean"))
-        content = content.select(
+        # 5b. article contents (P2 + D1 + D2 already applied in-kernel)
+        content = parsed_all.filter(F.col("row_kind") == "content").select(
             "url", "board", "page_no", "pos", "title", "author", "push_rate",
-            F.col("parsed.parsed_title").alias("parsed_title"),
+            "parsed_title",
             final_title(
                 F.coalesce(F.col("title"), F.lit("")),
-                F.col("parsed.parsed_title"),
+                F.col("parsed_title"),
                 file_mode,
             ).alias("final_title"),
-            F.col("parsed.img_urls").alias("img_urls"),
-            F.col("parsed.file_names").alias("file_names"),
-            "text_match",
+            "img_urls", "file_names", "text_match",
         )
 
         # 6. dedup new candidates: within-batch first (deterministic
-        # winner by priority) then against the global seen set.
+        # winner by priority) then against the global seen set. fresh is
+        # used three times below (next frontier, seen union, bloom add)
+        # -> materialize it once.
         w = Window.partitionBy("url").orderBy(
             F.col("page_no").desc(), F.col("pos").asc()
         )
@@ -241,12 +263,19 @@ def run_crawl(
             .filter(F.col("_r") == 1)
             .drop("_r")
         )
-        fresh = dedup_against_seen(candidates, seen, blooms).select(FRONTIER_COLS)
+        with _timed(f"step{step}.dedup_fresh"):
+            fresh = (
+                dedup_against_seen(candidates, seen, blooms)
+                .select(FRONTIER_COLS)
+                .localCheckpoint(eager=True)
+            )
 
-        # 7. bookkeeping tables for this superstep
+        # 7. bookkeeping tables for this superstep. The 'fetched' rows
+        # come from the already-materialized parse result — no extra
+        # pages scan; 'missing' is a column-pruned url-only anti-join.
         lit_step = F.lit(step)
         log_rows = (
-            found.select(
+            parsed_all.filter(F.col("row_kind") == "fetch").select(
                 lit_step.alias("superstep"), "url", "kind",
                 F.lit("fetched").alias("outcome"), "attempt", "backoff_ms",
             )
@@ -274,7 +303,8 @@ def run_crawl(
         # are new — deferred/retry URLs are already members.
         new_seen = fresh.select("url")
         seen = seen.unionByName(new_seen).distinct()
-        blooms.add_df(new_seen)
+        with _timed(f"step{step}.bloom_add"):
+            blooms.add_df(new_seen)
 
         # 8. snapshot commit. Output tables are written as per-step
         # deltas (append-only, like Iceberg appends); frontier/seen are
@@ -295,13 +325,17 @@ def run_crawl(
             next_frontier = ckpt.read(step, "frontier")
             seen = ckpt.read(step, "seen")
         else:
-            next_frontier = next_frontier.localCheckpoint(eager=True)
-            seen = seen.localCheckpoint(eager=True)
+            with _timed(f"step{step}.frontier_seen_ckpt"):
+                next_frontier = next_frontier.localCheckpoint(eager=True)
+                seen = seen.localCheckpoint(eager=True)
+            # articles/contents/log are cheap filters over the already-
+            # materialized parsed_all — keep them lazy; the references
+            # hold the checkpointed RDD alive until final assembly.
             mem_steps.append(
                 {
-                    "articles": admitted_articles.localCheckpoint(eager=True),
-                    "contents": content.localCheckpoint(eager=True),
-                    "log": log_rows.localCheckpoint(eager=True),
+                    "articles": admitted_articles,
+                    "contents": content,
+                    "log": log_rows,
                 }
             )
 

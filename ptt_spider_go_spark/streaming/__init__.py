@@ -1,0 +1,9 @@
+"""Structured Streaming surface (bounded, deterministic via availableNow)."""
+
+from ptt_spider_go_spark.streaming.windows import (
+    read_events_stream,
+    run_bounded,
+    windowed_event_counts,
+)
+
+__all__ = ["read_events_stream", "run_bounded", "windowed_event_counts"]

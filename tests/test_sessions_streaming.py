@@ -1,0 +1,103 @@
+"""Sessionization + Structured Streaming + embedding near-dup tests.
+
+(Spark-vs-DuckDB value parity for these operators is additionally
+enforced by the driver contract / tools/check_contract.py.)
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ptt_spider_go_spark.pipeline import sessions, similarity
+from ptt_spider_go_spark.streaming import windowed_event_counts
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(eid, minutes, user, etype="view", value=1.0):
+    return (eid, T0 + dt.timedelta(minutes=minutes), user, etype, value)
+
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double"
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user 1: two sessions split by a 45-min gap
+        _ev(1, 0, 1), _ev(2, 10, 1), _ev(3, 20, 1),
+        _ev(4, 65, 1), _ev(5, 70, 1),
+        # user 2: one session, events exactly 30 min apart (gap == limit
+        # does NOT split: the reference comparison is strict >)
+        _ev(6, 0, 2), _ev(7, 30, 2), _ev(8, 60, 2),
+        # user 3: single event
+        _ev(9, 500, 3, "purchase", 9.5),
+    ]
+    return spark.createDataFrame(rows, EVENTS_SCHEMA)
+
+
+def test_sessionize_gap_semantics(spark, events):
+    out = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["session_start"])
+        for r in sessions.sessionize(events, gap_minutes=30).collect()
+    }
+    assert out[(1, 1)][0] == 3
+    assert out[(1, 2)][0] == 2
+    assert out[(1, 2)][1] == T0 + dt.timedelta(minutes=65)
+    assert out[(2, 1)][0] == 3          # 30-min gaps stay one session
+    assert out[(3, 1)][0] == 1
+    assert len(out) == 4
+
+
+def test_sessionize_total_value_order_independent(spark, events):
+    df = sessions.sessionize(events, gap_minutes=30)
+    shuffled = sessions.sessionize(events.repartition(7), gap_minutes=30)
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, shuffled.collect()))
+
+
+def test_windowed_counts_batch(spark, events):
+    out = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in windowed_event_counts(events).collect()
+    }
+    assert out[(T0, "view")] == 5        # minutes 0,10,20,0,30
+    assert out[(T0 + dt.timedelta(hours=1), "view")] == 3   # minutes 60,65,70
+    assert out[(T0 + dt.timedelta(hours=8), "purchase")] == 1
+
+
+def test_windowed_counts_stream_matches_batch(spark, events, tmp_path):
+    """Streaming availableNow over a file source == the batch GROUP BY."""
+    src = str(tmp_path / "events_stream")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = windowed_event_counts(stream)
+    assert agg.isStreaming
+
+    from ptt_spider_go_spark.streaming import run_bounded
+
+    got = sorted(map(tuple, run_bounded(agg, spark).collect()))
+    want = sorted(map(tuple, windowed_event_counts(events).collect()))
+    assert got == want
+
+
+def test_embedding_near_dup_pairs(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [0.999, 0.01, 0.0], 0),   # near-dup of 1 (same bucket)
+            (3, [0.0, 1.0, 0.0], 0),      # orthogonal to 1
+            (4, [1.0, 0.0, 0.0], 1),      # identical to 1 but other bucket
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["score"]
+        for r in similarity.near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert (1, 3) not in pairs           # below threshold
+    assert (1, 4) not in pairs           # bucket-limited candidate set
