@@ -59,8 +59,8 @@ def _force(df) -> int:
 def crawl_scale(sf: float) -> dict:
     return {
         "boards": ("Beauty", "Gossiping"),
-        "pages_per_board": max(2, int(400 * sf)),
-        "slots_per_page": 10,
+        "pages_per_board": max(2, int(4000 * sf)),
+        "slots_per_page": 20,
     }
 
 
@@ -95,6 +95,17 @@ def main():
     pages_path = f"/tmp/ptt_bench_pages_sf{sf}"
     if not os.path.exists(pages_path):
         pages.write.mode("overwrite").parquet(pages_path)
+    # Split the (small) local pages scan to ~2 tasks/core; the parse
+    # stage inherits scan partitioning (see bench_scaling.py).
+    pages_bytes = sum(
+        os.path.getsize(os.path.join(pages_path, f))
+        for f in os.listdir(pages_path) if f.endswith(".parquet")
+    )
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        str(max(1024 * 1024, pages_bytes // (cpus * 2))),
+    )
+    spark.conf.set("spark.sql.files.openCostInBytes", str(256 * 1024))
     pages = spark.read.parquet(pages_path)
     n_pages = pages.count()
 

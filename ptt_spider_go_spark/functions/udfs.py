@@ -94,19 +94,38 @@ PARSED_ALL_SCHEMA = (
 _PARSED_COLS = [f.strip().split(" ")[0] for f in PARSED_ALL_SCHEMA.split(",")]
 
 
-def make_parse_page_kernel(verify_text: bool):
+def make_parse_page_kernel(verify_text: bool, push_threshold: int | None = None):
     """mapInPandas kernel over fetched pages of BOTH kinds (index +
     article). One Arrow pass emits P1 article rows, P2 content rows, and
     per-page fetch-log rows together, so the (huge) pages join is
-    scanned and parsed exactly once per superstep."""
+    scanned and parsed exactly once per superstep.
+
+    `push_threshold`: apply the F1 producer filter (crawler.go:413-422)
+    in-kernel — the reference's producer also drops below-threshold
+    articles before they ever reach a channel, and dropping them here
+    avoids shipping the (majority) rejected rows back through Arrow.
+    """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # Hot path: direct per-column appends (a kwargs-dict emit
+            # costs ~17 dict lookups per row across millions of rows).
             out: dict[str, list] = {c: [] for c in _PARSED_COLS}
+            (o_rk, o_url, o_kind, o_board, o_page, o_pos, o_title, o_author,
+             o_push, o_att, o_back, o_src, o_ts, o_pt, o_imgs, o_fn, o_tm) = (
+                out[c] for c in _PARSED_COLS)
 
-            def emit(**kw):
-                for c in _PARSED_COLS:
-                    out[c].append(kw.get(c))
+            def emit_row(rk, url, kind, board, page_no, pos, title, author,
+                         push_rate, attempt, backoff_ms, src_url, warc_ts,
+                         parsed_title, img_urls, file_names, text_match):
+                o_rk.append(rk); o_url.append(url); o_kind.append(kind)
+                o_board.append(board); o_page.append(page_no); o_pos.append(pos)
+                o_title.append(title); o_author.append(author)
+                o_push.append(push_rate); o_att.append(attempt)
+                o_back.append(backoff_ms); o_src.append(src_url)
+                o_ts.append(warc_ts); o_pt.append(parsed_title)
+                o_imgs.append(img_urls); o_fn.append(file_names)
+                o_tm.append(text_match)
 
             has_text = "text" in pdf.columns
             texts = pdf["text"].tolist() if has_text else [None] * len(pdf)
@@ -120,28 +139,28 @@ def make_parse_page_kernel(verify_text: bool):
             )
             for (url, kind, board, page_no, pos, title, author, push_rate,
                  attempt, backoff_ms, warc_ts, html, text) in rows:
-                emit(row_kind="fetch", url=url, kind=kind, board=board,
-                     page_no=page_no, attempt=attempt, backoff_ms=backoff_ms)
+                emit_row("fetch", url, kind, board, page_no, None, None, None,
+                         None, attempt, backoff_ms, None, None, None, None,
+                         None, None)
                 if html is None:
                     continue
                 if kind == "index":
                     for a in parse_articles(html):
-                        emit(row_kind="art", url=a["url"], kind="article",
-                             board=board, page_no=page_no, pos=a["pos"],
-                             title=a["title"], author=a["author"],
-                             push_rate=a["push_rate"], src_url=url,
-                             warc_ts=warc_ts)
+                        if push_threshold is not None and a["push_rate"] < push_threshold:
+                            continue  # F1, crawler.go:414
+                        emit_row("art", a["url"], "article", board, page_no,
+                                 a["pos"], a["title"], a["author"],
+                                 a["push_rate"], None, None, url, warc_ts,
+                                 None, None, None, None)
                 else:
                     ptitle, imgs = parse_article_content(html)
                     imgs = unique_in_order(imgs)
                     tm = None
                     if verify_text and has_text:
                         tm = extract_text(html) == text
-                    emit(row_kind="content", url=url, kind="article",
-                         board=board, page_no=page_no, pos=pos, title=title,
-                         author=author, push_rate=push_rate,
-                         parsed_title=ptitle, img_urls=imgs,
-                         file_names=image_file_names(imgs), text_match=tm)
+                    emit_row("content", url, "article", board, page_no, pos,
+                             title, author, push_rate, None, None, None, None,
+                             ptitle, imgs, image_file_names(imgs), tm)
             opdf = pd.DataFrame(out)
             # arrow needs concrete dtypes even for all-None columns
             opdf["page_no"] = opdf["page_no"].astype("Int32")

@@ -24,7 +24,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ptt_spider_go_spark.pipeline.common import md5_long, tokens, word_shingles
+from ptt_spider_go_spark.pipeline.common import (
+    md5_long,
+    shingles_from_tokens,
+    tokens,
+)
 
 MINHASH_K = 4
 
@@ -43,9 +47,14 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """(doc_id, mh0..mh{k-1}) from word-3-gram shingles."""
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"))).alias("sh")
+    """(doc_id, mh0..mh{k-1}) from word-3-gram shingles.
+
+    Tokenization happens in its own projection so the regex split runs
+    once per document, not once per shingle-lambda reference (see
+    common.shingles_from_tokens perf note)."""
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    sh = toked.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("toks"))).alias("sh")
     )
     aggs = [
         F.min(md5_long(F.col("sh"), seed=i)).alias(f"mh{i}") for i in range(k)

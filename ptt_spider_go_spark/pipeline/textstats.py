@@ -32,15 +32,20 @@ def lang_scores(docs: DataFrame) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(tokens(F.lower(F.col("text"))))).alias("tok")
     )
     n = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    scores = None
-    for lang, words in sorted(STOPWORDS.items()):
-        s = (
-            tok.filter(F.col("tok").isin(words))
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("hits"))
-            .withColumn("lang_cand", F.lit(lang))
-        )
-        scores = s if scores is None else scores.unionByName(s)
+    # One pass over the exploded tokens: broadcast-join the (word, lang)
+    # stopword table instead of re-scanning the tokens once per language
+    # (a word may belong to several languages, e.g. 'la' in fr AND es,
+    # so the join fans out exactly like the per-language filters did).
+    spark = docs.sparkSession
+    sw = spark.createDataFrame(
+        [(w, lang) for lang, words in sorted(STOPWORDS.items()) for w in words],
+        "tok string, lang_cand string",
+    )
+    scores = (
+        tok.join(F.broadcast(sw), "tok")
+        .groupBy("doc_id", "lang_cand")
+        .agg(F.count("*").alias("hits"))
+    )
     ratio = (
         scores.join(n, "doc_id")
         .withColumn("ratio", F.round(F.col("hits") / F.col("n_tok"), 4))
@@ -61,8 +66,12 @@ def lang_scores(docs: DataFrame) -> DataFrame:
 def quality_scores(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, avg_token_len, punct_ratio, quality): a
     length/punctuation/word-shape quality score in [0, 1]-ish range,
-    the standard cheap pre-filter shape for web-text corpora."""
-    toks = tokens(F.col("text"))
+    the standard cheap pre-filter shape for web-text corpora.
+
+    The token array is projected once (column reference below) so the
+    regex split isn't re-evaluated per metric expression."""
+    docs = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     n_tok = F.size(toks)
     n_chars = F.length(F.col("text"))
     punct = n_chars - F.length(F.regexp_replace(F.col("text"), "[^A-Za-z0-9\\s]", ""))

@@ -51,6 +51,7 @@ from ptt_spider_go_spark.sources.seeds import (
     board_frontier,
     file_frontier,
     probe_max_pages,
+    probe_max_pages_from_urls,
 )
 
 CONTENT_COLS = [
@@ -118,6 +119,7 @@ def run_crawl(
     resume: bool = False,
     verify_text: bool = True,
     broadcast_frontier: bool = True,
+    probe_strategy: str = "html",
 ) -> CrawlResult:
     """Run the crawl to fixpoint (or cfg.max_supersteps) and assemble
     outputs. `checkpoint_dir` enables snapshot/resume; with
@@ -142,7 +144,12 @@ def run_crawl(
         else:
             boards = boards or [cfg.board]
             with _timed("init.probe_max_pages"):
-                max_pages = probe_max_pages(pages, boards)  # S2, driver lookup
+                # S2: landing-page parse (reference parity) or the
+                # url-only aggregate (column-pruned; never reads html).
+                if probe_strategy == "urls":
+                    max_pages = probe_max_pages_from_urls(pages, boards)
+                else:
+                    max_pages = probe_max_pages(pages, boards)
             frontier = board_frontier(spark, max_pages, cfg.pages)
         # Seen-set semantics: a URL is "seen" the moment it is ENQUEUED
         # (reference parity: each URL is produced once per run,
@@ -207,7 +214,8 @@ def run_crawl(
         )
         with _timed(f"step{step}.fetch_parse"):
             parsed_all = kernel_in.mapInPandas(
-                make_parse_page_kernel(verify_text), PARSED_ALL_SCHEMA
+                make_parse_page_kernel(verify_text, cfg.push_rate),
+                PARSED_ALL_SCHEMA,
             ).localCheckpoint(eager=True)
 
         # 5a. article rows from index pages (P1) + F1 push threshold
@@ -300,9 +308,13 @@ def run_crawl(
             next_frontier = next_frontier.unionByName(retry.select(FRONTIER_COLS))
 
         # Enqueue-time seen update: only the freshly admitted candidates
-        # are new — deferred/retry URLs are already members.
+        # are new — deferred/retry URLs are already members. fresh was
+        # anti-joined against the current seen set, so the pieces are
+        # DISJOINT: a plain union is already duplicate-free (no distinct
+        # shuffle), and both inputs are checkpointed, so the union needs
+        # no re-materialization of its own.
         new_seen = fresh.select("url")
-        seen = seen.unionByName(new_seen).distinct()
+        seen = seen.unionByName(new_seen)
         with _timed(f"step{step}.bloom_add"):
             blooms.add_df(new_seen)
 
@@ -325,9 +337,12 @@ def run_crawl(
             next_frontier = ckpt.read(step, "frontier")
             seen = ckpt.read(step, "seen")
         else:
-            with _timed(f"step{step}.frontier_seen_ckpt"):
-                next_frontier = next_frontier.localCheckpoint(eager=True)
-                seen = seen.localCheckpoint(eager=True)
+            # Nothing to materialize here: seen is a union of
+            # checkpointed disjoint pieces, and next_frontier is a union
+            # of checkpointed fresh plus cheap windows over the already-
+            # checkpointed frontier — the top-of-loop checkpoint
+            # materializes it on the next iteration.
+            pass
             # articles/contents/log are cheap filters over the already-
             # materialized parsed_all — keep them lazy; the references
             # hold the checkpointed RDD alive until final assembly.

@@ -43,6 +43,28 @@ def probe_max_pages(pages: DataFrame, boards: list[str]) -> dict[str, int]:
     return out
 
 
+def probe_max_pages_from_urls(pages: DataFrame, boards: list[str]) -> dict[str, int]:
+    """S2 alternative (SURVEY S2: "max(page_no) aggregate over known
+    index pages"): derive each board's newest index number from the url
+    column alone — a column-pruned scan that never touches html bytes.
+    Equivalent to the landing-page parse on any complete snapshot: the
+    landing button points one below the newest index page present."""
+    pat = r"/bbs/([^/]+)/index([0-9]+)\.html$"
+    rows = (
+        pages.select("url")
+        .filter(F.col("url").rlike(pat))
+        .select(
+            F.regexp_extract("url", pat, 1).alias("board"),
+            F.regexp_extract("url", pat, 2).cast("int").alias("page_no"),
+        )
+        .filter(F.col("board").isin(boards))
+        .groupBy("board")
+        .agg(F.max("page_no").alias("max_page"))
+        .collect()
+    )
+    return {r["board"]: r["max_page"] for r in rows}
+
+
 def board_frontier(spark: SparkSession, max_pages: dict[str, int],
                    pages_to_crawl: int) -> DataFrame:
     """S1/O1: index-page frontier, pages newest-first per board, stopping

@@ -1,0 +1,129 @@
+"""Physical-plan audit over the whole driver-contract query surface.
+
+For every queries() entry, capture the formatted physical plan and
+check the plan properties that matter at 100 TB:
+
+- column pruning: the parquet ReadSchema must not include columns the
+  query doesn't use (flag when a documents/embeddings scan reads `text`
+  or `embedding` for a query that doesn't touch them);
+- predicate pushdown: filters on scan columns appear as PushedFilters;
+- join strategy: small-side joins are broadcast, no accidental
+  cartesian products (BroadcastNestedLoopJoin is expected only for the
+  deliberate broadcast crossJoins in the ANN operators);
+- whole-stage codegen: scalar pipelines run inside codegen stages.
+
+Writes EXPLAIN_AUDIT.md with a per-query table + flagged findings and
+the full plans for flagged queries. Usage:
+
+    python tools/explain_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as E
+from ptt_spider_go_spark.session import get_spark
+
+# Queries where a BroadcastNestedLoopJoin / cross product is deliberate:
+# a one-row (or n_planes-row) broadcast query-vector table.
+CROSS_OK = {
+    "ann_cosine_topk", "ann_lsh_buckets", "ann_ivf_topk",
+}
+# Queries that run a full superstep pipeline / streaming job — plans are
+# multi-job, skip static audit.
+SKIP = {"crawl_articles", "crawl_markdown", "crawl_metrics",
+        "stream_windowed_counts"}
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def audit_one(name: str, df) -> dict:
+    plan = plan_of(df)
+    flags = []
+    scans = re.findall(r"Scan parquet[^\n]*\n(?:.*?\n)*?(?=\(\d+\)|\Z)", plan)
+    ids = re.findall(r"\[codegen id : (\d+)\]", plan)
+    n_codegen = len(set(ids))
+    joins = re.findall(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+        r"BroadcastNestedLoopJoin|CartesianProduct)", plan)
+
+    if "CartesianProduct" in joins:
+        flags.append("CartesianProduct (unpartitioned cross join)")
+    if "BroadcastNestedLoopJoin" in joins and name not in CROSS_OK:
+        flags.append("BroadcastNestedLoopJoin outside the ANN cross-join set")
+
+    # ReadSchema bloat: text/embedding/html read but unused in output.
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+        for heavy in ("text", "embedding", "html"):
+            if heavy in cols and heavy not in [f.lower() for f in df.columns]:
+                # heavy col feeding a derived expr is fine; only flag
+                # when it is also absent from all filters/aggs — cheap
+                # heuristic: flag only if it never appears elsewhere in
+                # the plan body.
+                uses = len(re.findall(rf"\b{heavy}\b", plan))
+                if uses <= 1:
+                    flags.append(f"scan reads unused heavy column `{heavy}`")
+    return {
+        "name": name,
+        "joins": ",".join(sorted(set(joins))) or "-",
+        "codegen_stages": n_codegen,
+        "pushed": "PushedFilters: [" in plan and not re.search(
+            r"PushedFilters: \[\]", plan) or False,
+        "flags": flags,
+        "plan": plan,
+    }
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="explain-audit", master="local[4]",
+                      shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = []
+    for name, fn in E.queries().items():
+        if name in SKIP or (only and name not in only):
+            continue
+        try:
+            rows.append(audit_one(name, fn(spark, sf_dir)))
+        except Exception as ex:  # noqa: BLE001
+            rows.append({"name": name, "joins": "-", "codegen_stages": 0,
+                         "pushed": False, "flags": [f"ERROR {ex}"], "plan": ""})
+
+    flagged = [r for r in rows if r["flags"]]
+    with open("EXPLAIN_AUDIT.md", "w") as f:
+        f.write("# Physical-plan audit (tools/explain_audit.py)\n\n")
+        f.write(f"sf_dir: `{sf_dir}` — {len(rows)} queries audited, "
+                f"{len(flagged)} flagged.\n\n")
+        f.write("| query | joins | codegen stages | pushed filters | flags |\n")
+        f.write("|---|---|---|---|---|\n")
+        for r in rows:
+            f.write(
+                f"| {r['name']} | {r['joins']} | {r['codegen_stages']} | "
+                f"{'y' if r['pushed'] else '-'} | "
+                f"{'; '.join(r['flags']) or '-'} |\n"
+            )
+        if flagged:
+            f.write("\n## Flagged plans\n")
+            for r in flagged:
+                f.write(f"\n### {r['name']}\n\n```\n{r['plan']}\n```\n")
+    for r in rows:
+        mark = "FLAG" if r["flags"] else "ok  "
+        print(f"{mark} {r['name']}: joins={r['joins']} "
+              f"codegen={r['codegen_stages']} {'; '.join(r['flags'])}")
+    print(f"\n{len(flagged)} flagged / {len(rows)} audited -> EXPLAIN_AUDIT.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
