@@ -656,6 +656,17 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """Stateful streaming sessionization (applyInPandasWithState with
+    event-time timeout): closed 30-min-gap sessions over the bounded
+    events stream. Rows-only check — batch parity is pinned in
+    tests/test_sessions_streaming.py."""
+    from ptt_spider_go_spark import streaming as S
+
+    ev = S.read_events_stream(spark, sf_dir)
+    return S.run_sessionize_bounded(ev, spark, gap_minutes=30)
+
+
 # ---------------------------------------------------------------------------
 # 2. training-data pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -1068,6 +1079,7 @@ QUERIES = {
     # sessionization + streaming
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED_COUNTS),
+    "stream_sessionize": (q_stream_sessionize, None),
     # training-data pipeline (SQL-oracled)
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),

@@ -1,9 +1,19 @@
 """Structured Streaming surface (bounded, deterministic via availableNow)."""
 
+from ptt_spider_go_spark.streaming.sessions import (
+    run_sessionize_bounded,
+    sessionize_stream,
+)
 from ptt_spider_go_spark.streaming.windows import (
     read_events_stream,
     run_bounded,
     windowed_event_counts,
 )
 
-__all__ = ["read_events_stream", "run_bounded", "windowed_event_counts"]
+__all__ = [
+    "read_events_stream",
+    "run_bounded",
+    "run_sessionize_bounded",
+    "sessionize_stream",
+    "windowed_event_counts",
+]

@@ -84,6 +84,38 @@ def test_windowed_counts_stream_matches_batch(spark, events, tmp_path):
     assert got == want
 
 
+def test_stateful_stream_sessionize_matches_batch(spark, events, tmp_path):
+    """applyInPandasWithState sessionizer == batch sessionize.
+
+    A far-future sentinel event per user closes every real session via
+    the normal gap path (availableNow ends the stream before event-time
+    timeouts fire for still-open sessions); sentinel sessions are then
+    dropped from the comparison.
+    """
+    sentinel_ts = T0 + dt.timedelta(days=30)
+    users = [r["user_id"] for r in events.select("user_id").distinct().collect()]
+    sentinels = spark.createDataFrame(
+        [(10_000 + u, sentinel_ts, u, "sentinel", 0.0) for u in users],
+        EVENTS_SCHEMA,
+    )
+    src = str(tmp_path / "sess_stream")
+    events.unionByName(sentinels).write.mode("overwrite").parquet(src)
+
+    from ptt_spider_go_spark.streaming.sessions import run_sessionize_bounded
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], round(r["total_value"], 6))
+        for r in run_sessionize_bounded(stream, spark, gap_minutes=30).collect()
+        if r["session_start"] != sentinel_ts  # drop sentinel sessions
+    }
+    want = {
+        (r["user_id"], r["session_start"]): (r["n_events"], round(r["total_value"], 6))
+        for r in sessions.sessionize(events, gap_minutes=30).collect()
+    }
+    assert got == want
+
+
 def test_embedding_near_dup_pairs(spark):
     emb = spark.createDataFrame(
         [
