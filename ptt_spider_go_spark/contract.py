@@ -667,6 +667,63 @@ def q_stream_sessionize(spark, sf_dir):
     return S.run_sessionize_bounded(ev, spark, gap_minutes=30)
 
 
+_ROBOTS_RULES = [
+    ("a.test", "/bbs/B0", False),   # block one board on a.test
+    ("a.test", "/", True),          # allow the rest of a.test
+    ("b.test", "/", False),         # block all of b.test
+    # c.test: no rules -> allowed
+]
+
+
+def q_robots_filter(spark, sf_dir):
+    """Robots-rule filter [north_rule]: longest-matching-prefix wins,
+    broadcast join against a tiny host/prefix rule table
+    (operators/politeness.py apply_robots). Hosts/paths synthesized
+    from o_orderkey identically on both engines."""
+    from ptt_spider_go_spark.operators.politeness import apply_robots
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    host = (
+        F.when(k % 3 == 0, F.lit("a.test"))
+        .when(k % 3 == 1, F.lit("b.test"))
+        .otherwise(F.lit("c.test"))
+    )
+    path = F.concat(F.lit("/bbs/B"), (k % 5).cast("string"),
+                    F.lit("/M."), k.cast("string"), F.lit(".html"))
+    frontier = o.select(
+        "o_orderkey",
+        F.concat(F.lit("https://"), host, path).alias("url"),
+    )
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, path_prefix string, allowed boolean"
+    )
+    return apply_robots(frontier, rules).select("o_orderkey", "url")
+
+
+SQL_ROBOTS_FILTER = """
+WITH f AS (
+  SELECT o_orderkey,
+    CASE o_orderkey % 3 WHEN 0 THEN 'a.test' WHEN 1 THEN 'b.test'
+         ELSE 'c.test' END AS host,
+    '/bbs/B' || CAST(o_orderkey % 5 AS VARCHAR) || '/M.' ||
+      CAST(o_orderkey AS VARCHAR) || '.html' AS path
+  FROM orders),
+r(host, pfx, allowed) AS (
+  VALUES ('a.test', '/bbs/B0', FALSE), ('a.test', '/', TRUE),
+         ('b.test', '/', FALSE)),
+m AS (
+  SELECT f.o_orderkey, 'https://' || f.host || f.path AS url,
+         r.pfx, r.allowed,
+         row_number() OVER (PARTITION BY f.o_orderkey
+                            ORDER BY length(r.pfx) DESC) AS rn
+  FROM f LEFT JOIN r ON f.host = r.host
+  WHERE r.pfx IS NULL OR starts_with(f.path, r.pfx))
+SELECT o_orderkey, url FROM m
+WHERE rn = 1 AND (allowed IS NULL OR allowed)
+"""
+
+
 # ---------------------------------------------------------------------------
 # 2. training-data pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -1076,6 +1133,7 @@ QUERIES = {
     "size_cap_filter": (q_size_cap_filter, SQL_SIZE_CAP_FILTER),
     "page_underflow_guard": (q_page_underflow_guard, SQL_PAGE_UNDERFLOW_GUARD),
     "image_dedup_order": (q_image_dedup_order, SQL_IMAGE_DEDUP_ORDER),
+    "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
     # sessionization + streaming
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED_COUNTS),
