@@ -116,6 +116,62 @@ def test_stateful_stream_sessionize_matches_batch(spark, events, tmp_path):
     assert got == want
 
 
+def test_stateful_stream_sessionize_across_microbatches(spark, events, tmp_path):
+    """State must carry open sessions ACROSS micro-batches: split the
+    input into per-hour files and force maxFilesPerTrigger=1, so user
+    1's first session (events at minutes 0-20) is still open when the
+    second batch delivers minute-65 events. Result must equal the
+    single-batch run."""
+    import itertools
+
+    sentinel_ts = T0 + dt.timedelta(days=30)
+    users = [r["user_id"] for r in events.select("user_id").distinct().collect()]
+    sentinels = spark.createDataFrame(
+        [(10_000 + u, sentinel_ts, u, "sentinel", 0.0) for u in users],
+        EVENTS_SCHEMA,
+    )
+    full = events.unionByName(sentinels)
+    src = str(tmp_path / "sess_stream_mb")
+    # One file per event-hour bucket, named in time order so the file
+    # source (which processes files oldest-first by default here via
+    # latestFirst=false) feeds batches chronologically.
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    buckets = sorted({r["ts"].replace(minute=0, second=0, microsecond=0)
+                      for r in full.select("ts").collect()})
+    for i, b in enumerate(buckets):
+        part = full.filter(
+            (F.col("ts") >= b) & (F.col("ts") < b + F.expr("INTERVAL 1 HOUR"))
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i:03d}")
+    from ptt_spider_go_spark.streaming.sessions import sessionize_stream
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    name = f"mb_sink_{next(itertools.count())}_x"
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.table(name).collect()
+        if r["session_start"] != sentinel_ts
+    }
+    want = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in sessions.sessionize(events, gap_minutes=30).collect()
+    }
+    assert got == want
+    assert len(q.recentProgress) > 1  # really ran as multiple micro-batches
+
+
 def test_embedding_near_dup_pairs(spark):
     emb = spark.createDataFrame(
         [
