@@ -908,6 +908,32 @@ ORDER BY score DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """Bucketed ANN search: exact cosine top-10 within the query's
+    sign-bit LSH bucket only (the |bucket|/|table| scale path)."""
+    return similarity.lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), k=10)
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH planes AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS p, embedding AS plane
+  FROM embeddings ORDER BY vec_id LIMIT 4),
+buckets AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN {_DOT_SQL.format(a='e.embedding', b='planes.plane')} > 0
+                  THEN CAST(2 ** (p - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e, planes GROUP BY e.vec_id),
+q AS (
+  SELECT e.embedding AS qvec, b.bucket AS qbucket, e.vec_id AS qid
+  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+  ORDER BY e.vec_id LIMIT 1)
+SELECT e.vec_id, round({_cos_sql('e.embedding', 'qvec')}, 6) AS score
+FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id, q
+WHERE b.bucket = q.qbucket AND e.vec_id <> q.qid
+ORDER BY score DESC, e.vec_id ASC LIMIT 10
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, bucket-limited self-join
     (label = the bucket; at scale an LSH band plays that role)."""
@@ -1146,6 +1172,7 @@ QUERIES = {
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),

@@ -123,6 +123,35 @@ def near_dup_pairs(
     return scored.filter(F.col("score") >= threshold)
 
 
+def lsh_bucket_topk(embeddings: DataFrame, k: int = 10,
+                    n_planes: int = 4) -> DataFrame:
+    """Bucketed ANN: exact cosine top-k restricted to the query's
+    sign-bit LSH bucket. The scale path touches only |bucket|/|table|
+    of the data (vs brute force); recall is what the bucketing trades
+    away. Query = lowest-vec_id embedding, excluded from results."""
+    buckets = random_hyperplane_buckets(embeddings, n_planes)
+    e = embeddings.join(buckets, "vec_id")
+    w = Window.orderBy("vec_id")
+    q = (
+        e.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(F.col("embedding").alias("qvec"),
+                F.col("bucket").alias("qbucket"),
+                F.col("vec_id").alias("qid"))
+    )
+    in_bucket = e.join(
+        F.broadcast(q), e["bucket"] == F.col("qbucket")
+    ).filter(F.col("vec_id") != F.col("qid"))
+    return (
+        in_bucket.select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def ivf_topk(embeddings: DataFrame, k: int = 10, n_probe: int = 2,
              label_col: str = "label", query_id: int | None = None) -> DataFrame:
     """IVF-style ANN: centroid per label cell = the cell's lowest-id
