@@ -31,7 +31,7 @@ from ptt_spider_go_spark.session import get_spark
 # Queries where a BroadcastNestedLoopJoin / cross product is deliberate:
 # a one-row (or n_planes-row) broadcast query-vector table.
 CROSS_OK = {
-    "ann_cosine_topk", "ann_lsh_buckets", "ann_ivf_topk",
+    "ann_cosine_topk", "ann_lsh_buckets", "ann_lsh_topk", "ann_ivf_topk",
 }
 # Queries that run a full superstep pipeline / streaming job — plans are
 # multi-job, skip static audit.
