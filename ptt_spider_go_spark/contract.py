@@ -953,15 +953,48 @@ WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.3
 
 def q_media_decode(spark, sf_dir):
     """Multimodal decode plumbing: mapInPandas feature extraction over
-    binary payloads (deterministic fake decode; real codecs are stubbed
-    — see pipeline/multimodal.py)."""
+    binary payloads (md5-derived fake decode; the real codec is gated
+    behind an optional PIL import — see pipeline/multimodal.py). The
+    feature array is posexploded to (dim, value) rows so the driver's
+    canonicalizer — and the DuckDB oracle — see scalar columns."""
     m = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
-    return multimodal.decode_media(m, fake=True)
+    d = multimodal.decode_media(m, fake=True)
+    return d.select(
+        "media_id", "width", "height", "n_frames",
+        F.posexplode("feature").alias("dim", "value"),
+    ).withColumn("value", F.col("value").cast("double"))
+
+
+SQL_MEDIA_DECODE = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+d AS (SELECT media_id, hx, unnest(generate_series(0, 7)) AS dim FROM h)
+SELECT media_id,
+  64 + ('0x' || substr(hx, 1, 2))::INT AS width,
+  64 + ('0x' || substr(hx, 3, 2))::INT AS height,
+  1 + (('0x' || substr(hx, 5, 2))::INT % 4) AS n_frames,
+  dim,
+  ('0x' || substr(hx, dim * 2 + 1, 2))::INT / 256.0 AS value
+FROM d
+"""
 
 
 def q_frame_sample(spark, sf_dir):
     """Frame sampling over decoded media: sequence+explode, JVM-side."""
-    return multimodal.sample_frames(q_media_decode(spark, sf_dir), every_nth=2)
+    m = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(
+        multimodal.decode_media(m, fake=True), every_nth=2
+    )
+
+
+SQL_FRAME_SAMPLE = """
+WITH h AS (
+  SELECT doc_id AS media_id,
+         1 + (('0x' || substr(md5(text), 5, 2))::INT % 4) AS n_frames
+  FROM documents),
+f AS (SELECT media_id, unnest(generate_series(0, n_frames - 1)) AS frame
+      FROM h)
+SELECT media_id, frame FROM f WHERE frame % 2 = 0
+"""
 
 
 def q_embedding_centroids(spark, sf_dir):
@@ -1181,10 +1214,9 @@ QUERIES = {
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
-    # multimodal decode plumbing (rows-only: blake2b fake-decode is not
-    # SQL-expressible; schema/batch-shape stability is the check)
-    "media_decode": (q_media_decode, None),
-    "frame_sample": (q_frame_sample, None),
+    # multimodal decode plumbing (md5-derived fake decode -> SQL-oracled)
+    "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
+    "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     # crawl pipeline end-to-end (rows-only)
     "crawl_articles": (q_crawl_articles, None),
     "crawl_markdown": (q_crawl_markdown, None),

@@ -3,20 +3,32 @@
 Image/audio/video payloads are opaque `binary` columns with typed
 metadata structs. The Spark-side plumbing — schemas, partition-friendly
 metadata extraction, Arrow-batched UDF signatures, frame-sampling batch
-shape — is real and tested; the actual codec work is STUBBED (the
-sandbox has no image/audio libraries): `decode_image` raises
-NotImplementedError unless `fake=True`, in which case a deterministic
-fake decode (derived from the payload hash) exercises the full plumbing.
+shape — is real and tested; the actual codec work is gated behind an
+optional PIL import (absent in this sandbox): `decode_image` raises
+NotImplementedError on the real path unless PIL is importable, and the
+default `fake=True` path runs a deterministic md5-derived pseudo-decode
+that exercises the full plumbing AND is SQL-expressible, so the
+contract queries carry real DuckDB oracles (every derived value is an
+md5 digest byte; features are byte/256 — exact in float32/float64).
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
-from hashlib import blake2b
+from hashlib import md5
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # optional real codec (sandbox has no imaging lib — see SURVEY §2.1)
+    from io import BytesIO
+
+    from PIL import Image  # type: ignore
+
+    _HAS_PIL = True
+except ImportError:  # pragma: no cover - sandbox default
+    _HAS_PIL = False
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
@@ -47,20 +59,32 @@ def to_media_table(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes, fake: bool = False) -> dict:
-    """STUB: real decoding needs an image library not present in this
-    environment. fake=True returns a deterministic pseudo-decode so the
-    distributed plumbing is testable end-to-end."""
+    """Decode one payload. fake=True (the test/oracle default) derives
+    every output from md5(payload): width/height/n_frames from digest
+    bytes, feature[i] = digest_byte[i] / 256 (exactly representable in
+    float32 and float64, so the DuckDB oracle reproduces it bit-for-bit
+    from substr(md5(...))). The real path uses PIL when importable and
+    raises NotImplementedError otherwise (no imaging lib in sandbox)."""
     if not fake:
-        raise NotImplementedError(
-            "image decoding requires an imaging library (PIL/cv2); "
-            "run with fake=True for the deterministic test decode"
-        )
-    h = blake2b(payload, digest_size=16).digest()
+        if not _HAS_PIL:  # pragma: no cover - sandbox default
+            raise NotImplementedError(
+                "image decoding requires an imaging library (PIL/cv2); "
+                "run with fake=True for the deterministic test decode"
+            )
+        img = Image.open(BytesIO(payload)).convert("L")
+        px = img.resize((8, 8)).tobytes()
+        return {
+            "width": img.width,
+            "height": img.height,
+            "n_frames": getattr(img, "n_frames", 1),
+            "feature": [b / 256.0 for b in px[:8]],
+        }
+    h = md5(payload).digest()
     return {
         "width": 64 + h[0],
         "height": 64 + h[1],
         "n_frames": 1 + h[2] % 4,
-        "feature": [b / 255.0 for b in h[:8]],
+        "feature": [b / 256.0 for b in h[:8]],
     }
 
 

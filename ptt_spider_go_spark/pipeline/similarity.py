@@ -13,6 +13,14 @@
   n_probe cells, exact search inside them. The scale path: touches
   |cells_probed| / |cells| of the data.
 
+Scale shape of the selection steps: the query row and the hyperplanes
+are picked with orderBy().limit(n) — planned as TakeOrderedAndProject
+(per-partition top-n, then a tiny merge), NOT a global Window over the
+whole table, which would funnel every row through one task at 100 TB.
+The query row carries its own id, so no separate driver job computes
+qid. Plane numbering happens via collect_list+posexplode over the
+already-limited n rows (no partition-less window anywhere).
+
 All folds are sequential left-folds over index order, so DuckDB's
 list_reduce produces bit-identical doubles for the oracle.
 """
@@ -39,35 +47,39 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def query_row(embeddings: DataFrame, vec_id: int | None = None) -> DataFrame:
+    """One-row (qid, qvec) DataFrame: the embedding of `vec_id`
+    (default: the smallest vec_id — deterministic and
+    oracle-expressible). orderBy().limit(1) -> TakeOrdered, so no
+    global single-partition sort; qid rides along so callers never
+    need a second job to learn the query id."""
+    q = (
+        embeddings
+        if vec_id is None
+        else embeddings.filter(F.col("vec_id") == vec_id)
+    )
+    return q.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+
 def query_vector(embeddings: DataFrame, vec_id: int | None = None) -> DataFrame:
-    """One-row (qvec) DataFrame: the embedding of `vec_id` (default: the
-    smallest vec_id — deterministic and oracle-expressible)."""
-    if vec_id is None:
-        w = Window.orderBy("vec_id")
-        q = embeddings.withColumn("_r", F.row_number().over(w)).filter(
-            F.col("_r") == 1
-        )
-    else:
-        q = embeddings.filter(F.col("vec_id") == vec_id)
-    return q.select(F.col("embedding").alias("qvec"))
+    """One-row (qvec) DataFrame — kept for API compat; see query_row."""
+    return query_row(embeddings, vec_id).select("qvec")
 
 
 def brute_force_topk(embeddings: DataFrame, k: int = 10,
                      query_id: int | None = None) -> DataFrame:
     """(vec_id, score) exact cosine top-k vs the query vector; the query
     row itself is excluded. Deterministic tie-break by vec_id."""
-    q = query_vector(embeddings, query_id)
+    q = query_row(embeddings, query_id)
     scored = embeddings.crossJoin(F.broadcast(q)).select(
-        "vec_id",
+        "vec_id", "qid",
         F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("score"),
     )
-    qid = (
-        embeddings.agg(F.min("vec_id")).first()[0]
-        if query_id is None
-        else query_id
-    )
     return (
-        scored.filter(F.col("vec_id") != qid)
+        scored.filter(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", "score")
         .orderBy(F.col("score").desc(), F.col("vec_id").asc())
         .limit(k)
     )
@@ -78,13 +90,20 @@ def random_hyperplane_buckets(embeddings: DataFrame, n_planes: int = 4) -> DataF
 
     Planes are the embeddings of the n_planes smallest vec_ids —
     deterministic stand-ins for seeded random hyperplanes, chosen so the
-    DuckDB oracle can reproduce them with a subquery.
-    """
-    w = Window.orderBy("vec_id")
+    DuckDB oracle can reproduce them with a subquery. Selection is
+    TakeOrdered(n_planes); numbering is a collect_list+posexplode over
+    those n rows only (no global window)."""
+    limited = embeddings.orderBy("vec_id").limit(n_planes).select(
+        "vec_id", "embedding"
+    )
     planes = (
-        embeddings.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_planes)
-        .select(F.col("_r").alias("p"), F.col("embedding").alias("plane"))
+        limited.agg(
+            F.array_sort(
+                F.collect_list(F.struct("vec_id", "embedding"))
+            ).alias("arr")
+        )
+        .select(F.posexplode("arr").alias("i", "s"))
+        .select((F.col("i") + 1).alias("p"), F.col("s.embedding").alias("plane"))
     )
     joined = embeddings.crossJoin(F.broadcast(planes))
     bit = F.when(dot(F.col("embedding"), F.col("plane")) > 0,
@@ -130,15 +149,13 @@ def lsh_bucket_topk(embeddings: DataFrame, k: int = 10,
     of the data (vs brute force); recall is what the bucketing trades
     away. Query = lowest-vec_id embedding, excluded from results."""
     buckets = random_hyperplane_buckets(embeddings, n_planes)
-    e = embeddings.join(buckets, "vec_id")
-    w = Window.orderBy("vec_id")
+    qrow = query_row(embeddings)
     q = (
-        e.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select(F.col("embedding").alias("qvec"),
-                F.col("bucket").alias("qbucket"),
-                F.col("vec_id").alias("qid"))
+        F.broadcast(qrow)
+        .join(buckets, qrow["qid"] == buckets["vec_id"])
+        .select("qid", "qvec", F.col("bucket").alias("qbucket"))
     )
+    e = embeddings.join(buckets, "vec_id")
     in_bucket = e.join(
         F.broadcast(q), e["bucket"] == F.col("qbucket")
     ).filter(F.col("vec_id") != F.col("qid"))
@@ -156,14 +173,15 @@ def ivf_topk(embeddings: DataFrame, k: int = 10, n_probe: int = 2,
              label_col: str = "label", query_id: int | None = None) -> DataFrame:
     """IVF-style ANN: centroid per label cell = the cell's lowest-id
     vector (deterministic coarse quantizer); probe the n_probe cells
-    whose centroid is closest to the query; exact cosine inside them."""
+    whose centroid is closest to the query; exact cosine inside them.
+    The per-cell window is partitioned by cell — no global exchange."""
     w = Window.partitionBy(label_col).orderBy("vec_id")
     centroids = (
         embeddings.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") == 1)
         .select(F.col(label_col).alias("cell"), F.col("embedding").alias("cvec"))
     )
-    q = query_vector(embeddings, query_id)
+    q = query_row(embeddings, query_id)
     probe_cells = (
         centroids.crossJoin(F.broadcast(q))
         .select("cell", F.round(cosine(F.col("cvec"), F.col("qvec")), 6).alias("cs"))
@@ -171,21 +189,17 @@ def ivf_topk(embeddings: DataFrame, k: int = 10, n_probe: int = 2,
         .limit(n_probe)
         .select("cell")
     )
-    qid = (
-        embeddings.agg(F.min("vec_id")).first()[0]
-        if query_id is None
-        else query_id
-    )
     in_cells = embeddings.join(
         F.broadcast(probe_cells), embeddings[label_col] == probe_cells["cell"]
     )
     return (
         in_cells.crossJoin(F.broadcast(q))
         .select(
-            "vec_id",
+            "vec_id", "qid",
             F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("score"),
         )
-        .filter(F.col("vec_id") != qid)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", "score")
         .orderBy(F.col("score").desc(), F.col("vec_id").asc())
         .limit(k)
     )

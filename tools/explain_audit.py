@@ -10,7 +10,12 @@ check the plan properties that matter at 100 TB:
 - join strategy: small-side joins are broadcast, no accidental
   cartesian products (BroadcastNestedLoopJoin is expected only for the
   deliberate broadcast crossJoins in the ANN operators);
-- whole-stage codegen: scalar pipelines run inside codegen stages.
+- whole-stage codegen: scalar pipelines run inside codegen stages;
+- no single-partition funnels: a Window with an empty partitionBy (its
+  formatted-plan Arguments carry only [exprs], [orderSpec] — no
+  partition list) or an `Exchange SinglePartition` forces the whole
+  input through one task — the classic invisible-at-sf0.1,
+  stall-at-100TB regression (VERDICT r01 "What's wrong" #2).
 
 Writes EXPLAIN_AUDIT.md with a per-query table + flagged findings and
 the full plans for flagged queries. Usage:
@@ -59,6 +64,19 @@ def audit_one(name: str, df) -> dict:
         flags.append("CartesianProduct (unpartitioned cross join)")
     if "BroadcastNestedLoopJoin" in joins and name not in CROSS_OK:
         flags.append("BroadcastNestedLoopJoin outside the ANN cross-join set")
+
+    # Single-partition funnels: a Window whose Arguments line has only
+    # two bracketed lists ([exprs], [orderSpec]) has an empty
+    # partitionBy -> the whole input crosses one task. Same for any
+    # non-broadcast Exchange planned as SinglePartition.
+    for m in re.finditer(r"\(\d+\) Window(?:\n[^\n]*)*?\nArguments: ([^\n]*)", plan):
+        if m.group(1).count("], [") < 2:
+            flags.append("partition-less Window (single-partition sort of "
+                         "entire input)")
+            break
+    if re.search(r"\(\d+\) Exchange\nInput[^\n]*\nArguments: SinglePartition",
+                 plan):
+        flags.append("Exchange SinglePartition (global funnel)")
 
     # ReadSchema bloat: text/embedding/html read but unused in output.
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
