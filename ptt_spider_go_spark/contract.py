@@ -658,13 +658,42 @@ FROM events GROUP BY 1, 2
 
 def q_stream_sessionize(spark, sf_dir):
     """Stateful streaming sessionization (applyInPandasWithState with
-    event-time timeout): closed 30-min-gap sessions over the bounded
-    events stream. Rows-only check — batch parity is pinned in
-    tests/test_sessions_streaming.py."""
+    event-time timeout): 30-min-gap sessions over the bounded events
+    stream. The input is sentinel-terminated — one far-future event per
+    user closes every real session through the normal gap path before
+    availableNow ends the stream (the sentinel's own open session is
+    dropped) — so the emitted row set equals the batch twin's and the
+    DuckDB sessionize SQL is a full oracle."""
+    import tempfile
+
     from ptt_spider_go_spark import streaming as S
 
-    ev = S.read_events_stream(spark, sf_dir)
-    return S.run_sessionize_bounded(ev, spark, gap_minutes=30)
+    ev = _t(spark, sf_dir, "events")
+    sentinels = (
+        ev.select("user_id").distinct()
+        .select(
+            (-F.col("user_id")).alias("event_id"),
+            F.lit("2100-01-01 00:00:00").cast("timestamp_ntz").alias("ts"),
+            "user_id",
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+        )
+    )
+    src = tempfile.mkdtemp(prefix="ptt_stream_sess_")
+    ev.select("event_id", "ts", "user_id", "event_type", "value").unionByName(
+        sentinels
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    return S.run_sessionize_bounded(stream, spark, gap_minutes=30)
+
+
+SQL_STREAM_SESSIONIZE = (
+    "SELECT user_id, session_start, n_events, total_value FROM ("
+    + sessions.sessionize_sql(gap_minutes=30)
+    + ")"
+)
 
 
 _ROBOTS_RULES = [
@@ -1196,7 +1225,7 @@ QUERIES = {
     # sessionization + streaming
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED_COUNTS),
-    "stream_sessionize": (q_stream_sessionize, None),
+    "stream_sessionize": (q_stream_sessionize, SQL_STREAM_SESSIONIZE),
     # training-data pipeline (SQL-oracled)
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
