@@ -447,6 +447,72 @@ FROM (SELECT DISTINCT l_linenumber AS attempt FROM lineitem)
 """
 
 
+_RETRY_NOW = "2026-01-01 00:00:00"
+
+
+def q_retry_after_decode(spark, sf_dir):
+    """T2 full Retry-After decode (crawler/retry.go:57-93): integer
+    seconds (>0, 30 s cap), RFC1123 HTTP-date (date - now; expired ->
+    1 s initial-delay floor; 30 s cap), junk/absent -> exponential
+    backoff. `now` is a pinned timestamp — the branches are synthesized
+    from o_orderkey identically on both engines."""
+    from ptt_spider_go_spark.functions.columns import retry_after_delay_ms
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    m = k % 9
+    ra = (
+        F.when(m == 0, F.lit("5"))                                  # seconds
+        .when(m == 1, F.lit("60"))                                  # capped
+        .when(m == 2, F.lit("0"))                                   # <=0 -> expo
+        .when(m == 3, F.lit("-3"))                                  # <=0 -> expo
+        .when(m == 4, F.lit("Thu, 01 Jan 2026 00:00:10 GMT"))       # +10 s
+        .when(m == 5, F.lit("Thu, 01 Jan 2026 00:02:00 GMT"))       # +120 s cap
+        .when(m == 6, F.lit("Wed, 31 Dec 2025 23:59:00 GMT"))       # expired
+        .when(m == 7, F.lit("soon"))                                # junk
+        .otherwise(F.lit(None).cast("string"))                      # absent
+    )
+    attempt = (k % 3 + 1).cast("int")
+    return o.select(
+        "o_orderkey", ra.alias("retry_after"), attempt.alias("attempt"),
+        retry_after_delay_ms(
+            ra, attempt, F.lit(_RETRY_NOW).cast("timestamp")
+        ).alias("delay_ms"),
+    )
+
+
+SQL_RETRY_AFTER_DECODE = f"""
+WITH r AS (
+  SELECT o_orderkey,
+    CASE o_orderkey % 9
+      WHEN 0 THEN '5' WHEN 1 THEN '60' WHEN 2 THEN '0' WHEN 3 THEN '-3'
+      WHEN 4 THEN 'Thu, 01 Jan 2026 00:00:10 GMT'
+      WHEN 5 THEN 'Thu, 01 Jan 2026 00:02:00 GMT'
+      WHEN 6 THEN 'Wed, 31 Dec 2025 23:59:00 GMT'
+      WHEN 7 THEN 'soon' ELSE NULL
+    END AS retry_after,
+    CAST(o_orderkey % 3 + 1 AS INTEGER) AS attempt
+  FROM orders),
+p AS (
+  SELECT o_orderkey, retry_after, attempt,
+         CASE WHEN regexp_matches(retry_after, '^[+-]?[0-9]+$')
+              THEN CAST(retry_after AS BIGINT) END AS sec,
+         try_strptime(retry_after, '%a, %d %b %Y %H:%M:%S GMT') AS t
+  FROM r)
+SELECT o_orderkey, retry_after, attempt,
+  CASE
+    WHEN sec IS NOT NULL AND sec > 0 THEN least(sec * 1000, 30000)
+    WHEN sec IS NULL AND t IS NOT NULL THEN
+      CASE WHEN (epoch(t) - epoch(TIMESTAMP '{_RETRY_NOW}')) * 1000 <= 0
+           THEN 1000
+           ELSE least(CAST((epoch(t) - epoch(TIMESTAMP '{_RETRY_NOW}')) * 1000
+                      AS BIGINT), 30000) END
+    ELSE CAST(least(1000 * (2 ** (attempt - 1)), 30000) AS BIGINT)
+  END AS delay_ms
+FROM p
+"""
+
+
 def q_progress_counts(spark, sf_dir):
     """D5 (types/progress.go): per-group counting aggregates. Double
     sums go through decimal so the result is order-independent."""
@@ -1215,6 +1281,7 @@ QUERIES = {
     "priority_topk": (q_priority_topk, SQL_PRIORITY_TOPK),
     "budget_gate_window": (q_budget_gate_window, SQL_BUDGET_GATE_WINDOW),
     "retry_backoff": (q_retry_backoff, SQL_RETRY_BACKOFF),
+    "retry_after_decode": (q_retry_after_decode, SQL_RETRY_AFTER_DECODE),
     "progress_counts": (q_progress_counts, SQL_PROGRESS_COUNTS),
     "markdown_render": (q_markdown_render, SQL_MARKDOWN_RENDER),
     "file_mode_seeds": (q_file_mode_seeds, SQL_FILE_MODE_SEEDS),

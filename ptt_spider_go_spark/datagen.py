@@ -278,8 +278,31 @@ def fetch_events_pandas(pages: pd.DataFrame, seed: int = 42) -> pd.DataFrame:
 
     Default status 200. ~1/17 of URLs return 429 once then 200 (retry
     succeeds); ~1/41 return 429 on every attempt (retry exhausted after
-    3 attempts, constants.go:32). Some 429s carry Retry-After seconds.
+    3 attempts, constants.go:32). 429s carry a raw Retry-After header
+    (`retry_after`, string) exercising every reference branch
+    (crawler/retry.go:57-93): integer seconds, RFC1123 HTTP-dates both
+    future and expired relative to the deterministic sim clock
+    (operators.retrysim.RETRY_SIM_NOW), junk, and absent. The legacy
+    pre-parsed `retry_after_s` column is kept alongside.
     """
+    import datetime as _dt
+
+    now = _dt.datetime(2026, 1, 1, 0, 0, 0)  # == retrysim.RETRY_SIM_NOW
+
+    def _header(h: int) -> str | None:
+        m = h % 6
+        if m == 0:
+            return str(h % 45)  # integer seconds (0 falls through to expo)
+        if m == 1:  # future HTTP-date, possibly past the 30 s cap
+            t = now + _dt.timedelta(seconds=5 + h % 60)
+            return t.strftime("%a, %d %b %Y %H:%M:%S GMT")
+        if m == 2:  # expired HTTP-date -> initial-delay floor
+            t = now - _dt.timedelta(seconds=1 + h % 300)
+            return t.strftime("%a, %d %b %Y %H:%M:%S GMT")
+        if m == 3:
+            return "soon"  # junk -> exponential
+        return None  # absent -> exponential
+
     rows = []
     for url in pages["url"]:
         h = _h(url, "status", seed=seed)
@@ -295,6 +318,7 @@ def fetch_events_pandas(pages: pd.DataFrame, seed: int = 42) -> pd.DataFrame:
                     "url": url,
                     "attempt": attempt,
                     "status": st,
+                    "retry_after": _header(h) if st == 429 else None,
                     "retry_after_s": (h % 45) if (st == 429 and h % 3 == 0) else None,
                 }
             )

@@ -154,6 +154,54 @@ def retry_backoff_ms(attempt: Column, retry_after_s: Column | None = None) -> Co
     return F.coalesce(ra, expo)
 
 
+#: RFC1123 GMT — the HTTP-date layout Go's http.ParseTime tries first and
+#: the only one real servers emit (RFC 9110 §5.6.7 says new dates MUST be
+#: in this format; RFC850/asctime are obsolete accept-only forms).
+#: Spark's post-3.0 parser refuses day-of-week fields (EEE) in *parse*
+#: patterns, so the weekday prefix is validated/stripped by regex and
+#: the remainder parsed with this pattern.
+HTTP_DATE_FMT = "dd MMM yyyy HH:mm:ss 'GMT'"
+_HTTP_DATE_RE = r"^[A-Z][a-z]{2}, ([0-9]{2} [A-Z][a-z]{2} [0-9]{4} [0-9:]{8} GMT)$"
+
+
+def _http_date(ra: Column) -> Column:
+    """RFC1123-GMT parse -> timestamp, NULL when the string isn't one."""
+    rest = F.regexp_extract(ra, _HTTP_DATE_RE, 1)
+    return F.try_to_timestamp(F.nullif(rest, F.lit("")), F.lit(HTTP_DATE_FMT))
+
+
+def retry_after_delay_ms(ra: Column, attempt: Column, now: Column) -> Column:
+    """Full Retry-After header decode (crawler/retry.go:57-93):
+
+    1. integer seconds (strconv.Atoi) and > 0 -> seconds*1000, capped at
+       30 000 ms; an integer <= 0 falls through to the exponential branch
+       (Go tries the date parse next, which fails on a digit string);
+    2. HTTP-date (RFC1123 GMT) -> delay = date - now; expired dates
+       (delay <= 0) floor to the 1000 ms initial delay; cap 30 000 ms;
+    3. otherwise (absent / junk): exponential 1000 * 2^(attempt-1),
+       capped at 30 000 ms.
+
+    `now` is an explicit timestamp column — the simulation never reads
+    the wall clock, so runs are deterministic and oracle-checkable.
+    """
+    sec = F.when(ra.rlike(_GO_INT), ra.try_cast("long"))
+    t = _http_date(ra)
+    date_ms_raw = (F.unix_seconds(t) - F.unix_seconds(now)) * 1000
+    date_ms = F.when(date_ms_raw <= 0, F.lit(1000).cast("long")).otherwise(
+        F.least(date_ms_raw, F.lit(30000).cast("long"))
+    )
+    expo = F.least(
+        (F.lit(1000) * F.pow(F.lit(2.0), attempt.cast("double") - 1)).cast("long"),
+        F.lit(30000).cast("long"),
+    )
+    return (
+        F.when(sec.isNotNull() & (sec > 0),
+               F.least(sec * 1000, F.lit(30000).cast("long")))
+        .when(sec.isNull() & t.isNotNull(), date_ms)
+        .otherwise(expo)
+    )
+
+
 # --- misc: host extraction (politeness grouping key) -------------------------
 
 def url_host(url: Column) -> Column:

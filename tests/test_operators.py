@@ -132,6 +132,31 @@ def test_retry_after_header_honored(spark):
     assert retry.first()["backoff_ms"] == 7000
 
 
+def test_retry_after_raw_header_branches(spark):
+    """Full Retry-After decode in the ledger (crawler/retry.go:57-93,
+    retry_test.go:58-329): seconds / capped seconds / future HTTP-date /
+    capped HTTP-date / expired HTTP-date floor / junk -> exponential.
+    The sim clock is retrysim.RETRY_SIM_NOW = 2026-01-01 00:00:00."""
+    cases = {
+        "https://x/sec": ("7", 7000),
+        "https://x/sec-cap": ("90", 30000),
+        "https://x/sec-zero": ("0", 1000),          # expo 1000*2^0
+        "https://x/date": ("Thu, 01 Jan 2026 00:00:10 GMT", 10000),
+        "https://x/date-cap": ("Thu, 01 Jan 2026 00:02:00 GMT", 30000),
+        "https://x/date-expired": ("Wed, 31 Dec 2025 23:59:00 GMT", 1000),
+        "https://x/junk": ("soon", 1000),           # expo 1000*2^0
+        "https://x/absent": (None, 1000),           # expo 1000*2^0
+    }
+    f = _frontier(spark, list(cases))
+    events = spark.createDataFrame(
+        [(u, 1, 429, ra) for u, (ra, _) in cases.items()],
+        "url string, attempt int, status int, retry_after string",
+    )
+    _, retry, _ = apply_fetch_status(f, events)
+    got = {r["url"]: r["backoff_ms"] for r in retry.collect()}
+    assert got == {u: ms for u, (_, ms) in cases.items()}
+
+
 # --- D4 bloom seen-set --------------------------------------------------------
 
 def test_bloom_dedup_exactness(spark):
