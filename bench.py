@@ -34,18 +34,22 @@ HEADLINE = [
     "priority_topk",
     "budget_gate_window",
     "markdown_render",
+    "retry_after_decode",
     "dedup_exact",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_prefix",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_lsh_topk",
     "quality_scores",
     "token_counts",
     "lang_id",
     "fingerprints",
     "embedding_near_dup",
+    "media_decode",
     "sessionize",
     "stream_windowed_counts",
 ]
@@ -54,6 +58,18 @@ HEADLINE = [
 def _force(df) -> int:
     df.write.format("noop").mode("overwrite").save()
     return 0
+
+
+def _warmup(spark, sf_dir, qs) -> float:
+    """Warm the JVM (codegen, parquet footer caches) and the Arrow
+    Python workers before timing — r01's first query carried ~4.5 s of
+    session warmup that belongs to neither the query nor the engine."""
+    t0 = time.time()
+    _force(qs["fingerprints"](spark, sf_dir))  # JVM + parquet scan path
+    spark.range(64).repartition(4).mapInPandas(  # Python worker pool
+        lambda it: (pdf for pdf in it), "id long"
+    ).write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
 
 
 def crawl_scale(sf: float) -> dict:
@@ -81,6 +97,8 @@ def main():
     qs = E.queries()
     times: dict[str, float] = {}
     total = 0.0
+
+    warmup_sec = _warmup(spark, sf_dir, qs)
 
     for name in HEADLINE:
         t0 = time.time()
@@ -135,6 +153,15 @@ def main():
                 "crawl_urls_fetched": fetched,
                 "crawl_pages_available": n_pages,
                 "crawl_supersteps": res.supersteps,
+                "warmup_sec_excluded": warmup_sec,
+                "note": (
+                    "ngram_jaccard_prefix pins the PPJoin-style scale path "
+                    "on its WORST-case input (the synthetic corpus is "
+                    "uniform-df, vocab 31, zipf_factor 1.03 — prefixes "
+                    "prune nothing); the adaptive default "
+                    "ngram_jaccard_pairs measures df skew and picks the "
+                    "naive join here, the prefix join on Zipfian web text"
+                ),
                 "cpus": cpus,
             }
         )

@@ -907,8 +907,18 @@ FROM per_bit GROUP BY doc_id
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Near-dup pairs by exact token-set Jaccard within a lang bucket."""
-    return dedup_text.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+    """Near-dup pairs by exact token-set Jaccard within a lang bucket.
+    The join algorithm (naive bounded self-join vs PPJoin-style prefix
+    filter) is selected from the measured document-frequency skew —
+    identical output either way (equivalence-tested)."""
+    return dedup_text.ngram_jaccard_pairs_auto(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard_prefix(spark, sf_dir):
+    """The prefix-filtered (PPJoin-style) exact-Jaccard path pinned
+    explicitly — the variant the adaptive selector picks on Zipfian
+    web text; same oracle as the naive twin (identical output)."""
+    return dedup_text.ngram_jaccard_pairs_prefix(_t(spark, sf_dir, "documents"))
 
 
 SQL_NGRAM_JACCARD_PAIRS = """
@@ -1299,6 +1309,7 @@ QUERIES = {
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "simhash": (q_simhash, SQL_SIMHASH),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "ngram_jaccard_prefix": (q_ngram_jaccard_prefix, SQL_NGRAM_JACCARD_PAIRS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),

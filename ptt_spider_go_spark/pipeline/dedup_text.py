@@ -99,6 +99,68 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 2) -> DataFrame:
     )
 
 
+#: zipf factor above which the prefix-filtered join is selected.
+#: The statistic is V * sum(df^2) / n^2 over the distinct-token posting
+#: list — the ratio of df-weighted mean df to plain mean df (= 1 + CV^2
+#: of the df distribution), which is exactly the naive join's candidate
+#: blow-up relative to a uniform corpus. Measured 1.03 on the synthetic
+#: testdata (uniform; naive join 2.4x faster at sf0.1); stop-word-
+#: dominated web text sits at O(10-100): a head of H tokens present in
+#: every one of D docs contributes H*D^2 to sum(df^2), so with
+#: m distinct tokens/doc the factor is >= V*H/m^2 * (D/n)*n ~ V*H/m^2
+#: (e.g. V=2e5, H=16, m=200 -> ~80). 8.0 splits the regimes with
+#: order-of-magnitude margin on both sides.
+JACCARD_ZIPF_THRESHOLD = 8.0
+
+
+def df_skew_factor(docs: DataFrame, sample_fraction: float = 1.0,
+                   seed: int = 42) -> float:
+    """Measured document-frequency skew: V * sum(df^2) / n^2 of the
+    distinct-token posting list (V = vocab, n = total postings).
+    Uniform df -> ~1; Zipfian -> >> 1. One narrow agg job; at 100 TB
+    run it on a small sample (the regimes are orders of magnitude
+    apart, so sampling noise cannot flip the decision)."""
+    d = (
+        docs
+        if sample_fraction >= 1.0
+        else docs.sample(fraction=sample_fraction, seed=seed)
+    )
+    tok = d.select(F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"))
+    per_tok = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    row = per_tok.agg(
+        F.sum("df").alias("n"),
+        F.sum(F.col("df") * F.col("df")).alias("s2"),
+        F.count("*").alias("v"),
+    ).first()
+    if not row or not row["n"]:
+        return 1.0
+    return row["v"] * row["s2"] / (row["n"] ** 2)
+
+
+def choose_jaccard_algo(docs: DataFrame, sample_fraction: float = 1.0,
+                        zipf_threshold: float = JACCARD_ZIPF_THRESHOLD) -> str:
+    """'prefix' (PPJoin-style, the Zipfian/web-text scale path) or
+    'naive' (bounded self-join, faster on flat distributions)."""
+    return (
+        "prefix"
+        if df_skew_factor(docs, sample_fraction) > zipf_threshold
+        else "naive"
+    )
+
+
+def ngram_jaccard_pairs_auto(docs: DataFrame, threshold: float = 0.4,
+                             bucket_col: str = "lang",
+                             sample_fraction: float = 1.0) -> DataFrame:
+    """Exact Jaccard pairs with the algorithm selected from measured
+    df skew (VERDICT r01 #3): the two variants produce identical output
+    (equivalence-tested), so the adaptive choice affects only the plan.
+    The skew probe is one scalar agg job — at 100 TB pass a small
+    sample_fraction."""
+    algo = choose_jaccard_algo(docs, sample_fraction)
+    fn = ngram_jaccard_pairs_prefix if algo == "prefix" else ngram_jaccard_pairs
+    return fn(docs, threshold, bucket_col)
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.4,
                         bucket_col: str = "lang") -> DataFrame:
     """(doc_a, doc_b, jaccard) over distinct-token sets, computed by a
@@ -106,12 +168,13 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.4,
     value oracle-comparable.
 
     Which exact algorithm wins is distribution-dependent, so both are
-    shipped: this naive bounded self-join (best when document
-    frequencies are flat — e.g. this synthetic corpus, where it beats
-    prefix filtering ~3x), and `ngram_jaccard_pairs_prefix` (PPJoin-
-    style; the scale path for real web text, whose Zipfian token
-    frequencies are exactly what prefix filtering prunes). Identical
-    output, equivalence pinned by tests.
+    shipped behind `ngram_jaccard_pairs_auto`: this naive bounded
+    self-join (best when document frequencies are flat — e.g. this
+    synthetic corpus, where it beats prefix filtering 2.4x at sf0.1),
+    and `ngram_jaccard_pairs_prefix` (PPJoin-style; the scale path for
+    real web text, whose Zipfian token frequencies are exactly what
+    prefix filtering prunes). Identical output, equivalence pinned by
+    tests.
     """
     tok = docs.select(
         "doc_id", F.col(bucket_col).alias("bucket"),

@@ -58,6 +58,32 @@ def test_ngram_jaccard_prefix_equals_naive(spark, docs):
     assert naive == pref and len(naive) > 0
 
 
+def test_jaccard_algo_selection_by_df_skew(spark):
+    """The adaptive default picks the naive join on flat document
+    frequencies and the prefix-filtered join on Zipfian ones."""
+    # flat: every token appears in exactly one doc
+    flat = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(10)), "en") for i in range(50)],
+        "doc_id long, text string, lang string",
+    )
+    # Zipfian-like web text: a few stop words in EVERY doc (the head
+    # that makes the naive join quadratic) + a long tail of rare tokens
+    rows = [
+        (i, "the of and to a " + " ".join(f"u{i}_{j}" for j in range(8)), "en")
+        for i in range(60)
+    ]
+    zipf = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    assert dedup_text.df_skew_factor(flat) < 1.5
+    assert dedup_text.df_skew_factor(zipf) > dedup_text.JACCARD_ZIPF_THRESHOLD
+    assert dedup_text.choose_jaccard_algo(flat) == "naive"
+    assert dedup_text.choose_jaccard_algo(zipf) == "prefix"
+    # and the adaptive wrapper still produces the pinned output
+    auto = sorted(map(tuple, dedup_text.ngram_jaccard_pairs_auto(zipf).collect()))
+    naive = sorted(map(tuple, dedup_text.ngram_jaccard_pairs(zipf).collect()))
+    assert auto == naive
+
+
 def test_ngram_jaccard(spark, docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]

@@ -69,8 +69,14 @@ def audit_one(name: str, df) -> dict:
     # two bracketed lists ([exprs], [orderSpec]) has an empty
     # partitionBy -> the whole input crosses one task. Same for any
     # non-broadcast Exchange planned as SinglePartition.
+    # Arguments are [exprs], [partitionSpec], [orderSpec]; an un-ordered
+    # partitionBy window omits the third list, a partition-less ordered
+    # window omits the second — disambiguate the 2-list case by whether
+    # the trailing list is a sort spec (ASC/DESC entries).
     for m in re.finditer(r"\(\d+\) Window(?:\n[^\n]*)*?\nArguments: ([^\n]*)", plan):
-        if m.group(1).count("], [") < 2:
+        args = m.group(1)
+        tail = args.rsplit("], [", 1)[-1]
+        if args.count("], [") < 2 and re.search(r"\b(ASC|DESC)\b", tail):
             flags.append("partition-less Window (single-partition sort of "
                          "entire input)")
             break
