@@ -1241,6 +1241,44 @@ FROM documents
 #    pinned in tests/ against the sequential golden model)
 # ---------------------------------------------------------------------------
 
+def _pin_hash(df: DataFrame, expected: str | None, label: str) -> DataFrame:
+    """Deterministic-output self-check for rows-only queries: the
+    synthetic crawl is fully deterministic, so the query pins an
+    order-insensitive md5 of its own result and RAISES on mismatch —
+    the driver's rows-only check then catches regressions, not just
+    emptiness (VERDICT r01 next-round #8). Pass expected=None to print
+    the current hash (pin-refresh mode)."""
+    cols = sorted(df.columns)
+    row_h = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+        )
+    )
+    got = (
+        df.select(row_h.alias("h"))
+        .agg(F.md5(F.concat_ws("\x1e", F.array_sort(F.collect_list("h")))).alias("H"))
+        .first()["H"]
+    )
+    if expected is None:
+        print(f"PIN {label} = {got}")
+    elif got != expected:
+        raise AssertionError(
+            f"{label}: crawl output hash {got} != pinned {expected} — "
+            "the deterministic synthetic crawl changed behavior"
+        )
+    return df
+
+
+# Pinned hashes of the deterministic synthetic crawl outputs (refresh
+# with tools/pin_crawl_hashes.py after an INTENTIONAL behavior change).
+CRAWL_PINS = {
+    "crawl_articles": "b550fd29f87ab6f87d33b1669713d65e",
+    "crawl_markdown": "bb34c0970ee15620d6da166bd7b3c256",
+    "crawl_metrics": "03177a8e36a8cb1ccbce2f5d30d2352e",
+}
+
+
 def _crawl_result(spark, scale: str = "small"):
     from ptt_spider_go_spark.config import CrawlConfig
     from ptt_spider_go_spark.datagen import pages_df
@@ -1254,18 +1292,29 @@ def _crawl_result(spark, scale: str = "small"):
 
 
 def q_crawl_articles(spark, sf_dir):
-    """Full superstep crawl on the synthetic pages table -> articles."""
-    return _crawl_result(spark).articles
+    """Full superstep crawl on the synthetic pages table -> articles.
+    Output is hash-pinned (deterministic crawl) — see _pin_hash."""
+    return _pin_hash(
+        _crawl_result(spark).articles, CRAWL_PINS["crawl_articles"],
+        "crawl_articles",
+    )
 
 
 def q_crawl_markdown(spark, sf_dir):
-    """Full crawl -> byte-exact markdown_docs."""
-    return _crawl_result(spark).markdown_docs
+    """Full crawl -> byte-exact markdown_docs (hash-pinned)."""
+    return _pin_hash(
+        _crawl_result(spark).markdown_docs, CRAWL_PINS["crawl_markdown"],
+        "crawl_markdown",
+    )
 
 
 def q_crawl_metrics(spark, sf_dir):
-    """Full crawl -> per-superstep fetch metrics (T7 lineage)."""
-    return _crawl_result(spark).metrics
+    """Full crawl -> per-superstep fetch + progress-event metrics
+    (T7/D5 taxonomy counts, hash-pinned)."""
+    return _pin_hash(
+        _crawl_result(spark).metrics, CRAWL_PINS["crawl_metrics"],
+        "crawl_metrics",
+    )
 
 
 # ---------------------------------------------------------------------------

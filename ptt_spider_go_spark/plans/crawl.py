@@ -43,6 +43,10 @@ from ptt_spider_go_spark.functions.udfs import (
 from ptt_spider_go_spark.operators.collision import with_unique_dir
 from ptt_spider_go_spark.operators.dedup import BloomShardSet, dedup_against_seen
 from ptt_spider_go_spark.operators.politeness import apply_robots, budget_gate
+from ptt_spider_go_spark.operators.progress import (
+    progress_events,
+    progress_metrics,
+)
 from ptt_spider_go_spark.operators.retrysim import apply_fetch_status
 from ptt_spider_go_spark.plans.checkpoint import CheckpointManager
 from ptt_spider_go_spark.sinks.markdown import markdown_docs
@@ -69,6 +73,7 @@ class CrawlResult:
     seen: DataFrame
     fetch_log: DataFrame
     metrics: DataFrame
+    progress_events: DataFrame | None = None
     supersteps: int = 0
     wall_secs: float = 0.0
     counters: dict = field(default_factory=dict)
@@ -247,8 +252,10 @@ def run_crawl(
             )
         )
 
-        # 5b. article contents (P2 + D1 + D2 already applied in-kernel)
+        # 5b. article contents (P2 + D1 + D2 already applied in-kernel);
+        # superstep rides along for the progress-event taxonomy (T7).
         content = parsed_all.filter(F.col("row_kind") == "content").select(
+            F.lit(step).alias("superstep"),
             "url", "board", "page_no", "pos", "title", "author", "push_rate",
             "parsed_title",
             final_title(
@@ -371,8 +378,8 @@ def run_crawl(
     if contents is None:
         contents = _empty(
             spark,
-            "url string, board string, page_no int, pos int, title string, "
-            "author string, push_rate int, parsed_title string, "
+            "superstep int, url string, board string, page_no int, pos int, "
+            "title string, author string, push_rate int, parsed_title string, "
             "final_title string, img_urls array<string>, "
             "file_names array<string>, text_match boolean",
         )
@@ -383,11 +390,13 @@ def run_crawl(
     # download_tasks: explode the per-article aligned (img, file) arrays.
     tasks = (
         contents.select(
+            "superstep",
             F.col("url").alias("article_url"),
             "save_dir",
             F.posexplode(F.arrays_zip("img_urls", "file_names")).alias("seq", "z"),
         )
         .select(
+            "superstep",
             "article_url",
             F.col("z.img_urls").alias("img_url"),
             "save_dir",
@@ -398,9 +407,16 @@ def run_crawl(
 
     docs = markdown_docs(contents)
 
+    # T7/D5: six-type progress-event taxonomy + counting aggregates
+    # (types/progress.go:8-15) derived from the assembled outputs.
+    events = progress_events(
+        contents, tasks, fetch_log, articles,
+        total_pages=cfg.pages, workers=cfg.workers,
+    )
     metrics = (
         fetch_log.groupBy("superstep", "kind", "outcome")
         .agg(F.count("*").alias("n"), F.sum("backoff_ms").alias("backoff_ms_total"))
+        .unionByName(progress_metrics(events))
         .orderBy("superstep", "kind", "outcome")
     )
 
@@ -412,6 +428,7 @@ def run_crawl(
         seen=seen,
         fetch_log=fetch_log,
         metrics=metrics,
+        progress_events=events,
         supersteps=step - start_step,
         wall_secs=time.time() - t0,
     )

@@ -88,6 +88,61 @@ def test_text_extraction_byte_identical(result):
     assert all(r["text_match"] for r in rows)
 
 
+def test_progress_taxonomy_matches_golden(result, golden):
+    """T7/D5 (types/progress.go:8-15, crawler.go:464-469,733-737): the
+    progress-event taxonomy carries the reference's exact counting
+    semantics — per-article image counts and task-level done/failed —
+    with every expected value derived from the sequential golden model
+    (not just rows > 0)."""
+    import hashlib
+
+    ev = result.progress_events.collect()
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r)
+
+    # page_parsed: one per fetched index page, ordinals 1..PAGES
+    assert len(by_type["page_parsed"]) == PAGES
+    assert sorted(r["current_page"] for r in by_type["page_parsed"]) == list(
+        range(1, PAGES + 1))
+    assert all(r["total_pages"] == PAGES for r in by_type["page_parsed"])
+
+    # article_parsed: one per content row, image_count = post-dedup
+    # unique images (crawler.go:459-469)
+    # (titles are not unique across articles -> compare as multisets)
+    want_imgs = sorted(
+        (c["final_title"], len(c["img_urls"])) for c in golden["contents"])
+    got_imgs = sorted(
+        (r["article_title"], r["image_count"])
+        for r in by_type["article_parsed"])
+    assert got_imgs == want_imgs
+
+    # download_*: one start per golden task; done/fail decided by the
+    # simulated md5 size vs the 50 MB cap
+    def n_bytes(u: str) -> int:
+        return int(hashlib.md5(u.encode()).hexdigest()[:7], 16) % (64 << 20)
+
+    cap = 50 * 1024 * 1024
+    want_done = sum(1 for t in golden["tasks"] if n_bytes(t["img_url"]) <= cap)
+    want_fail = len(golden["tasks"]) - want_done
+    assert len(by_type["download_start"]) == len(golden["tasks"])
+    assert len(by_type.get("download_done", [])) == want_done
+    assert len(by_type.get("download_fail", [])) == want_fail
+    assert want_fail > 0  # the fail path is actually exercised
+
+    assert len(by_type["crawler_done"]) == 1
+
+    # and the metrics table aggregates the same numbers (D5)
+    m = {(r["outcome"]): r["n"] for r in result.metrics
+         .filter(F.col("kind") == "event")
+         .groupBy("outcome").agg(F.sum("n").alias("n")).collect()}
+    assert m["article_parsed"] == len(golden["contents"])
+    assert m["download_start"] == len(golden["tasks"])
+    assert m["download_done"] == want_done
+    assert m["download_fail"] == want_fail
+    assert m["page_parsed"] == PAGES
+
+
 def test_file_mode(spark, dataset, tmp_path):
     golden_all = golden_crawl(dataset, BOARD, PAGES, 0)
     urls = [c["url"] for c in golden_all["contents"]][:5]
