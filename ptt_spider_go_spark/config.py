@@ -54,7 +54,11 @@ class CrawlConfig:
 
     def validate(self):
         if not _VALID_BOARD.match(self.board):
-            raise ValueError(f"invalid board name (path traversal guard): {self.board!r}")
+            from ptt_spider_go_spark.errors import new_validation_error
+
+            raise new_validation_error(
+                f"invalid board name (path traversal guard): {self.board!r}"
+            )
         # Clamp pass mirroring config.go:156-171.
         self.pages = max(1, self.pages)
         self.parallelism = max(1, self.parallelism)

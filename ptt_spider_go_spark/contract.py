@@ -1276,6 +1276,7 @@ CRAWL_PINS = {
     "crawl_articles": "b550fd29f87ab6f87d33b1669713d65e",
     "crawl_markdown": "bb34c0970ee15620d6da166bd7b3c256",
     "crawl_metrics": "03177a8e36a8cb1ccbce2f5d30d2352e",
+    "crawl_quarantine": "e064e6c1dcd01c913b5bfb7b226b32a9",
 }
 
 
@@ -1315,6 +1316,17 @@ def q_crawl_metrics(spark, sf_dir):
         _crawl_result(spark).metrics, CRAWL_PINS["crawl_metrics"],
         "crawl_metrics",
     )
+
+
+def q_crawl_quarantine(spark, sf_dir):
+    """Full crawl -> typed quarantine rows (errors/errors.go taxonomy):
+    every URL the crawl dropped, with error_type/message/cause/context
+    instead of silent disappearance (hash-pinned; the synthetic crawl's
+    404s populate it)."""
+    q = _crawl_result(spark).quarantine.withColumn(
+        "context", F.to_json(F.col("context"))
+    )
+    return _pin_hash(q, CRAWL_PINS["crawl_quarantine"], "crawl_quarantine")
 
 
 # ---------------------------------------------------------------------------
@@ -1377,6 +1389,7 @@ QUERIES = {
     "crawl_articles": (q_crawl_articles, None),
     "crawl_markdown": (q_crawl_markdown, None),
     "crawl_metrics": (q_crawl_metrics, None),
+    "crawl_quarantine": (q_crawl_quarantine, None),
 }
 
 

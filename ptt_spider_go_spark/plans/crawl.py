@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ptt_spider_go_spark.config import CrawlConfig
+from ptt_spider_go_spark.errors import quarantine_from_fetch_log
 from ptt_spider_go_spark.functions.columns import final_title
 from ptt_spider_go_spark.functions.udfs import (
     PARSED_ALL_SCHEMA,
@@ -74,6 +75,7 @@ class CrawlResult:
     fetch_log: DataFrame
     metrics: DataFrame
     progress_events: DataFrame | None = None
+    quarantine: DataFrame | None = None
     supersteps: int = 0
     wall_secs: float = 0.0
     counters: dict = field(default_factory=dict)
@@ -429,6 +431,7 @@ def run_crawl(
         fetch_log=fetch_log,
         metrics=metrics,
         progress_events=events,
+        quarantine=quarantine_from_fetch_log(fetch_log),
         supersteps=step - start_step,
         wall_secs=time.time() - t0,
     )

@@ -19,11 +19,15 @@ def main():
     spark = get_spark(app_name="pin-crawl-hashes", master="local[8]",
                       shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
     res = contract._crawl_result(spark)
     for label, df in (
         ("crawl_articles", res.articles),
         ("crawl_markdown", res.markdown_docs),
         ("crawl_metrics", res.metrics),
+        ("crawl_quarantine",
+         res.quarantine.withColumn("context", F.to_json(F.col("context")))),
     ):
         contract._pin_hash(df, None, label)
     spark.stop()
