@@ -85,30 +85,44 @@ def brute_force_topk(embeddings: DataFrame, k: int = 10,
     )
 
 
+def _plane_vectors(embeddings: DataFrame, n_planes: int) -> list[list[float]]:
+    """The n_planes hyperplanes, vec_id-ascending. A TakeOrdered driver
+    probe of n_planes rows (same class as the engine's max-page / Bloom
+    probes) — at 100 TB this stays n_planes rows regardless of table
+    size."""
+    rows = (
+        embeddings.orderBy("vec_id").limit(n_planes)
+        .select("vec_id", "embedding").collect()
+    )
+    return [list(map(float, r["embedding"])) for r in rows]
+
+
+def bucket_expr(planes: list[list[float]]) -> Column:
+    """Sign-bit bucket of `embedding` vs literal hyperplanes — a pure
+    per-row projection: no crossJoin row blowup, no groupBy shuffle.
+    (The previous shape — explode against a broadcast planes table +
+    groupBy(vec_id) — shuffled the entire embeddings table once per
+    bucketing; this is narrow and codegen'd.)"""
+    b = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        b = b + F.when(
+            dot(F.col("embedding"), arr) > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return b
+
+
 def random_hyperplane_buckets(embeddings: DataFrame, n_planes: int = 4) -> DataFrame:
     """(vec_id, bucket): bucket = sign bits of dot(v, plane_i).
 
     Planes are the embeddings of the n_planes smallest vec_ids —
     deterministic stand-ins for seeded random hyperplanes, chosen so the
-    DuckDB oracle can reproduce them with a subquery. Selection is
-    TakeOrdered(n_planes); numbering is a collect_list+posexplode over
-    those n rows only (no global window)."""
-    limited = embeddings.orderBy("vec_id").limit(n_planes).select(
-        "vec_id", "embedding"
+    DuckDB oracle can reproduce them with a subquery. The planes ride
+    into the plan as literals (driver probe of n_planes rows), making
+    bucketing a narrow per-row projection — one scan, zero shuffles."""
+    return embeddings.select(
+        "vec_id", bucket_expr(_plane_vectors(embeddings, n_planes)).alias("bucket")
     )
-    planes = (
-        limited.agg(
-            F.array_sort(
-                F.collect_list(F.struct("vec_id", "embedding"))
-            ).alias("arr")
-        )
-        .select(F.posexplode("arr").alias("i", "s"))
-        .select((F.col("i") + 1).alias("p"), F.col("s.embedding").alias("plane"))
-    )
-    joined = embeddings.crossJoin(F.broadcast(planes))
-    bit = F.when(dot(F.col("embedding"), F.col("plane")) > 0,
-                 F.pow(F.lit(2.0), F.col("p") - 1).cast("long")).otherwise(F.lit(0))
-    return joined.groupBy("vec_id").agg(F.sum(bit).alias("bucket"))
 
 
 def near_dup_pairs(
@@ -147,15 +161,18 @@ def lsh_bucket_topk(embeddings: DataFrame, k: int = 10,
     """Bucketed ANN: exact cosine top-k restricted to the query's
     sign-bit LSH bucket. The scale path touches only |bucket|/|table|
     of the data (vs brute force); recall is what the bucketing trades
-    away. Query = lowest-vec_id embedding, excluded from results."""
-    buckets = random_hyperplane_buckets(embeddings, n_planes)
-    qrow = query_row(embeddings)
+    away. Query = lowest-vec_id embedding, excluded from results.
+
+    Plan shape: bucket is a per-row literal-planes projection on the
+    scan (no bucket join), the query row is a 1-row TakeOrdered
+    broadcast — the whole search is one scan + one top-k, no shuffle."""
+    planes = _plane_vectors(embeddings, n_planes)
+    e = embeddings.withColumn("bucket", bucket_expr(planes))
     q = (
-        F.broadcast(qrow)
-        .join(buckets, qrow["qid"] == buckets["vec_id"])
-        .select("qid", "qvec", F.col("bucket").alias("qbucket"))
+        e.orderBy("vec_id").limit(1)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"),
+                F.col("bucket").alias("qbucket"))
     )
-    e = embeddings.join(buckets, "vec_id")
     in_bucket = e.join(
         F.broadcast(q), e["bucket"] == F.col("qbucket")
     ).filter(F.col("vec_id") != F.col("qid"))
