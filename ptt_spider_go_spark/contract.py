@@ -885,6 +885,44 @@ FROM banded a JOIN banded b
 """
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Duplicate-cluster assignment: connected components over the
+    MinHash-LSH candidate-pair graph (iterative min-label propagation;
+    cluster id = component's min doc_id; keeper flag per doc)."""
+    from ptt_spider_go_spark.pipeline import clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup_text.minhash_signatures(docs)
+    pairs = dedup_text.lsh_candidate_pairs(sigs)
+    return clusters.duplicate_clusters(docs, pairs)
+
+
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE {_TOKS_CTE}, {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id, {_mh_sql(0)}, {_mh_sql(1)}, {_mh_sql(2)}, {_mh_sql(3)}
+  FROM shingles GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || ',' || CAST(mh1 AS VARCHAR) AS sig FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, CAST(mh2 AS VARCHAR) || ',' || CAST(mh3 AS VARCHAR) AS sig FROM sig),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs),
+reach(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.doc_id)
+SELECT doc_id, min(lbl) AS cluster_id, (doc_id = min(lbl)) AS is_keeper
+FROM reach GROUP BY doc_id
+"""
+
+
 def q_simhash(spark, sf_dir):
     """32-bit SimHash fingerprints over distinct tokens."""
     return dedup_text.simhash32(_t(spark, sf_dir, "documents"))
@@ -1368,6 +1406,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
     "simhash": (q_simhash, SQL_SIMHASH),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "ngram_jaccard_prefix": (q_ngram_jaccard_prefix, SQL_NGRAM_JACCARD_PAIRS),

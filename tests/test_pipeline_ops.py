@@ -58,6 +58,44 @@ def test_ngram_jaccard_prefix_equals_naive(spark, docs):
     assert naive == pref and len(naive) > 0
 
 
+def test_connected_components_known_graph(spark):
+    """Min-label propagation on a graph with a path, a triangle joined
+    to it, a separate pair, and a singleton."""
+    from ptt_spider_go_spark.pipeline.clusters import (
+        connected_components,
+        duplicate_clusters,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    # component {0,1,2,3,4} (path 0-1-2 + triangle 2-3-4), {5,6}, {7}
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (2, 4), (5, 6)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(nodes, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 5, 7: 7}
+
+    keepers = {r["doc_id"] for r in duplicate_clusters(
+        nodes, edges).filter(F.col("is_keeper")).collect()}
+    assert keepers == {0, 5, 7}
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 12-node path needs multiple propagation rounds (diameter 11,
+    min-label halving) — pins the fixpoint loop, not just one round."""
+    from ptt_spider_go_spark.pipeline.clusters import connected_components
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(nodes, edges).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_jaccard_algo_selection_by_df_skew(spark):
     """The adaptive default picks the naive join on flat document
     frequencies and the prefix-filtered join on Zipfian ones."""
