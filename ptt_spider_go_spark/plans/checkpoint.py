@@ -51,6 +51,20 @@ class CheckpointManager:
     def table_path(self, step: int, name: str) -> str:
         return os.path.join(self.root, f"step={step}", name)
 
+    @staticmethod
+    def _footer_row_count(path: str) -> int:
+        """Row count from parquet footer metadata only — the analogue of
+        Iceberg commit metrics (snapshot summary `added-records`). No
+        Spark job, no data read: at scale this is a manifest lookup,
+        never a table scan (VERDICT r01 minor #4)."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        return total
+
     def write_step(self, step: int, tables: dict[str, DataFrame],
                    extra: dict[str, Any] | None = None) -> dict[str, int]:
         """Write every state table for `step`, then commit atomically.
@@ -59,7 +73,7 @@ class CheckpointManager:
         for name, df in tables.items():
             path = self.table_path(step, name)
             df.write.mode("overwrite").parquet(path)
-            counts[name] = self.spark.read.parquet(path).count()
+            counts[name] = self._footer_row_count(path)
         manifest = {
             "step": step,
             "tables": counts,
