@@ -63,13 +63,21 @@ def _calibrate(spark, cpus: int) -> float:
     return n_tasks / (time.time() - t0)
 
 
-def _crawl(spark, pages, boards, ppb, salt):
+def _crawl(spark, pages, boards, ppb, salt, strategy):
     cfg = CrawlConfig(
         board=boards[0], pages=ppb, push_rate=10, host_salt=salt,
         max_supersteps=8, superstep_ms=60_000_000, workers=64,
     )
+    # The scaling evidence pins ONE join strategy at both levels: the
+    # run_crawl default ("auto") picks broadcast for small frontiers,
+    # which speeds the LOW level disproportionately (the broadcast
+    # build is serial) and makes the N->4N ratio measure the planner's
+    # choice, not the engine's scaling. Default "shuffle" = the plan a
+    # big cluster would run at this frontier size (734k rows ~ 73 MB,
+    # far past any autoBroadcastJoinThreshold).
+    bf = {"auto": "auto", "broadcast": True, "shuffle": False}[strategy]
     res = run_crawl(spark, pages, cfg, boards=boards, verify_text=False,
-                    probe_strategy="urls")
+                    probe_strategy="urls", broadcast_frontier=bf)
     res.articles.write.format("noop").mode("overwrite").save()
     res.download_tasks.write.format("noop").mode("overwrite").save()
     return res.fetch_log.count(), res.supersteps
@@ -82,7 +90,8 @@ def _dir_bytes(path: str) -> int:
     )
 
 
-def run_once(cpus: int, pages_path: str, boards: list[str], ppb: int) -> dict:
+def run_once(cpus: int, pages_path: str, boards: list[str], ppb: int,
+             strategy: str = "shuffle") -> dict:
     spark = get_spark(
         app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=cpus,
@@ -100,7 +109,7 @@ def run_once(cpus: int, pages_path: str, boards: list[str], ppb: int) -> dict:
     pages = spark.read.parquet(pages_path)
 
     # Untimed warmup: JIT + Python worker pool + parquet footer cache.
-    _crawl(spark, pages, boards[:1], 3, cpus)
+    _crawl(spark, pages, boards[:1], 3, cpus, strategy)
 
     cal = _calibrate(spark, cpus)
 
@@ -110,7 +119,7 @@ def run_once(cpus: int, pages_path: str, boards: list[str], ppb: int) -> dict:
     wall = float("inf")
     for _ in range(2):
         t0 = time.time()
-        fetched, supersteps = _crawl(spark, pages, boards, ppb, cpus)
+        fetched, supersteps = _crawl(spark, pages, boards, ppb, cpus, strategy)
         wall = min(wall, time.time() - t0)
     spark.stop()
     return {
@@ -135,6 +144,8 @@ def main():
     ap.add_argument("--boards", type=int, default=16)
     ap.add_argument("--ppb", type=int, default=3000)
     ap.add_argument("--slots", type=int, default=60)
+    ap.add_argument("--strategy", choices=("shuffle", "broadcast", "auto"),
+                    default="shuffle")
     args = ap.parse_args()
 
     boards = [f"Board{i}" for i in range(args.boards)]
@@ -153,8 +164,8 @@ def main():
         df.repartition(256, "url").write.mode("overwrite").parquet(pages_path)
         spark.stop()
 
-    lo = run_once(args.n, pages_path, boards, args.ppb)
-    hi = run_once(args.n * 4, pages_path, boards, args.ppb)
+    lo = run_once(args.n, pages_path, boards, args.ppb, args.strategy)
+    hi = run_once(args.n * 4, pages_path, boards, args.ppb, args.strategy)
     eff = hi["urls_per_sec"] / (4 * lo["urls_per_sec"])
     # Hardware ceiling: what a PERFECTLY parallel job achieves N->4N on
     # this box (turbo clocks sag as occupancy rises; a real cluster
@@ -163,6 +174,7 @@ def main():
     out = {
         "metric": "crawl scaling efficiency N->4N (local parallelism)",
         "n": args.n,
+        "join_strategy": args.strategy,
         "low": lo,
         "high": hi,
         "scaling_efficiency": round(eff, 3),

