@@ -808,14 +808,56 @@ r(host, pfx, allowed) AS (
   VALUES ('a.test', '/bbs/B0', FALSE), ('a.test', '/', TRUE),
          ('b.test', '/', FALSE)),
 m AS (
-  SELECT f.o_orderkey, 'https://' || f.host || f.path AS url,
-         r.pfx, r.allowed,
+  SELECT f.o_orderkey, 'https://' || f.host || f.path AS url, r.allowed,
+         CASE WHEN r.pfx IS NOT NULL AND starts_with(f.path, r.pfx)
+              THEN length(r.pfx) ELSE -1 END AS mlen,
          row_number() OVER (PARTITION BY f.o_orderkey
-                            ORDER BY length(r.pfx) DESC) AS rn
-  FROM f LEFT JOIN r ON f.host = r.host
-  WHERE r.pfx IS NULL OR starts_with(f.path, r.pfx))
+                            ORDER BY CASE WHEN r.pfx IS NOT NULL
+                                           AND starts_with(f.path, r.pfx)
+                                          THEN length(r.pfx) ELSE -1 END DESC,
+                                     r.allowed DESC NULLS LAST) AS rn
+  FROM f LEFT JOIN r ON f.host = r.host)
 SELECT o_orderkey, url FROM m
-WHERE rn = 1 AND (allowed IS NULL OR allowed)
+WHERE rn = 1 AND (mlen < 0 OR allowed)
+"""
+
+
+def q_robots_parse(spark, sf_dir):
+    """R1 [north_rule]: robots.txt parsing -> rule table. Bodies are
+    synthesized from o_orderkey identically on both engines (wrong-agent
+    group + comment + Crawl-delay exercised; the oracle states the two
+    rules the `*` group yields); the Spark side runs the REAL parser
+    (sources/robots.py) over a pages-shaped table via mapInPandas."""
+    from ptt_spider_go_spark.sources.robots import robots_rules_from_pages
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    body = F.concat(
+        F.lit("# synthetic robots\nUser-agent: googlebot\nDisallow: /private"),
+        (k % 3).cast("string"),
+        F.lit("\n\nUser-agent: *\nDisallow: /bbs/B"),
+        (k % 5).cast("string"),
+        F.lit("/\nAllow: /bbs/\nCrawl-delay: "),
+        (k % 7).cast("string"),
+        F.lit("\n"),
+    )
+    pages = o.select(
+        F.concat(F.lit("https://h"), ks, F.lit(".test/robots.txt")).alias("url"),
+        body.alias("text"),
+    )
+    return robots_rules_from_pages(pages)
+
+
+SQL_ROBOTS_PARSE = """
+WITH h AS (SELECT o_orderkey AS k,
+                  'h' || CAST(o_orderkey AS VARCHAR) || '.test' AS host
+           FROM orders)
+SELECT host, '/bbs/B' || CAST(k % 5 AS VARCHAR) || '/' AS path_prefix,
+       FALSE AS allowed
+FROM h
+UNION ALL
+SELECT host, '/bbs/', TRUE FROM h
 """
 
 
@@ -1398,6 +1440,7 @@ QUERIES = {
     "page_underflow_guard": (q_page_underflow_guard, SQL_PAGE_UNDERFLOW_GUARD),
     "image_dedup_order": (q_image_dedup_order, SQL_IMAGE_DEDUP_ORDER),
     "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
+    "robots_parse": (q_robots_parse, SQL_ROBOTS_PARSE),
     # sessionization + streaming
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED_COUNTS),

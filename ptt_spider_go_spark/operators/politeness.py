@@ -29,7 +29,12 @@ from ptt_spider_go_spark.functions.columns import url_host
 
 def apply_robots(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
     """Drop frontier rows whose (host, path-prefix) is disallowed.
-    `robots` is tiny -> broadcast join; longest matching prefix wins."""
+    `robots` is tiny -> broadcast join.
+
+    RFC 9309 §2.2.2 precedence: the longest MATCHING prefix decides; a
+    URL with no matching rule (including a host with rules none of
+    which match, or a host with no rules at all) is ALLOWED; when an
+    Allow and a Disallow match at equal length, Allow wins."""
     if robots is None:
         return frontier
     f = frontier.withColumn("_host", url_host(F.col("url"))).withColumn(
@@ -40,16 +45,21 @@ def apply_robots(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
         F.col("path_prefix").alias("_pfx"),
         F.col("allowed").alias("_allowed"),
     )
-    matched = f.join(F.broadcast(r), on="_host", how="left").filter(
-        F.col("_pfx").isNull() | F.col("_path").startswith(F.col("_pfx"))
+    joined = f.join(F.broadcast(r), on="_host", how="left")
+    match_len = F.when(
+        F.col("_pfx").isNotNull() & F.col("_path").startswith(F.col("_pfx")),
+        F.length(F.col("_pfx")),
+    ).otherwise(F.lit(-1))
+    w = Window.partitionBy("url").orderBy(
+        F.col("_mlen").desc(), F.col("_allowed").desc_nulls_last()
     )
-    w = Window.partitionBy("url").orderBy(F.length(F.col("_pfx")).desc())
     best = (
-        matched.withColumn("_r", F.row_number().over(w))
+        joined.withColumn("_mlen", match_len)
+        .withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") == 1)
-        .filter(F.col("_allowed").isNull() | F.col("_allowed"))
+        .filter((F.col("_mlen") < 0) | F.col("_allowed"))
     )
-    return best.drop("_host", "_path", "_pfx", "_allowed", "_r")
+    return best.drop("_host", "_path", "_pfx", "_allowed", "_mlen", "_r")
 
 
 def budget_gate(frontier: DataFrame, host_budget: int, salt: int,

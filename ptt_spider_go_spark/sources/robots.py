@@ -1,0 +1,104 @@
+"""robots.txt parsing -> the engine's host/prefix rule table.
+
+The reference crawler does NOT parse robots.txt (its politeness is
+delay-only; config/config.go:89-92); robots handling is engine-native
+[north_rule: "politeness, robots"]. This module turns raw robots.txt
+bodies stored in the pages table into the (host, path_prefix, allowed)
+rule rows that `operators.politeness.apply_robots` consumes with its
+longest-matching-prefix broadcast join.
+
+Parsing semantics (the original REP subset every major crawler agrees
+on — RFC 9309 §2):
+
+- groups start at one or more `User-agent:` lines; rules bind to the
+  nearest preceding agent set;
+- the group matched is the one naming `agent` exactly (case-insensitive),
+  else the `*` group; rules from multiple groups for the same agent
+  merge (RFC 9309 §2.2.1);
+- `Allow:` / `Disallow:` values are path prefixes; an EMPTY Disallow
+  means "allow all" and contributes no rule;
+- `#` starts a comment; unknown directives (Crawl-delay, Sitemap) are
+  ignored;
+- precedence (longest-prefix-wins) is applied later by apply_robots,
+  matching RFC 9309 §2.2.2.
+
+The parse itself is an Arrow-batched mapInPandas over the (tiny —
+one per host) robots pages; at 10^10-URL scale the rule table stays
+|hosts| * avg_rules rows, broadcast-sized by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RULES_SCHEMA = "host string, path_prefix string, allowed boolean"
+
+
+def parse_robots_txt(body: str, agent: str = "*") -> list[tuple[str, bool]]:
+    """robots.txt body -> [(path_prefix, allowed)] for `agent`.
+
+    Pure Python (also used inside the Arrow kernel); deterministic rule
+    order = file order, so downstream tie-breaks are stable.
+    """
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    cur_agents: list[str] | None = None
+    cur_rules: list[tuple[str, bool]] | None = None
+    in_agent_run = False
+
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_agent_run:
+                cur_agents, cur_rules = [], []
+                groups.append((cur_agents, cur_rules))
+            cur_agents.append(val.lower())
+            in_agent_run = True
+            continue
+        in_agent_run = False
+        if cur_rules is None:
+            continue  # rules before any User-agent line are ignored
+        if key == "disallow":
+            if val:  # empty Disallow = allow everything (no rule)
+                cur_rules.append((val, False))
+        elif key == "allow":
+            if val:
+                cur_rules.append((val, True))
+        # other directives (crawl-delay, sitemap, ...) ignored
+
+    agent_l = agent.lower()
+    exact = [r for agents, rules in groups if agent_l in agents for r in rules]
+    if exact:
+        return exact
+    return [r for agents, rules in groups if "*" in agents for r in rules]
+
+
+def robots_rules_from_pages(pages: DataFrame, agent: str = "*") -> DataFrame:
+    """pages rows whose url path is /robots.txt -> rule table
+    (host, path_prefix, allowed) ready for apply_robots."""
+    robots = pages.filter(
+        F.try_parse_url(F.col("url"), F.lit("PATH")) == "/robots.txt"
+    ).select(
+        F.try_parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.col("text").alias("body"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"host": [], "path_prefix": [], "allowed": []}
+            for host, body in zip(pdf["host"], pdf["body"]):
+                for prefix, allowed in parse_robots_txt(body or "", agent):
+                    out["host"].append(host)
+                    out["path_prefix"].append(prefix)
+                    out["allowed"].append(allowed)
+            yield pd.DataFrame(out)
+
+    return robots.mapInPandas(run, RULES_SCHEMA)

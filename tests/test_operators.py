@@ -78,6 +78,81 @@ def test_apply_robots_prefix_block(spark):
     assert out == ["https://www.ptt.cc/bbs/Open/M.1.A.html"]
 
 
+ROBOTS_BODY = """\
+# comment line
+User-agent: googlebot
+Disallow: /gb-only/
+
+User-agent: *
+User-agent: legacybot
+Disallow: /private/   # trailing comment
+Allow: /private/ok/
+Crawl-delay: 5
+Sitemap: https://x.test/sitemap.xml
+
+User-agent: *
+Disallow: /tmp/
+Disallow:
+"""
+
+
+def test_parse_robots_txt_star_groups_merge():
+    """RFC 9309 §2.2.1: multiple groups for the same agent merge; empty
+    Disallow contributes no rule; comments/unknown directives ignored."""
+    from ptt_spider_go_spark.sources.robots import parse_robots_txt
+
+    rules = parse_robots_txt(ROBOTS_BODY, agent="*")
+    assert rules == [("/private/", False), ("/private/ok/", True),
+                     ("/tmp/", False)]
+
+
+def test_parse_robots_txt_exact_agent_wins_over_star():
+    from ptt_spider_go_spark.sources.robots import parse_robots_txt
+
+    assert parse_robots_txt(ROBOTS_BODY, agent="googlebot") == [
+        ("/gb-only/", False)
+    ]
+    # agent listed alongside * in a shared agent run gets those rules
+    assert parse_robots_txt(ROBOTS_BODY, agent="LegacyBot") == [
+        ("/private/", False), ("/private/ok/", True)
+    ]
+
+
+def test_parse_robots_txt_no_groups():
+    from ptt_spider_go_spark.sources.robots import parse_robots_txt
+
+    assert parse_robots_txt("", agent="*") == []
+    assert parse_robots_txt("Disallow: /orphan/\n", agent="*") == []
+
+
+def test_robots_rules_from_pages_feed_apply_robots(spark):
+    """robots.txt pages -> parsed rule table -> apply_robots end-to-end:
+    the blocked prefix is filtered, the Allow carve-out survives."""
+    from ptt_spider_go_spark.sources.robots import robots_rules_from_pages
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.test/robots.txt",
+             "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"),
+            ("https://a.test/private/x", ""),  # non-robots page ignored
+        ],
+        "url string, text string",
+    )
+    rules = robots_rules_from_pages(pages)
+    f = _frontier(spark, [
+        "https://a.test/private/x",
+        "https://a.test/private/ok/y",
+        "https://a.test/public/z",
+        "https://b.test/anything",       # no rules -> allowed
+    ])
+    got = {r["url"] for r in apply_robots(f, rules).collect()}
+    assert got == {
+        "https://a.test/private/ok/y",
+        "https://a.test/public/z",
+        "https://b.test/anything",
+    }
+
+
 def test_apply_robots_unknown_host_allowed(spark):
     f = _frontier(spark, ["https://other.test/x"])
     robots = spark.createDataFrame(
