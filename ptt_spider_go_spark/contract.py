@@ -431,6 +431,45 @@ SELECT event_id, event_type FROM (
 """
 
 
+def q_budget_override_gate(spark, sf_dir):
+    """T1 + robots Crawl-delay: per-host budget OVERRIDES in the
+    politeness gate (broadcast override join; hosts without an override
+    use the global budget). salt=1 keeps the lane split
+    SQL-expressible; lane exactness is pinned in pytest."""
+    from ptt_spider_go_spark.operators.politeness import budget_gate
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.col("event_id")
+    host = F.concat(F.lit("h"), (k % 4).cast("string"), F.lit(".test"))
+    frontier = ev.select(
+        "event_id",
+        F.concat(F.lit("https://"), host, F.lit("/p"), k.cast("string")).alias("url"),
+    )
+    overrides = spark.createDataFrame(
+        [("h0.test", 10), ("h1.test", 3)], "host string, budget long"
+    )
+    admitted, _ = budget_gate(
+        frontier, host_budget=15, salt=1,
+        order_cols=[F.col("url").asc()], host_budgets=overrides,
+    )
+    return admitted.select("event_id", "url")
+
+
+SQL_BUDGET_OVERRIDE_GATE = """
+WITH f AS (
+  SELECT event_id, 'h' || CAST(event_id % 4 AS VARCHAR) || '.test' AS host,
+         'https://h' || CAST(event_id % 4 AS VARCHAR) || '.test/p' ||
+           CAST(event_id AS VARCHAR) AS url
+  FROM events),
+b(host, budget) AS (VALUES ('h0.test', 10), ('h1.test', 3)),
+r AS (
+  SELECT f.event_id, f.url, coalesce(b.budget, 15) AS cap,
+         row_number() OVER (PARTITION BY f.host ORDER BY f.url) AS rn
+  FROM f LEFT JOIN b ON f.host = b.host)
+SELECT event_id, url FROM r WHERE rn <= cap
+"""
+
+
 def q_retry_backoff(spark, sf_dir):
     """T2 (crawler/retry.go:57-93): exponential backoff arithmetic."""
     li = _t(spark, sf_dir, "lineitem")
@@ -986,6 +1025,32 @@ FROM per_bit GROUP BY doc_id
 """
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: banded byte equi-join candidates
+    (pigeonhole: hamming<=3 => >=1 of 4 byte-bands equal), exact
+    popcount(xor) verify — never all-pairs."""
+    return dedup_text.simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH sh AS ({SQL_SIMHASH}),
+banded AS (
+  SELECT doc_id, simhash, g.i AS band,
+         CAST(floor(simhash / (256 ** g.i)) AS BIGINT) % 256 AS val
+  FROM sh, generate_series(0, 3) g(i)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup pairs by exact token-set Jaccard within a lang bucket.
     The join algorithm (naive bounded self-join vs PPJoin-style prefix
@@ -1431,6 +1496,7 @@ QUERIES = {
     "seen_anti_join": (q_seen_anti_join, SQL_SEEN_ANTI_JOIN),
     "priority_topk": (q_priority_topk, SQL_PRIORITY_TOPK),
     "budget_gate_window": (q_budget_gate_window, SQL_BUDGET_GATE_WINDOW),
+    "budget_override_gate": (q_budget_override_gate, SQL_BUDGET_OVERRIDE_GATE),
     "retry_backoff": (q_retry_backoff, SQL_RETRY_BACKOFF),
     "retry_after_decode": (q_retry_after_decode, SQL_RETRY_AFTER_DECODE),
     "progress_counts": (q_progress_counts, SQL_PROGRESS_COUNTS),
@@ -1451,6 +1517,7 @@ QUERIES = {
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
     "simhash": (q_simhash, SQL_SIMHASH),
+    "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "ngram_jaccard_prefix": (q_ngram_jaccard_prefix, SQL_NGRAM_JACCARD_PAIRS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),

@@ -62,13 +62,33 @@ def apply_robots(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
     return best.drop("_host", "_path", "_pfx", "_allowed", "_mlen", "_r")
 
 
+def budgets_from_crawl_delays(delays: DataFrame, workers: int,
+                              superstep_ms: int) -> DataFrame:
+    """(host, crawl_delay_s) -> (host, budget): the same arithmetic the
+    global budget uses (config.host_budget_per_superstep) with the
+    host's declared delay as the envelope: budget = workers *
+    superstep_ms / (delay_s * 1000), floored at 1."""
+    b = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(
+            F.lit(workers) * F.lit(superstep_ms)
+            / (F.col("crawl_delay_s") * 1000.0)
+        ).cast("long"),
+    )
+    return delays.select("host", b.alias("budget"))
+
+
 def budget_gate(frontier: DataFrame, host_budget: int, salt: int,
-                order_cols: list | None = None) -> tuple[DataFrame, DataFrame]:
+                order_cols: list | None = None,
+                host_budgets: DataFrame | None = None
+                ) -> tuple[DataFrame, DataFrame]:
     """Split the frontier into (admitted, deferred) under per-host budgets.
 
     Admission is priority order within each of `salt` lanes per host;
-    lane budgets sum exactly to host_budget. Returns both halves so the
-    superstep loop can re-enqueue the deferred rows.
+    lane budgets sum exactly to the host's budget. `host_budgets`
+    ((host, budget), tiny -> broadcast) overrides the global
+    `host_budget` per host — the robots Crawl-delay hook. Returns both
+    halves so the superstep loop can re-enqueue the deferred rows.
     """
     order_cols = order_cols or [
         F.col("kind_rank").asc(),
@@ -82,11 +102,22 @@ def budget_gate(frontier: DataFrame, host_budget: int, salt: int,
         F.lit(base)
     )
     w = Window.partitionBy("_host", "_lane").orderBy(*order_cols)
+    tagged = frontier.withColumn("_host", url_host(F.col("url")))
+    if host_budgets is not None:
+        ov = host_budgets.select(F.col("host").alias("_host"),
+                                 F.col("budget").alias("_hb"))
+        tagged = tagged.join(F.broadcast(ov), on="_host", how="left")
+        eff = F.coalesce(F.col("_hb"), F.lit(host_budget).cast("long"))
+        # exact per-host lane split of the effective budget
+        lane_budget = (
+            F.floor(eff / salt)
+            + F.when(F.col("_lane") < eff % salt, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long")
     tagged = (
-        frontier.withColumn("_host", url_host(F.col("url")))
-        .withColumn("_lane", lane)
+        tagged.withColumn("_lane", lane)
         .withColumn("_rn", F.row_number().over(w))
         .withColumn("_cap", lane_budget)
+        .drop("_hb")
     )
     admitted = tagged.filter(F.col("_rn") <= F.col("_cap")).drop(
         "_host", "_lane", "_rn", "_cap"

@@ -273,6 +273,58 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.4,
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs of documents whose 32-bit SimHash
+    fingerprints differ in <= max_hamming bits.
+
+    Scale shape (the standard banded SimHash join): split the 32-bit
+    fingerprint into 4 bytes; by pigeonhole, hamming <= 3 implies at
+    least one byte-band is EQUAL, so candidates come from 4 equi-joins
+    on (band_idx, band_value) — never an all-pairs comparison — then an
+    exact popcount(xor) verify. Shuffle key is the band value, so skew
+    only occurs for genuinely near-identical fingerprint masses.
+
+    max_hamming must stay < number of bands (pigeonhole soundness);
+    asserted.
+    """
+    n_bands = 4
+    assert max_hamming < n_bands, "pigeonhole needs max_hamming < bands"
+    sh = simhash32(docs)
+    banded = sh.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    (
+                        F.floor(F.col("simhash") / F.lit(float(1 << (8 * i))))
+                        .cast("long") % 256
+                    ).alias("val"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band").alias("band"),
+             F.col("b.val").alias("val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.band") == F.col("b.band"),
+                      F.col("a.val") == F.col("b.val"),
+                      F.col("a.doc_id") < F.col("b.doc_id")])
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash32(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) 32-bit SimHash over distinct tokens.
 

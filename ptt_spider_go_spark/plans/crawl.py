@@ -122,6 +122,7 @@ def run_crawl(
     file_urls_path: str | None = None,
     fetch_events: DataFrame | None = None,
     robots: DataFrame | None = None,
+    host_budgets: DataFrame | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = False,
     verify_text: bool = True,
@@ -194,7 +195,8 @@ def run_crawl(
         # 1. robots + 2. politeness budget
         allowed = apply_robots(frontier, robots)
         admitted, deferred = budget_gate(
-            allowed, cfg.host_budget_per_superstep, cfg.host_salt
+            allowed, cfg.host_budget_per_superstep, cfg.host_salt,
+            host_budgets=host_budgets,
         )
 
         # 3. retry ledger over simulated statuses

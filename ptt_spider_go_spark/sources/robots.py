@@ -81,6 +81,72 @@ def parse_robots_txt(body: str, agent: str = "*") -> list[tuple[str, bool]]:
     return [r for agents, rules in groups if "*" in agents for r in rules]
 
 
+def parse_crawl_delay(body: str, agent: str = "*") -> float | None:
+    """Crawl-delay (seconds) for `agent`: exact-agent group wins over
+    `*`; first parsable value in the winning groups; None if absent.
+    (Crawl-delay is a de-facto extension, not RFC 9309 — Google ignores
+    it, Bing/Yandex honor it; the engine maps it onto the per-host
+    politeness budget.)"""
+    groups: list[tuple[list[str], list[float]]] = []
+    cur: tuple[list[str], list[float]] | None = None
+    in_agent_run = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_agent_run:
+                cur = ([], [])
+                groups.append(cur)
+            cur[0].append(val.lower())
+            in_agent_run = True
+            continue
+        in_agent_run = False
+        if cur is not None and key == "crawl-delay":
+            try:
+                cur[1].append(float(val))
+            except ValueError:
+                pass
+    agent_l = agent.lower()
+    for agents, delays in groups:
+        if agent_l in agents and delays:
+            return delays[0]
+    for agents, delays in groups:
+        if "*" in agents and delays:
+            return delays[0]
+    return None
+
+
+DELAYS_SCHEMA = "host string, crawl_delay_s double"
+
+
+def crawl_delays_from_pages(pages: DataFrame, agent: str = "*") -> DataFrame:
+    """robots.txt pages -> (host, crawl_delay_s) for hosts that declare
+    one; feed through politeness.budgets_from_crawl_delays to get
+    per-host budget overrides."""
+    robots = pages.filter(
+        F.try_parse_url(F.col("url"), F.lit("PATH")) == "/robots.txt"
+    ).select(
+        F.try_parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.col("text").alias("body"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"host": [], "crawl_delay_s": []}
+            for host, body in zip(pdf["host"], pdf["body"]):
+                d = parse_crawl_delay(body or "", agent)
+                if d is not None:
+                    out["host"].append(host)
+                    out["crawl_delay_s"].append(float(d))
+            yield pd.DataFrame(out)
+
+    return robots.mapInPandas(run, DELAYS_SCHEMA)
+
+
 def robots_rules_from_pages(pages: DataFrame, agent: str = "*") -> DataFrame:
     """pages rows whose url path is /robots.txt -> rule table
     (host, path_prefix, allowed) ready for apply_robots."""

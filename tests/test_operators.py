@@ -52,6 +52,67 @@ def test_budget_gate_multiple_hosts_independent(spark):
     assert all(n == 5 for n in per_host.values())
 
 
+def test_budget_gate_per_host_overrides(spark):
+    """Per-host budget overrides (robots Crawl-delay hook): overridden
+    hosts admit exactly their budget across salted lanes; others use
+    the global budget."""
+    # 100 urls/host so every salted lane holds >= its cap (lane splits
+    # admit exactly the budget only when lanes aren't starved — same
+    # precondition test_budget_gate_exact_host_total documents)
+    urls = [f"https://h{i % 3}.test/p{i:03d}" for i in range(300)]
+    f = _frontier(spark, urls)
+    overrides = spark.createDataFrame(
+        [("h0.test", 4), ("h1.test", 25)], "host string, budget long"
+    )
+    admitted, deferred = budget_gate(f, host_budget=10, salt=4,
+                                     host_budgets=overrides)
+    per_host = {
+        r["h"]: r["n"]
+        for r in admitted.groupBy(
+            F.parse_url(F.col("url"), F.lit("HOST")).alias("h")
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert per_host == {"h0.test": 4, "h1.test": 25, "h2.test": 10}
+    assert admitted.count() + deferred.count() == 300
+
+
+def test_budgets_from_crawl_delays(spark):
+    from ptt_spider_go_spark.operators.politeness import (
+        budgets_from_crawl_delays,
+    )
+
+    delays = spark.createDataFrame(
+        [("a.test", 2.0), ("b.test", 0.5), ("c.test", 1e9)],
+        "host string, crawl_delay_s double",
+    )
+    got = {r["host"]: r["budget"]
+           for r in budgets_from_crawl_delays(
+               delays, workers=10, superstep_ms=60_000).collect()}
+    # budget = workers * superstep_ms / (delay_s * 1000), floor 1
+    assert got == {"a.test": 300, "b.test": 1200, "c.test": 1}
+
+
+def test_crawl_delay_parsed_from_robots(spark):
+    from ptt_spider_go_spark.sources.robots import (
+        crawl_delays_from_pages,
+        parse_crawl_delay,
+    )
+
+    body = "User-agent: gb\nCrawl-delay: 9\n\nUser-agent: *\nCrawl-delay: 2.5\n"
+    assert parse_crawl_delay(body, "*") == 2.5
+    assert parse_crawl_delay(body, "gb") == 9.0
+    assert parse_crawl_delay("User-agent: *\nDisallow: /x\n", "*") is None
+
+    pages = spark.createDataFrame(
+        [("https://a.test/robots.txt", body),
+         ("https://b.test/robots.txt", "User-agent: *\nDisallow: /\n")],
+        "url string, text string",
+    )
+    got = {r["host"]: r["crawl_delay_s"]
+           for r in crawl_delays_from_pages(pages).collect()}
+    assert got == {"a.test": 2.5}
+
+
 def test_budget_gate_priority_respected_within_lane(spark):
     # index pages (kind_rank 0) admitted before articles within a lane
     idx = _frontier(spark, [f"https://www.ptt.cc/bbs/B/index{i}.html" for i in range(10)], "index")

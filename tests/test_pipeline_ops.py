@@ -58,6 +58,24 @@ def test_ngram_jaccard_prefix_equals_naive(spark, docs):
     assert naive == pref and len(naive) > 0
 
 
+def test_simhash_near_dup_pairs(spark, docs):
+    """Exact dups pair at hamming 0; the banded candidate join plus
+    popcount verify never misses a pair within the bound (pigeonhole)."""
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup_text.simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(0, 2)] == 0           # identical docs
+    # brute-force cross-check the full <=3 pair set
+    sh = {r["doc_id"]: r["simhash"] for r in dedup_text.simhash32(docs).collect()}
+    want = {
+        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        for a in sh for b in sh
+        if a < b and bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    assert pairs == want
+
+
 def test_connected_components_known_graph(spark):
     """Min-label propagation on a graph with a path, a triangle joined
     to it, a separate pair, and a singleton."""
