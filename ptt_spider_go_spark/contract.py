@@ -1364,6 +1364,25 @@ FROM documents
 """
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Exact per-language n_chars quantiles: value at rank ceil(p*n) in
+    (n_chars, doc_id) order — deterministic discrete percentiles, no
+    sketch (grouped_quantiles)."""
+    return textstats.length_quantiles(_t(spark, sf_dir, "documents"))
+
+
+SQL_LENGTH_QUANTILES = """
+WITH s AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT lang, p, n_chars AS value
+FROM s, (VALUES (0.25), (0.5), (0.75), (0.9)) q(p)
+WHERE rn = CAST(ceil(p * n) AS BIGINT)
+"""
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-payload media table: typed metadata extraction."""
     m = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
@@ -1530,6 +1549,7 @@ QUERIES = {
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+    "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     # multimodal decode plumbing (md5-derived fake decode -> SQL-oracled)
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),

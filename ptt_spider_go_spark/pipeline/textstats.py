@@ -6,7 +6,7 @@ All column-expression only (JVM-side); every one has a DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ptt_spider_go_spark.pipeline.common import tokens
@@ -114,3 +114,43 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     text — the canonical-form exact-dup key."""
     canon = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
     return docs.select("doc_id", F.md5(canon).alias("fingerprint"))
+
+
+def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,
+                      order_tiebreak: str,
+                      probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9)
+                      ) -> DataFrame:
+    """(group, p, value): EXACT discrete per-group quantiles — the value
+    at rank ceil(p*n) in (value, tiebreak) order. One partitioned window
+    pass + a tiny probs explode; no sampling, no t-digest, so the result
+    is deterministic and oracle-checkable bit-for-bit (both engines
+    compute the same double ceil(p*n)).
+
+    Scale shape: one shuffle on the group key; groups are typically
+    many and bounded (lang, source, length band). For a single giant
+    group you'd switch to approx_percentile — kept out of the oracle
+    surface deliberately (sketches aren't reproducible across engines).
+    """
+    w = Window.partitionBy(group_col).orderBy(value_col, order_tiebreak)
+    wn = Window.partitionBy(group_col)
+    ranked = (
+        df.select(group_col, value_col, order_tiebreak)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wn))
+    )
+    exploded = ranked.select(
+        group_col, value_col, "_rn", "_n",
+        F.explode(F.array(*[F.lit(p) for p in probs])).alias("p"),
+    )
+    return (
+        exploded.filter(
+            F.col("_rn") == F.ceil(F.col("p") * F.col("_n")).cast("long")
+        )
+        .select(group_col, "p", F.col(value_col).alias("value"))
+    )
+
+
+def length_quantiles(docs: DataFrame) -> DataFrame:
+    """Per-language exact n_chars quantiles (corpus length profile —
+    the stat a curation pipeline thresholds on)."""
+    return grouped_quantiles(docs, "lang", "n_chars", "doc_id")

@@ -58,6 +58,23 @@ def test_ngram_jaccard_prefix_equals_naive(spark, docs):
     assert naive == pref and len(naive) > 0
 
 
+def test_grouped_quantiles_exact(spark):
+    """Discrete quantile = value at rank ceil(p*n) in sorted order,
+    pinned against a hand-computed fixture."""
+    import math
+
+    rows = [(i, v, "g") for i, v in enumerate([5, 1, 9, 3, 7, 2, 8])] + [
+        (100, 10, "h"), (101, 20, "h")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long, lang string")
+    got = {(r["lang"], r["p"]): r["value"]
+           for r in textstats.length_quantiles(df).collect()}
+    g_sorted = sorted([5, 1, 9, 3, 7, 2, 8])
+    for p in (0.25, 0.5, 0.75, 0.9):
+        assert got[("g", p)] == g_sorted[math.ceil(p * 7) - 1]
+    assert got[("h", 0.5)] == 10 and got[("h", 0.9)] == 20
+
+
 def test_simhash_near_dup_pairs(spark, docs):
     """Exact dups pair at hamming 0; the banded candidate join plus
     popcount verify never misses a pair within the bound (pigeonhole)."""
