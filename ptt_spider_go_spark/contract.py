@@ -1573,20 +1573,29 @@ def oracle_sql():
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the web-text curation pipeline over sf0.001 documents —
     fingerprint + quality + token counts + MinHash signature + lang
-    guess, assembled into one curation table (the per-document feature
-    row a 100 TB training-data pipeline materializes before filtering).
+    guess + duplicate-cluster assignment (connected components over the
+    LSH pair graph, keeper flag), assembled into one curation table
+    (the per-document feature row a 100 TB training-data pipeline
+    materializes before filtering).
     """
+    from ptt_spider_go_spark.pipeline import clusters
+
     sf_dir = "/root/testdata/sf0.001"
     docs = _t(spark, sf_dir, "documents")
+    sigs = dedup_text.minhash_signatures(docs)
+    comp = clusters.duplicate_clusters(
+        docs, dedup_text.lsh_candidate_pairs(sigs)
+    )
     out = (
         docs.select("doc_id", "lang", "source", "n_chars")
         .join(textstats.fingerprints(docs), "doc_id")
         .join(textstats.quality_scores(docs), "doc_id")
         .join(textstats.token_counts(docs), "doc_id")
+        .join(comp, "doc_id")
         # left joins: a doc with no shingles or no stopword hits must
         # still get a curation row (it would otherwise be silently
         # dropped from the corpus accounting).
-        .join(dedup_text.minhash_signatures(docs), "doc_id", "left")
+        .join(sigs, "doc_id", "left")
         .join(textstats.lang_scores(docs), "doc_id", "left")
         .withColumn("lang_guess", F.coalesce(F.col("lang_guess"), F.lit("unknown")))
         .withColumn("best_ratio", F.coalesce(F.col("best_ratio"), F.lit(0.0)))
