@@ -24,12 +24,19 @@ def _go_atoi(c: Column) -> Column:
     return F.when(c.rlike(_GO_INT), c.try_cast("int"))
 
 
+def ws_trim(c: Column) -> Column:
+    """Go strings.TrimSpace twin: strips ALL ASCII whitespace, not just
+    spaces (F.trim strips only ' ' — a tab-padded push marker decoded
+    wrong through it; found by the parity fuzzer)."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 # --- C1: push-count decode (ptt/parser_impl.go:46-60) ----------------------
 
 def push_rate_decode(s: Column) -> Column:
     """Decode a push marker (after trim): 爆→100, X<k>→-k (0 if the rest
     fails Atoi), else Atoi(s) with failure→0 (empty→0)."""
-    t = F.trim(s)
+    t = ws_trim(s)
     rest = F.substring(t, 2, 1_000_000)
     return (
         F.when(t == "爆", F.lit(100))
@@ -78,13 +85,21 @@ def normalize_img_href(href: Column) -> Column:
 # --- C5: filename from URL (internal/fileutil/filename.go:16-25) -----------
 
 def image_file_name(url: Column) -> Column:
-    """Last path segment of the URL path (query/fragment stripped by
-    parse_url); Go path.Base edge cases ("" -> ".", all-slashes -> "/");
-    imgur links without an extension get .jpg appended."""
-    path = F.try_parse_url(url, F.lit("PATH"))
+    """Last path segment of the URL path (query/fragment stripped);
+    Go path.Base edge cases ("" -> ".", all-slashes -> "/"); imgur
+    links without an extension get .jpg appended.
+
+    Path extraction is regex-based rather than try_parse_url: Java URI
+    parsing REJECTS inputs Go's url.Parse tolerates (e.g. a second '#'
+    — found by the parity fuzzer), and the reference derives the name
+    from whatever url.Parse returns."""
+    stripped = F.regexp_replace(url, r"[?#].*$", "")
+    path = F.regexp_replace(
+        stripped, r"^([a-zA-Z][a-zA-Z0-9+.\-]*:)?//[^/]*", ""
+    )
     trimmed = F.regexp_replace(path, "/+$", "")
     base = (
-        F.when(path.isNull() | (path == ""), F.lit("."))
+        F.when(path == "", F.lit("."))
         .when(trimmed == "", F.lit("/"))
         .otherwise(F.element_at(F.split(trimmed, "/"), -1))
     )

@@ -107,8 +107,11 @@ def board_frontier(spark: SparkSession, max_pages: dict[str, int],
 
 
 def file_frontier(spark: SparkSession, path: str) -> DataFrame:
-    """S3/F5: file-mode article seeding."""
-    lines = spark.read.text(path).select(F.trim(F.col("value")).alias("line"))
+    """S3/F5: file-mode article seeding. Lines trim ALL whitespace
+    (strings.TrimSpace parity, crawler.go:812 — not space-only trim)."""
+    from ptt_spider_go_spark.functions.columns import ws_trim
+
+    lines = spark.read.text(path).select(ws_trim(F.col("value")).alias("line"))
     urls = lines.filter(F.col("line").startswith(PTT_BBS_PREFIX))
     return urls.select(
         F.col("line").alias("url"),
