@@ -140,14 +140,175 @@ class BloomShardSet:
         return df.mapInPandas(probe, out_schema)
 
 
+def _cuckoo_decompose(urls: pd.Series, n_shards: int, n_buckets: int):
+    """url -> (shard, 16-bit fingerprint (never 0), primary bucket)."""
+    h1, h2 = _hash2(urls)
+    shard = (h1 % np.uint64(n_shards)).astype(np.int64)
+    fp = ((h2 >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+    fp = np.where(fp == 0, np.uint16(1), fp)
+    i1 = ((h1 // np.uint64(n_shards)) % np.uint64(n_buckets)).astype(np.int64)
+    return shard, fp, i1
+
+
+def _cuckoo_alt(fp: np.ndarray, i: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Partial-key alternate bucket: i ^ mix(fp). n_buckets is a power
+    of two, so xor stays in range and alt(alt(i)) == i (involution)."""
+    mix = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) % np.uint64(n_buckets)
+    return (i.astype(np.uint64) ^ mix).astype(np.int64)
+
+
+class CuckooShardSet:
+    """Partitioned cuckoo filters — the verification pass between the
+    Bloom prefilter and the exact anti-join (north_star: "partitioned
+    Bloom filters with a cuckoo-filter verification pass on probable
+    hits").
+
+    Why a second probabilistic layer: the Bloom shards run at ~1% fpp,
+    so at a 10^10-URL seen set ~1% of genuinely-new URLs still enter
+    the |probable| ⋈ |seen| anti-join every superstep. A 16-bit
+    fingerprint cuckoo filter has fpp ≈ 2·slots/2^16 ≈ 0.012%, cutting
+    the join input by ~99% again for one more broadcast probe. Like the
+    Bloom layer it has NO false negatives (a failed displacement chain
+    flags the shard as overflowed, degrading that shard to
+    probe-always-true — exactness never depends on it).
+
+    Construction is incremental and O(new) per superstep: executors
+    reduce new URLs to unique (shard, fingerprint, bucket) triples
+    (8 bytes each — the same transfer class as the Bloom bitmap OR),
+    and the driver runs the sequential displacement inserts (cuckoo
+    insertion is inherently order-dependent, so the table lives where
+    the Bloom bitmaps already live). Probing broadcasts the tables and
+    is fully vectorized.
+    """
+
+    MAX_KICKS = 500
+
+    def __init__(self, n_shards: int = 8, buckets_per_shard: int = 1 << 15,
+                 slots: int = 4):
+        # power of two: i2 = i1 xor mix(fp) must be an involution (the
+        # displacement chain and the lookup both rely on alt(alt(i))==i)
+        assert buckets_per_shard & (buckets_per_shard - 1) == 0
+        self.n_shards = n_shards
+        self.n_buckets = buckets_per_shard
+        self.slots = slots
+        # fingerprint 1..65535 (0 = empty slot sentinel)
+        self.tables = np.zeros((n_shards, buckets_per_shard, slots),
+                               dtype=np.uint16)
+        self.overflowed = np.zeros(n_shards, dtype=bool)
+        self._rng = np.random.default_rng(42)  # deterministic evictions
+
+    def _decompose(self, urls: pd.Series):
+        return _cuckoo_decompose(urls, self.n_shards, self.n_buckets)
+
+    def _alt_bucket(self, fp: np.ndarray, i: np.ndarray) -> np.ndarray:
+        return _cuckoo_alt(fp, i, self.n_buckets)
+
+    def _insert_one(self, s: int, fp: int, i1: int) -> None:
+        t = self.tables[s]
+        i2 = int(self._alt_bucket(np.array([fp], dtype=np.uint16),
+                                  np.array([i1]))[0])
+        for i in (i1, i2):
+            if fp in t[i]:
+                return  # already present
+        for i in (i1, i2):
+            empty = np.nonzero(t[i] == 0)[0]
+            if len(empty):
+                t[i][empty[0]] = fp
+                return
+        # displacement chain
+        i, cur = i1, fp
+        for _ in range(self.MAX_KICKS):
+            slot = int(self._rng.integers(self.slots))
+            cur, t[i][slot] = int(t[i][slot]), cur
+            i = int(self._alt_bucket(np.array([cur], dtype=np.uint16),
+                                     np.array([i]))[0])
+            empty = np.nonzero(t[i] == 0)[0]
+            if len(empty):
+                t[i][empty[0]] = cur
+                return
+        self.overflowed[s] = True  # degrade, never lose exactness
+
+    def add_df(self, df: DataFrame, url_col: str = "url") -> None:
+        """Insert the URLs of `df`: executors emit unique
+        (shard, fp, bucket) triples, the driver runs the displacement
+        inserts (O(new) rows collected)."""
+
+        n_shards, n_buckets = self.n_shards, self.n_buckets
+
+        def to_triples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            seen_local: set = set()
+            out = {"shard": [], "fp": [], "i1": []}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                shard, fp, i1 = _cuckoo_decompose(pdf[url_col], n_shards,
+                                                  n_buckets)
+                for s, f_, i_ in zip(shard, fp, i1):
+                    key = (int(s), int(f_), int(i_))
+                    if key not in seen_local:
+                        seen_local.add(key)
+                        out["shard"].append(key[0])
+                        out["fp"].append(key[1])
+                        out["i1"].append(key[2])
+            yield pd.DataFrame(out, columns=["shard", "fp", "i1"])
+
+        triples = df.select(url_col).mapInPandas(
+            to_triples, "shard int, fp int, i1 long"
+        )
+        for row in triples.distinct().collect():
+            self._insert_one(row["shard"], row["fp"], row["i1"])
+
+    def with_maybe_seen(self, df: DataFrame, url_col: str = "url",
+                        out_col: str = "maybe_seen") -> DataFrame:
+        """Vectorized broadcast probe; no false negatives."""
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast(
+            (self.tables.tobytes(), self.overflowed.tobytes())
+        )
+        n_shards, n_buckets, slots = self.n_shards, self.n_buckets, self.slots
+
+        def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            tbl_b, ov_b = bc.value
+            tables = np.frombuffer(tbl_b, dtype=np.uint16).reshape(
+                n_shards, n_buckets, slots
+            )
+            overflowed = np.frombuffer(ov_b, dtype=bool)
+            for pdf in batches:
+                if not len(pdf):
+                    pdf[out_col] = pd.Series([], dtype=bool)
+                    yield pdf
+                    continue
+                shard, fp, i1 = _cuckoo_decompose(pdf[url_col], n_shards,
+                                                  n_buckets)
+                i2 = _cuckoo_alt(fp, i1, n_buckets)
+                b1 = tables[shard, i1]          # (n, slots)
+                b2 = tables[shard, i2]
+                hit = (b1 == fp[:, None]).any(axis=1) | \
+                      (b2 == fp[:, None]).any(axis=1) | overflowed[shard]
+                pdf = pdf.copy()
+                pdf[out_col] = hit
+                yield pdf
+
+        from pyspark.sql.types import BooleanType, StructField, StructType
+
+        out_schema = StructType(
+            list(df.schema.fields) + [StructField(out_col, BooleanType())]
+        )
+        return df.mapInPandas(probe, out_schema)
+
+
 def dedup_against_seen(candidates: DataFrame, seen: DataFrame | None,
                        blooms: BloomShardSet | None,
+                       cuckoos: CuckooShardSet | None = None,
                        url_col: str = "url") -> DataFrame:
-    """Exact not-seen filter (J2): Bloom prefilter then left-anti verify.
+    """Exact not-seen filter (J2): Bloom prefilter, optional cuckoo
+    verification pass on the probable hits, then left-anti verify.
 
-    definitely-new rows (bloom miss) bypass the join entirely; probable
-    hits — bloom FPs plus true repeats — are verified exactly. Returns
-    rows of `candidates` whose URL is not in `seen`.
+    definitely-new rows (bloom miss, or cuckoo miss among bloom hits)
+    bypass the join entirely; the remaining probable hits — double FPs
+    plus true repeats — are verified exactly. Returns rows of
+    `candidates` whose URL is not in `seen`; exactness never depends on
+    either probabilistic layer (both are false-negative-free).
     """
     if seen is None:
         return candidates
@@ -156,5 +317,11 @@ def dedup_against_seen(candidates: DataFrame, seen: DataFrame | None,
     probed = blooms.with_maybe_seen(candidates, url_col)
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     probable = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    if cuckoos is not None:
+        p2 = cuckoos.with_maybe_seen(probable, url_col)
+        fresh = fresh.unionByName(
+            p2.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        )
+        probable = p2.filter(F.col("maybe_seen")).drop("maybe_seen")
     verified = probable.join(seen.select(url_col), on=url_col, how="left_anti")
     return fresh.unionByName(verified)

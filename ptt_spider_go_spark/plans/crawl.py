@@ -42,7 +42,11 @@ from ptt_spider_go_spark.functions.udfs import (
     make_parse_page_kernel,
 )
 from ptt_spider_go_spark.operators.collision import with_unique_dir
-from ptt_spider_go_spark.operators.dedup import BloomShardSet, dedup_against_seen
+from ptt_spider_go_spark.operators.dedup import (
+    BloomShardSet,
+    CuckooShardSet,
+    dedup_against_seen,
+)
 from ptt_spider_go_spark.operators.politeness import apply_robots, budget_gate
 from ptt_spider_go_spark.operators.progress import (
     progress_events,
@@ -139,6 +143,26 @@ def run_crawl(
     ckpt = CheckpointManager(checkpoint_dir, spark) if checkpoint_dir else None
 
     blooms = BloomShardSet(cfg.bloom_shards, fpp=cfg.bloom_fpp)
+    # north_star: cuckoo-filter verification pass on Bloom probable hits
+    # (~99% of Bloom FPs never reach the exact anti-join). Engages
+    # adaptively: below cfg.cuckoo_min_seen rows the exact join is
+    # already cheap and the extra probe pass is pure overhead; at the
+    # crossing, the filter is bulk-built from the full seen set in one
+    # distributed pass (it must contain ALL seen URLs to stay
+    # false-negative-free), then maintained incrementally.
+    cuckoos = CuckooShardSet(cfg.bloom_shards) if cfg.cuckoo_verify else None
+    cuckoo_active = False
+    n_seen_est = 0
+
+    def _cuckoo_for_step(seen_df):
+        nonlocal cuckoo_active
+        if cuckoos is None or n_seen_est < cfg.cuckoo_min_seen:
+            return None
+        if not cuckoo_active:
+            cuckoos.add_df(seen_df)  # one-time bulk build at crossing
+            cuckoo_active = True
+        return cuckoos
+
     start_step = 0
 
     if resume and ckpt and ckpt.last_committed_step() is not None:
@@ -147,6 +171,7 @@ def run_crawl(
         seen = ckpt.read_latest("seen")
         if seen is not None:
             blooms.add_df(seen)  # rebuild bloom shards from checkpoint
+            n_seen_est = seen.count()
     else:
         if file_mode:
             frontier = file_frontier(spark, file_urls_path)
@@ -176,6 +201,7 @@ def run_crawl(
         seen = frontier.select("url")
         with _timed("init.bloom_seed"):
             blooms.add_df(seen)  # bloom must stay a superset of seen
+        n_seen_est = frontier.count()  # seed frontier is small by construction
 
     pages_fetch = pages.select("url", "warc_ts", "html", "text")
 
@@ -299,7 +325,8 @@ def run_crawl(
         )
         with _timed(f"step{step}.dedup_fresh"):
             fresh = (
-                dedup_against_seen(candidates, seen, blooms)
+                dedup_against_seen(candidates, seen, blooms,
+                                   _cuckoo_for_step(seen))
                 .select(FRONTIER_COLS)
                 .localCheckpoint(eager=True)
             )
@@ -343,6 +370,9 @@ def run_crawl(
         seen = seen.unionByName(new_seen)
         with _timed(f"step{step}.bloom_add"):
             blooms.add_df(new_seen)
+            if cuckoo_active:
+                cuckoos.add_df(new_seen)  # incremental once engaged
+            n_seen_est += fresh.count()  # checkpointed -> cheap count
 
         # 8. snapshot commit. Output tables are written as per-step
         # deltas (append-only, like Iceberg appends); frontier/seen are

@@ -171,3 +171,19 @@ def test_file_mode(spark, dataset, tmp_path):
     assert got == want
     # parsed title wins in file mode (C10)
     assert all(t != "" for t in got.values())
+
+
+def test_crawl_identical_with_cuckoo_engaged(spark, dataset, result):
+    """Forcing the cuckoo verification layer on from the first superstep
+    (cuckoo_min_seen=0) must not change a single output row — the
+    exactness invariant holds through both probabilistic layers."""
+    pages = spark.createDataFrame(dataset)
+    cfg = CrawlConfig(board=BOARD, pages=PAGES, push_rate=PUSH,
+                      host_salt=4, max_supersteps=6, cuckoo_min_seen=0)
+    res2 = run_crawl(spark, pages, cfg, verify_text=False)
+    key = lambda df: sorted(
+        (r["url"], r["push_rate"]) for r in df.select("url", "push_rate").collect()
+    )
+    assert key(res2.articles) == key(result.articles)
+    assert sorted(r["url"] for r in res2.seen.collect()) == \
+        sorted(r["url"] for r in result.seen.collect())

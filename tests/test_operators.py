@@ -5,7 +5,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from ptt_spider_go_spark.operators.collision import with_unique_dir
-from ptt_spider_go_spark.operators.dedup import BloomShardSet, dedup_against_seen
+from ptt_spider_go_spark.operators.dedup import (
+    BloomShardSet,
+    CuckooShardSet,
+    dedup_against_seen,
+)
 from ptt_spider_go_spark.operators.politeness import apply_robots, budget_gate
 from ptt_spider_go_spark.operators.retrysim import apply_fetch_status
 
@@ -339,3 +343,62 @@ def test_dir_collision_window(spark):
         "u3": "同標題_5_3",
         "u4": "同標題_7",
     }
+
+
+# --- D4 cuckoo verification pass ---------------------------------------------
+
+def test_cuckoo_no_false_negatives(spark):
+    urls = [f"https://c.test/{i}" for i in range(3000)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    ck = CuckooShardSet(n_shards=4, buckets_per_shard=1 << 11)
+    ck.add_df(df)
+    probed = ck.with_maybe_seen(df)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+    assert not ck.overflowed.any()
+
+
+def test_cuckoo_sharper_than_bloom(spark):
+    """The verification pass earns its keep: on disjoint probes the
+    cuckoo layer passes through far fewer false positives than the
+    Bloom layer sized for the same population."""
+    seen_urls = [f"https://s.test/{i}" for i in range(5000)]
+    new_urls = [f"https://n.test/{i}" for i in range(5000)]
+    seen = spark.createDataFrame([(u,) for u in seen_urls], "url string")
+    new = spark.createDataFrame([(u,) for u in new_urls], "url string")
+    bl = BloomShardSet(n_shards=4, expected_per_shard=2048, fpp=0.02)
+    ck = CuckooShardSet(n_shards=4, buckets_per_shard=1 << 11)
+    bl.add_df(seen)
+    ck.add_df(seen)
+    bloom_fp = bl.with_maybe_seen(new).filter(F.col("maybe_seen")).count()
+    cuckoo_fp = ck.with_maybe_seen(new).filter(F.col("maybe_seen")).count()
+    assert cuckoo_fp * 5 < max(bloom_fp, 1) or cuckoo_fp == 0
+    # 16-bit fingerprints, 4 slots -> fpp ~0.012%; 5000 probes ~ 0-3 FPs
+    assert cuckoo_fp <= 10
+
+
+def test_cuckoo_overflow_degrades_not_corrupts(spark):
+    """An overfilled shard flags overflow and probes True (degrades to
+    the exact join) instead of dropping fingerprints (false negative)."""
+    urls = [f"https://o.test/{i}" for i in range(4000)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    ck = CuckooShardSet(n_shards=1, buckets_per_shard=1 << 8, slots=4)
+    ck.add_df(df)  # 4000 fps into 1024 slots -> must overflow
+    assert ck.overflowed.any()
+    probed = ck.with_maybe_seen(df)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_dedup_exactness_with_cuckoo_layer(spark):
+    """Bloom -> cuckoo -> exact anti-join keeps the exactness invariant
+    bit-for-bit (same contract as the bloom-only path)."""
+    seen_urls = [f"https://s.test/{i}" for i in range(500)]
+    cand_urls = [f"https://s.test/{i}" for i in range(400, 900)]
+    seen = spark.createDataFrame([(u,) for u in seen_urls], "url string")
+    cand = spark.createDataFrame([(u,) for u in cand_urls], "url string")
+    blooms = BloomShardSet(n_shards=4, expected_per_shard=256)
+    cuckoos = CuckooShardSet(n_shards=4, buckets_per_shard=1 << 9)
+    blooms.add_df(seen)
+    cuckoos.add_df(seen)
+    out = {r["url"]
+           for r in dedup_against_seen(cand, seen, blooms, cuckoos).collect()}
+    assert out == {f"https://s.test/{i}" for i in range(500, 900)}
