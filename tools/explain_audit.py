@@ -41,7 +41,7 @@ CROSS_OK = {
 # Queries that run a full superstep pipeline / streaming job — plans are
 # multi-job, skip static audit.
 SKIP = {"crawl_articles", "crawl_markdown", "crawl_metrics",
-        "stream_windowed_counts"}
+        "crawl_quarantine", "stream_windowed_counts", "stream_sessionize"}
 
 
 def plan_of(df) -> str:
