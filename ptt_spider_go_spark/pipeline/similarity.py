@@ -72,10 +72,16 @@ def brute_force_topk(embeddings: DataFrame, k: int = 10,
                      query_id: int | None = None) -> DataFrame:
     """(vec_id, score) exact cosine top-k vs the query vector; the query
     row itself is excluded. Deterministic tie-break by vec_id."""
-    q = query_row(embeddings, query_id)
+    # qnorm rides on the 1-row broadcast: norm(qvec) would otherwise be
+    # re-folded once per scanned row (identical doubles either way).
+    q = query_row(embeddings, query_id).withColumn("qnorm", norm(F.col("qvec")))
     scored = embeddings.crossJoin(F.broadcast(q)).select(
         "vec_id", "qid",
-        F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("score"),
+        F.round(
+            dot(F.col("embedding"), F.col("qvec"))
+            / (norm(F.col("embedding")) * F.col("qnorm")),
+            6,
+        ).alias("score"),
     )
     return (
         scored.filter(F.col("vec_id") != F.col("qid"))
@@ -138,20 +144,30 @@ def near_dup_pairs(
     label column; the join shape is identical. Deterministic output:
     pair ordered by vec_id, score rounded to 6 (oracle parity).
     """
+    # Norms are per-VECTOR, so compute them in the projection before
+    # the join — cosine() inside the pair select would re-run the
+    # aggregate-fold norm twice per PAIR (measured ~3x the HOF work;
+    # numerically identical: same sqrt(dot(v,v)) double, same order).
     a = embeddings.select(
         F.col(bucket_col).alias("bucket"),
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
+        norm(F.col("embedding")).alias("norm_a"),
     )
     b = embeddings.select(
         F.col(bucket_col).alias("bucket"),
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
+        norm(F.col("embedding")).alias("norm_b"),
     )
     pairs = a.join(b, on="bucket").filter(F.col("vec_a") < F.col("vec_b"))
     scored = pairs.select(
         "vec_a", "vec_b",
-        F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("score"),
+        F.round(
+            dot(F.col("emb_a"), F.col("emb_b"))
+            / (F.col("norm_a") * F.col("norm_b")),
+            6,
+        ).alias("score"),
     )
     return scored.filter(F.col("score") >= threshold)
 
@@ -171,7 +187,8 @@ def lsh_bucket_topk(embeddings: DataFrame, k: int = 10,
     q = (
         e.orderBy("vec_id").limit(1)
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"),
-                F.col("bucket").alias("qbucket"))
+                F.col("bucket").alias("qbucket"),
+                norm(F.col("embedding")).alias("qnorm"))
     )
     in_bucket = e.join(
         F.broadcast(q), e["bucket"] == F.col("qbucket")
@@ -179,7 +196,11 @@ def lsh_bucket_topk(embeddings: DataFrame, k: int = 10,
     return (
         in_bucket.select(
             "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("score"),
+            F.round(
+                dot(F.col("embedding"), F.col("qvec"))
+                / (norm(F.col("embedding")) * F.col("qnorm")),
+                6,
+            ).alias("score"),
         )
         .orderBy(F.col("score").desc(), F.col("vec_id").asc())
         .limit(k)
@@ -210,10 +231,14 @@ def ivf_topk(embeddings: DataFrame, k: int = 10, n_probe: int = 2,
         F.broadcast(probe_cells), embeddings[label_col] == probe_cells["cell"]
     )
     return (
-        in_cells.crossJoin(F.broadcast(q))
+        in_cells.crossJoin(F.broadcast(q.withColumn("qnorm", norm(F.col("qvec")))))
         .select(
             "vec_id", "qid",
-            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("score"),
+            F.round(
+                dot(F.col("embedding"), F.col("qvec"))
+                / (norm(F.col("embedding")) * F.col("qnorm")),
+                6,
+            ).alias("score"),
         )
         .filter(F.col("vec_id") != F.col("qid"))
         .select("vec_id", "score")
