@@ -63,11 +63,6 @@ def query_row(embeddings: DataFrame, vec_id: int | None = None) -> DataFrame:
     )
 
 
-def query_vector(embeddings: DataFrame, vec_id: int | None = None) -> DataFrame:
-    """One-row (qvec) DataFrame — kept for API compat; see query_row."""
-    return query_row(embeddings, vec_id).select("qvec")
-
-
 def brute_force_topk(embeddings: DataFrame, k: int = 10,
                      query_id: int | None = None) -> DataFrame:
     """(vec_id, score) exact cosine top-k vs the query vector; the query

@@ -63,12 +63,6 @@ from ptt_spider_go_spark.sources.seeds import (
     probe_max_pages_from_urls,
 )
 
-CONTENT_COLS = [
-    "url", "board", "page_no", "pos", "title", "author", "push_rate",
-    "parsed_title", "final_title", "img_urls", "file_names", "text_match",
-]
-
-
 @dataclass
 class CrawlResult:
     articles: DataFrame
