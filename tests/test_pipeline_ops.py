@@ -58,6 +58,27 @@ def test_ngram_jaccard_prefix_equals_naive(spark, docs):
     assert naive == pref and len(naive) > 0
 
 
+def test_ann_recall_vs_brute_force(spark):
+    """The bucketed searches trade recall for touched-data fraction —
+    pin that the trade actually lands: IVF probing 2 of the cells must
+    recover a meaningful share of the true top-10, and every returned
+    id must be correctly scored (subset of the brute-force ORDER over
+    its own candidate set)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    truth = [r["vec_id"] for r in similarity.brute_force_topk(emb, k=10).collect()]
+    ivf = [r["vec_id"] for r in similarity.ivf_topk(emb, k=10, n_probe=2).collect()]
+    lsh = [r["vec_id"] for r in similarity.lsh_bucket_topk(emb, k=10).collect()]
+    assert len(truth) == 10
+    # recall floors (deterministic data + deterministic queries)
+    assert len(set(ivf) & set(truth)) >= 3
+    assert len(set(lsh) & set(truth)) >= 1
+    # scores must agree with brute force wherever ids overlap
+    bf_scores = {r["vec_id"]: r["score"]
+                 for r in similarity.brute_force_topk(emb, k=500).collect()}
+    for r in similarity.ivf_topk(emb, k=10, n_probe=2).collect():
+        assert bf_scores[r["vec_id"]] == r["score"]
+
+
 def test_grouped_quantiles_exact(spark):
     """Discrete quantile = value at rank ceil(p*n) in sorted order,
     pinned against a hand-computed fixture."""
