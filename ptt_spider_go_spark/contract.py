@@ -1383,6 +1383,24 @@ WHERE rn = CAST(ceil(p * n) AS BIGINT)
 """
 
 
+def q_vocab_stats(spark, sf_dir):
+    """Top-100 document-frequency vocabulary table with df-desc ranks
+    (tok tie-break) — ranked via collect_list+posexplode after
+    TakeOrdered, no global window."""
+    return textstats.vocab_stats(_t(spark, sf_dir, "documents"), top_k=100)
+
+
+SQL_VOCAB_STATS = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok FROM documents,
+    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) t(tok)),
+d AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok)
+SELECT tok, df,
+       row_number() OVER (ORDER BY df DESC, tok ASC) AS rank
+FROM d ORDER BY df DESC, tok ASC LIMIT 100
+"""
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-payload media table: typed metadata extraction."""
     m = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
@@ -1550,6 +1568,7 @@ QUERIES = {
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
+    "vocab_stats": (q_vocab_stats, SQL_VOCAB_STATS),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     # multimodal decode plumbing (md5-derived fake decode -> SQL-oracled)
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),

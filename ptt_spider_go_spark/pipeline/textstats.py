@@ -154,3 +154,36 @@ def length_quantiles(docs: DataFrame) -> DataFrame:
     """Per-language exact n_chars quantiles (corpus length profile —
     the stat a curation pipeline thresholds on)."""
     return grouped_quantiles(docs, "lang", "n_chars", "doc_id")
+
+
+def vocab_stats(docs: DataFrame, top_k: int = 100) -> DataFrame:
+    """(tok, df, rank) for the top_k highest-document-frequency tokens
+    (rank = df-descending position, ties broken by token) — the corpus
+    vocabulary profile that stop-word lists, df-skew measurement
+    (dedup_text.df_skew_factor) and prefix-filter token ordering all
+    consume.
+
+    Plan shape: explode + map-side-partial groupBy to |vocab| rows,
+    TakeOrdered(top_k), then ranking via collect_list+posexplode over
+    the limited rows — no partition-less window anywhere (the same
+    pattern as similarity plane numbering; the audit enforces it)."""
+    tok = docs.select(
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    df_tab = (
+        tok.groupBy("tok").agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("tok").asc())
+        .limit(top_k)
+    )
+    return (
+        df_tab.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct((-F.col("df")).alias("negdf"), "tok", "df")
+                )
+            ).alias("arr")
+        )
+        .select(F.posexplode("arr").alias("i", "s"))
+        .select(F.col("s.tok").alias("tok"), F.col("s.df").alias("df"),
+                (F.col("i") + 1).alias("rank"))
+    )
