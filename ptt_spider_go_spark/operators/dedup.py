@@ -21,6 +21,7 @@ per run); this operator is mandated by the north_rule.
 
 from __future__ import annotations
 
+import logging
 import math
 from collections.abc import Iterator
 
@@ -28,6 +29,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 _HASH_KEY_1 = "ptt-spider-bloom-1"  # padded to 16 bytes below
 _HASH_KEY_2 = "ptt-spider-bloom-2"
@@ -157,6 +160,86 @@ def _cuckoo_alt(fp: np.ndarray, i: np.ndarray, n_buckets: int) -> np.ndarray:
     return (i.astype(np.uint64) ^ mix).astype(np.int64)
 
 
+def _cuckoo_place_empty(table: np.ndarray, fps: np.ndarray,
+                        buckets: np.ndarray) -> np.ndarray:
+    """Vectorized bulk placement: drop each fingerprint into the first
+    free slot of its bucket (row order within a bucket), mutating
+    `table` (one shard: (n_buckets, slots) uint16). Returns a boolean
+    mask of rows that did NOT fit (bucket already full)."""
+    if not len(fps):
+        return np.zeros(0, dtype=bool)
+    order = np.argsort(buckets, kind="stable")
+    fb, bb = fps[order], buckets[order]
+    uniq, inv, counts = np.unique(bb, return_inverse=True, return_counts=True)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    rank = np.arange(len(bb)) - starts[inv]       # 0,1,2,... within bucket
+    empty_mask = table[uniq] == 0                 # (U, slots)
+    n_empty = empty_mask.sum(axis=1)
+    can = rank < n_empty[inv]                     # the rank-th empty exists
+    # per-bucket permutation listing empty slots first, in slot order
+    slot_order = np.argsort(~empty_mask, axis=1, kind="stable")
+    slot_idx = slot_order[inv[can], rank[can]]
+    table[bb[can], slot_idx] = fb[can]
+    unplaced = np.ones(len(fps), dtype=bool)
+    unplaced[order[can]] = False
+    return unplaced
+
+
+def _cuckoo_insert_chain(table: np.ndarray, fp: int, i1: int, n_buckets: int,
+                         slots: int, rng: np.random.Generator) -> bool:
+    """Sequential displacement insert into one shard table (the rare
+    fallback after bulk placement). Returns False on a failed chain
+    (caller flags the shard overflowed)."""
+    i2 = int(_cuckoo_alt(np.array([fp], dtype=np.uint16),
+                         np.array([i1]), n_buckets)[0])
+    for i in (i1, i2):
+        if fp in table[i]:
+            return True
+        empty = np.nonzero(table[i] == 0)[0]
+        if len(empty):
+            table[i][empty[0]] = fp
+            return True
+    i, cur = i1, fp
+    for _ in range(CuckooShardSet.MAX_KICKS):
+        slot = int(rng.integers(slots))
+        cur, table[i][slot] = int(table[i][slot]), cur
+        i = int(_cuckoo_alt(np.array([cur], dtype=np.uint16),
+                            np.array([i]), n_buckets)[0])
+        empty = np.nonzero(table[i] == 0)[0]
+        if len(empty):
+            table[i][empty[0]] = cur
+            return True
+    return False
+
+
+def _cuckoo_build_shard(table: np.ndarray, fps: np.ndarray, i1s: np.ndarray,
+                        n_buckets: int, slots: int,
+                        rng: np.random.Generator) -> bool:
+    """Bulk-insert a batch of (fp, bucket) pairs into one shard table,
+    in place. Vectorized passes first (presence check, empty-slot fill
+    at i1 then i2); only the residue that hits two full buckets walks
+    the sequential displacement chain. Deterministic for a given
+    triple *set*: rows are lexsorted before insertion, so shuffle
+    arrival order cannot change the table. Returns True if any
+    displacement chain failed (shard overflow -> degrade)."""
+    if not len(fps):
+        return False
+    order = np.lexsort((i1s, fps))
+    fps, i1s = fps[order], i1s[order]
+    i2s = _cuckoo_alt(fps, i1s, n_buckets)
+    present = (table[i1s] == fps[:, None]).any(axis=1) | \
+              (table[i2s] == fps[:, None]).any(axis=1)
+    fps, i1s, i2s = fps[~present], i1s[~present], i2s[~present]
+    rem = _cuckoo_place_empty(table, fps, i1s)
+    rem2 = _cuckoo_place_empty(table, fps[rem], i2s[rem])
+    overflowed = False
+    for fp, i1 in zip(fps[rem][rem2], i1s[rem][rem2]):
+        if not _cuckoo_insert_chain(table, int(fp), int(i1), n_buckets,
+                                    slots, rng):
+            overflowed = True
+    return overflowed
+
+
 class CuckooShardSet:
     """Partitioned cuckoo filters — the verification pass between the
     Bloom prefilter and the exact anti-join (north_star: "partitioned
@@ -172,13 +255,15 @@ class CuckooShardSet:
     flags the shard as overflowed, degrading that shard to
     probe-always-true — exactness never depends on it).
 
-    Construction is incremental and O(new) per superstep: executors
-    reduce new URLs to unique (shard, fingerprint, bucket) triples
-    (8 bytes each — the same transfer class as the Bloom bitmap OR),
-    and the driver runs the sequential displacement inserts (cuckoo
-    insertion is inherently order-dependent, so the table lives where
-    the Bloom bitmaps already live). Probing broadcasts the tables and
-    is fully vectorized.
+    Construction is executor-side and O(new) per superstep: executors
+    reduce new URLs to unique (shard, fingerprint, bucket) triples,
+    then a per-shard applyInPandas runs the (vectorized-bulk +
+    displacement-fallback) inserts against a broadcast copy of that
+    shard's current table and returns the updated table bytes plus an
+    overflow flag. The driver only installs n_shards byte blobs —
+    exactly the Bloom-bitmap-OR transfer class (BloomShardSet.add_df),
+    with no per-row driver work. Probing broadcasts the tables and is
+    fully vectorized.
     """
 
     MAX_KICKS = 500
@@ -195,7 +280,25 @@ class CuckooShardSet:
         self.tables = np.zeros((n_shards, buckets_per_shard, slots),
                                dtype=np.uint16)
         self.overflowed = np.zeros(n_shards, dtype=bool)
-        self._rng = np.random.default_rng(42)  # deterministic evictions
+        self._epoch = 0  # add_df call counter -> deterministic eviction seeds
+
+    @classmethod
+    def for_capacity(cls, n_shards: int, capacity: int, slots: int = 4,
+                     target_load: float = 0.95) -> "CuckooShardSet":
+        """Size the filter for `capacity` fingerprints: buckets_per_shard
+        = next power of two >= capacity / (n_shards * slots * target_load)
+        (cuckoo tables stay displacement-stable to ~95% load). Sizing from
+        the activation threshold — rather than a fixed 2^15 — is what
+        keeps the filter useful at the moment it engages; the power-of-two
+        round-up typically adds further headroom for post-crossing growth,
+        and overflow past that is logged and degrades (never corrupts)."""
+        need = max(1, math.ceil(capacity / (n_shards * slots * target_load)))
+        buckets = 1 << max(8, (need - 1).bit_length())
+        return cls(n_shards, buckets, slots)
+
+    @property
+    def capacity(self) -> int:
+        return self.n_shards * self.n_buckets * self.slots
 
     def _decompose(self, urls: pd.Series):
         return _cuckoo_decompose(urls, self.n_shards, self.n_buckets)
@@ -203,37 +306,20 @@ class CuckooShardSet:
     def _alt_bucket(self, fp: np.ndarray, i: np.ndarray) -> np.ndarray:
         return _cuckoo_alt(fp, i, self.n_buckets)
 
-    def _insert_one(self, s: int, fp: int, i1: int) -> None:
-        t = self.tables[s]
-        i2 = int(self._alt_bucket(np.array([fp], dtype=np.uint16),
-                                  np.array([i1]))[0])
-        for i in (i1, i2):
-            if fp in t[i]:
-                return  # already present
-        for i in (i1, i2):
-            empty = np.nonzero(t[i] == 0)[0]
-            if len(empty):
-                t[i][empty[0]] = fp
-                return
-        # displacement chain
-        i, cur = i1, fp
-        for _ in range(self.MAX_KICKS):
-            slot = int(self._rng.integers(self.slots))
-            cur, t[i][slot] = int(t[i][slot]), cur
-            i = int(self._alt_bucket(np.array([cur], dtype=np.uint16),
-                                     np.array([i]))[0])
-            empty = np.nonzero(t[i] == 0)[0]
-            if len(empty):
-                t[i][empty[0]] = cur
-                return
-        self.overflowed[s] = True  # degrade, never lose exactness
-
     def add_df(self, df: DataFrame, url_col: str = "url") -> None:
-        """Insert the URLs of `df`: executors emit unique
-        (shard, fp, bucket) triples, the driver runs the displacement
-        inserts (O(new) rows collected)."""
+        """Insert the URLs of `df`. Fully distributed: the shards are
+        independent, so each shard's displacement inserts run inside a
+        per-shard applyInPandas group (the driver never touches a row).
+        Deterministic: triples are lexsorted inside the build and the
+        eviction RNG is seeded by (shard, epoch), so the resulting table
+        bytes do not depend on shuffle arrival order."""
 
-        n_shards, n_buckets = self.n_shards, self.n_buckets
+        n_shards, n_buckets, slots = self.n_shards, self.n_buckets, self.slots
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast(
+            (self.tables.tobytes(), self.overflowed.tobytes())
+        )
+        epoch = self._epoch
 
         def to_triples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             seen_local: set = set()
@@ -252,11 +338,41 @@ class CuckooShardSet:
                         out["i1"].append(key[2])
             yield pd.DataFrame(out, columns=["shard", "fp", "i1"])
 
+        def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            s = int(pdf["shard"].iloc[0])
+            tbl_b, ov_b = bc.value
+            table = np.frombuffer(tbl_b, dtype=np.uint16).reshape(
+                n_shards, n_buckets, slots
+            )[s].copy()
+            ov = bool(np.frombuffer(ov_b, dtype=bool)[s])
+            rng = np.random.default_rng([42, epoch, s])
+            ov |= _cuckoo_build_shard(
+                table, pdf["fp"].to_numpy(dtype=np.uint16),
+                pdf["i1"].to_numpy(dtype=np.int64), n_buckets, slots, rng
+            )
+            return pd.DataFrame({"shard": [s], "bits": [table.tobytes()],
+                                 "overflowed": [ov]})
+
         triples = df.select(url_col).mapInPandas(
             to_triples, "shard int, fp int, i1 long"
+        ).distinct()
+        parts = triples.groupBy("shard").applyInPandas(
+            build_shard, "shard int, bits binary, overflowed boolean"
         )
-        for row in triples.distinct().collect():
-            self._insert_one(row["shard"], row["fp"], row["i1"])
+        for row in parts.collect():
+            s = row["shard"]
+            self.tables[s] = np.frombuffer(row["bits"], dtype=np.uint16) \
+                .reshape(n_buckets, slots)
+            if row["overflowed"] and not self.overflowed[s]:
+                logger.warning(
+                    "cuckoo shard %d overflowed (capacity %d/shard); shard "
+                    "degrades to probe-always-true — exactness preserved, "
+                    "verification benefit lost for this shard", s,
+                    n_buckets * slots,
+                )
+            self.overflowed[s] |= bool(row["overflowed"])
+        self._epoch += 1
+        bc.unpersist()
 
     def with_maybe_seen(self, df: DataFrame, url_col: str = "url",
                         out_col: str = "maybe_seen") -> DataFrame:

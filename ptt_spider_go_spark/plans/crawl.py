@@ -143,8 +143,16 @@ def run_crawl(
     # already cheap and the extra probe pass is pure overhead; at the
     # crossing, the filter is bulk-built from the full seen set in one
     # distributed pass (it must contain ALL seen URLs to stay
-    # false-negative-free), then maintained incrementally.
-    cuckoos = CuckooShardSet(cfg.bloom_shards) if cfg.cuckoo_verify else None
+    # false-negative-free), then maintained incrementally. Capacity is
+    # derived from the activation threshold (it engages holding
+    # ~cuckoo_min_seen fingerprints, so a fixed size would overflow at
+    # the crossing); the 2^16 floor keeps forced-on test configs
+    # (cuckoo_min_seen=0) from starting life overflowed.
+    cuckoos = (
+        CuckooShardSet.for_capacity(cfg.bloom_shards,
+                                    max(cfg.cuckoo_min_seen, 1 << 16))
+        if cfg.cuckoo_verify else None
+    )
     cuckoo_active = False
     n_seen_est = 0
 

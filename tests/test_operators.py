@@ -1,6 +1,8 @@
 """Operator-level tests: politeness budget, robots, retry ledger, Bloom
 seen-set, dir-collision window."""
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -386,6 +388,93 @@ def test_cuckoo_overflow_degrades_not_corrupts(spark):
     assert ck.overflowed.any()
     probed = ck.with_maybe_seen(df)
     assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_cuckoo_build_is_executor_side(spark, monkeypatch):
+    """The displacement inserts run inside the per-shard applyInPandas
+    groups, never on the driver (r2 VERDICT #1). Proof: wrap the build
+    kernel with a guard that raises in the driver *process* — cloudpickle
+    ships the wrapped global to the Python workers, where os.getpid()
+    differs, so only a driver-side insert would trip it."""
+    import os
+
+    from ptt_spider_go_spark.operators import dedup as dmod
+
+    real_build = dmod._cuckoo_build_shard
+    driver_pid = os.getpid()
+
+    def guarded(*a, **k):
+        if os.getpid() == driver_pid:
+            raise AssertionError("cuckoo insert ran on the driver")
+        return real_build(*a, **k)
+
+    monkeypatch.setattr(dmod, "_cuckoo_build_shard", guarded)
+    urls = [f"https://exec.test/{i}" for i in range(2000)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    ck = CuckooShardSet(n_shards=4, buckets_per_shard=1 << 10)
+    ck.add_df(df)  # would raise if any insert executed driver-side
+    assert ck.tables.any()
+    probed = ck.with_maybe_seen(df)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_cuckoo_build_deterministic_vs_input_order(spark):
+    """Same URL *set*, different arrival order/partitioning -> identical
+    table bytes (the build lexsorts its triples; eviction RNG is seeded
+    by (shard, epoch), not by row order)."""
+    urls = [f"https://det.test/{i}" for i in range(3000)]
+    a = spark.createDataFrame([(u,) for u in urls], "url string").repartition(8)
+    b = spark.createDataFrame([(u,) for u in reversed(urls)],
+                              "url string").repartition(3)
+    ck1 = CuckooShardSet(n_shards=4, buckets_per_shard=1 << 11)
+    ck2 = CuckooShardSet(n_shards=4, buckets_per_shard=1 << 11)
+    ck1.add_df(a)
+    ck2.add_df(b)
+    assert ck1.tables.tobytes() == ck2.tables.tobytes()
+    assert (ck1.overflowed == ck2.overflowed).all()
+
+
+def test_cuckoo_for_capacity_sizing():
+    """Capacity derivation (ADVICE r2): the filter engaging at
+    cuckoo_min_seen must actually hold that many fingerprints."""
+    ck = CuckooShardSet.for_capacity(8, 5_000_000)
+    assert ck.capacity * 0.95 >= 5_000_000
+    assert ck.n_buckets & (ck.n_buckets - 1) == 0
+    # and it does not balloon: at most ~2x the target after pow2 rounding
+    assert ck.capacity <= 2 * math.ceil(5_000_000 / 0.95)
+    small = CuckooShardSet.for_capacity(8, 1)
+    assert small.n_buckets == 1 << 8
+
+
+def test_cuckoo_overflow_is_logged(spark, caplog):
+    """Degradation must be visible (ADVICE r2): first overflow of a
+    shard emits a warning naming the shard."""
+    urls = [f"https://log.test/{i}" for i in range(4000)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    ck = CuckooShardSet(n_shards=1, buckets_per_shard=1 << 8, slots=4)
+    with caplog.at_level("WARNING",
+                         logger="ptt_spider_go_spark.operators.dedup"):
+        ck.add_df(df)
+    assert any("overflowed" in r.message for r in caplog.records)
+
+
+def test_cuckoo_bulk_place_empty_kernel():
+    """Pure-kernel check of the vectorized empty-slot placement: fills
+    per-bucket in row order, reports exactly the overflowing rows."""
+    import numpy as np
+
+    table = np.zeros((4, 2), dtype=np.uint16)
+    table[1, 0] = 7  # bucket 1 has one slot taken
+    fps = np.array([10, 11, 12, 13, 14], dtype=np.uint16)
+    buckets = np.array([1, 1, 3, 1, 3], dtype=np.int64)
+    from ptt_spider_go_spark.operators.dedup import _cuckoo_place_empty
+
+    unplaced = _cuckoo_place_empty(table, fps, buckets)
+    # bucket 1: one free slot -> fp 10 lands, 11 and 13 spill
+    # bucket 3: two free slots -> 12 and 14 land
+    assert list(unplaced) == [False, True, False, True, False]
+    assert table[1, 1] == 10
+    assert set(table[3]) == {12, 14}
 
 
 def test_dedup_exactness_with_cuckoo_layer(spark):
