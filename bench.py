@@ -41,6 +41,7 @@ HEADLINE = [
     "simhash",
     "ngram_jaccard_pairs",
     "ngram_jaccard_prefix",
+    "ngram_jaccard_zipf",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",
@@ -141,6 +142,84 @@ def main():
     times["crawl_pipeline"] = round(crawl_dt, 3)
     total += crawl_dt
 
+    # --- config A/B exhibit (twin of the reference's only published
+    # benchmark, benchmark.sh:24-63: same workload, default vs optimized
+    # connection-pool config, 45 s -> 28 s). The engine's concurrency
+    # knob is the politeness worker-pool size (workers -> per-host
+    # fetch budget per superstep): workers=3 starves the budget and
+    # forces extra supersteps over the SAME workload, workers=10 is the
+    # tuned default used above. Fetch sets must be identical (the
+    # budget defers URLs, never drops them).
+    cfg_small = CrawlConfig(
+        board="Beauty", pages=scale["pages_per_board"], push_rate=10,
+        host_salt=cpus, max_supersteps=24, superstep_ms=600_000, workers=3,
+    )
+    t0 = time.time()
+    res_small = run_crawl(spark, pages, cfg_small,
+                          boards=list(scale["boards"]), verify_text=False)
+    _force(res_small.articles)
+    _force(res_small.markdown_docs)
+    fetched_small = res_small.fetch_log.count()
+    ab_small_dt = time.time() - t0
+    config_ab = {
+        "knob": "politeness worker-pool size (CrawlConfig.workers)",
+        "workers3_sec": round(ab_small_dt, 3),
+        "workers10_sec": round(crawl_dt, 3),
+        "workers3_supersteps": res_small.supersteps,
+        "workers10_supersteps": res.supersteps,
+        "same_fetch_set": fetched_small == fetched,
+        "reference_twin": "benchmark.sh default-vs-optimized pool (45s -> 28s)",
+    }
+
+    # --- adaptive-Jaccard A/B on web-shaped (Zipfian) text: the
+    # headline ngram_jaccard_zipf above IS the adaptive/prefix side
+    # (probe + prefix join); time the naive join on the same corpus to
+    # show the selector picks the winner on BOTH corpus shapes (it
+    # picks naive on the flat synthetic corpus — see note).
+    from ptt_spider_go_spark import datagen as DG
+    from ptt_spider_go_spark.pipeline import dedup_text as DT
+
+    zdocs = DG.zipfify_documents(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
+    t0 = time.time()
+    _force(DT.ngram_jaccard_pairs(zdocs))
+    zipf_naive_dt = time.time() - t0
+    jaccard_zipf_ab = {
+        "adaptive_prefix_sec": times["ngram_jaccard_zipf"],
+        "naive_sec": round(zipf_naive_dt, 3),
+        "flat_corpus_naive_sec": times["ngram_jaccard_pairs"],
+        "flat_corpus_prefix_sec": times["ngram_jaccard_prefix"],
+    }
+
+    # --- round-over-round comparability: one number over the queries
+    # shared with the previous round's BENCH file (suite totals are
+    # query-set-dependent and not comparable across rounds).
+    shared_with_prev = None
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prev_files = sorted(
+        f for f in os.listdir(repo_dir)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+    )
+    if prev_files:
+        try:
+            with open(os.path.join(repo_dir, prev_files[-1])) as fh:
+                prev = json.load(fh)
+            # driver BENCH files wrap the bench JSON under "parsed"
+            prev_q = prev.get("queries") or prev.get("parsed", {}).get(
+                "queries", {}
+            )
+            shared = sorted(set(prev_q) & set(times))
+            shared_with_prev = {
+                "prev_file": prev_files[-1],
+                "prev_sf": prev.get("sf") or prev.get("parsed", {}).get("sf"),
+                "n_queries": len(shared),
+                "now_sec": round(sum(times[q] for q in shared), 3),
+                "prev_sec": round(sum(prev_q[q] for q in shared), 3),
+            }
+        except (OSError, ValueError):
+            pass
+
     print(
         json.dumps(
             {
@@ -154,13 +233,20 @@ def main():
                 "crawl_pages_available": n_pages,
                 "crawl_supersteps": res.supersteps,
                 "warmup_sec_excluded": warmup_sec,
+                "config_ab": config_ab,
+                "jaccard_zipf_ab": jaccard_zipf_ab,
+                "shared_with_prev": shared_with_prev,
                 "note": (
                     "ngram_jaccard_prefix pins the PPJoin-style scale path "
                     "on its WORST-case input (the synthetic corpus is "
                     "uniform-df, vocab 31, zipf_factor 1.03 — prefixes "
                     "prune nothing); the adaptive default "
                     "ngram_jaccard_pairs measures df skew and picks the "
-                    "naive join here, the prefix join on Zipfian web text"
+                    "naive join there. ngram_jaccard_zipf + jaccard_zipf_ab "
+                    "demonstrate the flip side: on web-shaped Zipfian text "
+                    "(datagen.zipfify_documents) the selector picks prefix "
+                    "and it wins — the selector chooses the faster exact "
+                    "algorithm on BOTH corpus shapes"
                 ),
                 "cpus": cpus,
             }

@@ -1101,6 +1101,63 @@ WHERE round(common / (sa.sz + sb.sz - common), 4) >= 0.4
 """
 
 
+def q_ngram_jaccard_zipf(spark, sf_dir):
+    """The adaptive-selector flip demonstrated end-to-end on Zipfian
+    (web-shaped) text (r2 VERDICT #3): the documents table is
+    deterministically reshaped with a 1/rank head
+    (datagen.zipfify_documents — token zh_j in every doc_id % (j+1)
+    == 0), the measured df skew crosses the threshold, and the auto
+    path runs the prefix-filtered join. Self-checks the selector
+    actually chose 'prefix' (raises otherwise), so a green driver row
+    certifies the flip, not just the output values."""
+    from ptt_spider_go_spark import datagen
+
+    zdocs = datagen.zipfify_documents(_t(spark, sf_dir, "documents"))
+    algo = dedup_text.choose_jaccard_algo(zdocs)
+    if algo != "prefix":
+        raise AssertionError(
+            f"adaptive Jaccard selector picked {algo!r} on the Zipfian "
+            "corpus — expected 'prefix'"
+        )
+    # run the selected path directly (ngram_jaccard_pairs_auto would
+    # re-run the same probe; one probe is enough to certify the flip)
+    return dedup_text.ngram_jaccard_pairs_prefix(zdocs)
+
+
+def _zipf_text_sql(n_head: int = 16, n_tail: int = 80) -> str:
+    """DuckDB twin of datagen.zipfify_documents (concat_ws skips NULL
+    in both engines; md5 is lowercase hex in both)."""
+    head = ", ".join(
+        f"CASE WHEN doc_id % {j + 1} = 0 THEN 'zh{j}' END"
+        for j in range(n_head)
+    )
+    tail = ", ".join(
+        f"'zr' || substr(md5(text), 1, 2) || '_{j}'" for j in range(n_tail)
+    )
+    return f"concat_ws(' ', text, {head}, {tail})"
+
+
+SQL_NGRAM_JACCARD_ZIPF = f"""
+WITH zdocs AS (
+  SELECT doc_id, {_zipf_text_sql()} AS text, lang FROM documents),
+tok AS (
+  SELECT DISTINCT doc_id, lang AS bucket, t.tok FROM zdocs,
+    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) t(tok)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM tok a JOIN tok b
+    ON a.tok = b.tok AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(common / (sa.sz + sb.sz - common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(common / (sa.sz + sb.sz - common), 4) >= 0.4
+"""
+
+
 # DuckDB twin of pipeline.similarity.dot: sequential left-fold.
 _DOT_SQL = (
     "list_reduce(list_transform(generate_series(1, len({a})), "
@@ -1586,6 +1643,7 @@ QUERIES = {
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "ngram_jaccard_prefix": (q_ngram_jaccard_prefix, SQL_NGRAM_JACCARD_PAIRS),
+    "ngram_jaccard_zipf": (q_ngram_jaccard_zipf, SQL_NGRAM_JACCARD_ZIPF),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),

@@ -334,3 +334,62 @@ def robots_rules_pandas() -> pd.DataFrame:
             {"host": "www.ptt.cc", "path_prefix": "/", "allowed": True},
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipfian web-text shaping (r2 VERDICT next-round #3)
+# ---------------------------------------------------------------------------
+
+#: head/tail widths appended by zipfify_documents. The tail width is
+#: chosen so a doc's Jaccard-0.4 prefix (|prefix| = sz - ceil(0.4*sz)
+#: + 1 <= 0.6*sz + 1) fits entirely inside the rare tail: base corpus
+#: distinct tokens <= 31 (vocab is 31), head <= 16, so
+#: 0.6*(31 + 16 + 80) + 1 = 77.2 <= 80. That is the regime of real web
+#: text, where prefixes are names/ids/typos, never stop words.
+ZIPF_HEAD_TOKENS = 16
+ZIPF_TAIL_TOKENS = 80
+
+
+def zipfify_documents(docs, n_head: int = ZIPF_HEAD_TOKENS,
+                      n_tail: int = ZIPF_TAIL_TOKENS):
+    """Deterministically reshape a documents table into the Zipfian
+    token-frequency regime of real web text, which the synthetic
+    testdata lacks on BOTH ends (its ~31-token vocabulary makes every
+    token a uniformly-heavy stop word — measured df skew 1.03):
+
+    - head: token `zh<j>` (j = 0..n_head-1) appended to every document
+      whose doc_id % (j+1) == 0, so df(zh_j) = n/(j+1) — an exact
+      1/rank (Zipf exponent 1) stop-word head;
+    - tail: n_tail tokens `zr<md5(text)[:2]>_<j>` — the long rare tail
+      (names, ids, typos) that dominates a real web vocabulary. The
+      tail is CONTENT-derived, not doc_id-derived, so exact duplicates
+      share their tail and keep Jaccard 1.0 (a doc_id-keyed tail would
+      push every true duplicate pair below threshold — real rare
+      tokens travel with the text they belong to). The 2-hex-char key
+      groups docs into 256 boilerplate clusters (shared site
+      templates), giving the corpus genuine near-dup structure: same-
+      cluster pairs land at J ~ 0.65-0.7, cross-cluster at ~0.1.
+
+    This is the regime the adaptive Jaccard selector's threshold note
+    (pipeline/dedup_text.py) argues from: the head carries the
+    quadratic candidate mass that prefix filtering prunes and the
+    naive token join cannot, while the tail gives prefixes their
+    pruning power.
+
+    Pure column arithmetic — no randomness, no UDF — so a DuckDB
+    oracle reproduces the corpus exactly (contract._zipf_text_sql).
+    """
+    from pyspark.sql import functions as F
+
+    head = [
+        F.when(F.col("doc_id") % (j + 1) == 0, F.lit(f"zh{j}"))
+        for j in range(n_head)
+    ]
+    sig = F.substring(F.md5(F.col("text")), 1, 2)
+    tail = [
+        F.concat(F.lit("zr"), sig, F.lit(f"_{j}")) for j in range(n_tail)
+    ]
+    # concat_ws skips NULLs in both Spark and DuckDB
+    return docs.withColumn(
+        "text", F.concat_ws(" ", F.col("text"), *head, *tail)
+    )

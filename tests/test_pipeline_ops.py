@@ -178,6 +178,63 @@ def test_jaccard_algo_selection_by_df_skew(spark):
     assert auto == naive
 
 
+def test_zipfify_flips_selector_with_output_parity(spark):
+    """r2 VERDICT #3 end-to-end: on the real testdata reshaped into the
+    web-text (Zipfian) regime, the adaptive selector flips to 'prefix'
+    AND both exact algorithms agree on a non-empty pair set."""
+    from ptt_spider_go_spark import datagen
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    z = datagen.zipfify_documents(docs)
+    assert dedup_text.choose_jaccard_algo(docs) == "naive"
+    assert dedup_text.choose_jaccard_algo(z) == "prefix"
+    prefix = sorted(
+        map(tuple, dedup_text.ngram_jaccard_pairs_prefix(z).collect())
+    )
+    naive = sorted(map(tuple, dedup_text.ngram_jaccard_pairs(z).collect()))
+    assert prefix == naive
+    assert len(prefix) > 0
+
+
+def test_zipfify_preserves_exact_dup_jaccard(spark):
+    """The content-derived tail must keep exact duplicates at J = 1.0
+    (a doc_id-keyed tail would sink every true dup below threshold)."""
+    from ptt_spider_go_spark import datagen
+
+    rows = [(1, "alpha beta gamma", "en"), (2, "alpha beta gamma", "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    z = datagen.zipfify_documents(docs)
+    pairs = dedup_text.ngram_jaccard_pairs_prefix(z, threshold=0.9).collect()
+    got = [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs]
+    # not exactly 1.0: the stop-word head is doc_id-dependent (zh1
+    # lands only on even ids), costing one token of union — the shared
+    # 80-token tail keeps the pair essentially at 1.0
+    assert len(got) == 1
+    assert got[0][:2] == (1, 2)
+    assert got[0][2] > 0.95
+
+
+def test_df_skew_probe_caps_by_default(spark, monkeypatch):
+    """The probe is O(sample) without caller cooperation (r2 VERDICT
+    #4): above the cap it samples (deterministically); below, it reads
+    everything (factor equals the explicit full-scan value)."""
+    rows = [
+        (i, "the of and " + " ".join(f"w{i}_{j}" for j in range(6)), "en")
+        for i in range(400)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    full = dedup_text.df_skew_factor(docs, sample_fraction=1.0)
+    assert dedup_text.df_skew_factor(docs) == full  # 400 < 1M cap
+    monkeypatch.setattr(dedup_text, "JACCARD_PROBE_CAP_DOCS", 100)
+    capped_1 = dedup_text.df_skew_factor(docs)
+    capped_2 = dedup_text.df_skew_factor(docs)
+    assert capped_1 == capped_2  # fixed-seed sample -> deterministic
+    # the sampled probe still lands in the same regime
+    assert (capped_1 > dedup_text.JACCARD_ZIPF_THRESHOLD) == (
+        full > dedup_text.JACCARD_ZIPF_THRESHOLD
+    )
+
+
 def test_ngram_jaccard(spark, docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
