@@ -159,9 +159,24 @@ def _fix_int(value, min_allowed: int, default: int) -> int:
 
 
 def _deep_merge(base: dict, over: dict) -> dict:
+    """Merge a raw YAML dict over defaults with Go yaml.Unmarshal-into-
+    prefilled-struct semantics (ADVICE r2): a null section (`crawler:`
+    with no body) leaves the defaults untouched (yaml unmarshals null
+    as a no-op); a scalar where a mapping is expected is an unmarshal
+    type error -> ConfigError, mirroring Load's error return
+    (config.go:116-141)."""
     out = dict(base)
     for k, v in (over or {}).items():
-        if isinstance(v, dict) and isinstance(out.get(k), dict):
+        if isinstance(out.get(k), dict):
+            if v is None:
+                continue
+            if not isinstance(v, dict):
+                from ptt_spider_go_spark.errors import CONFIG_ERROR, CrawlerError
+
+                raise CrawlerError(
+                    CONFIG_ERROR,
+                    f"cannot unmarshal {type(v).__name__} into section {k!r}",
+                )
             out[k] = _deep_merge(out[k], v)
         else:
             out[k] = v

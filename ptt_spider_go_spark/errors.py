@@ -95,14 +95,29 @@ def quarantine_from_fetch_log(fetch_log: DataFrame) -> DataFrame:
       logs, crawler.go:430-435)
     - failed (non-200 / 429 retries exhausted) -> NetworkError with the
       retry accounting in context (retry.go:39-41)
+
+    The cause is derived from the final HTTP status the fetch log
+    carries (ADVICE r2: apply_fetch_status routes ANY non-200/non-429
+    status into `failed`, so a hardcoded 'HTTP 429' would mislabel a
+    500 as exhausted retries); the message distinguishes exhausted
+    retries (429 after max attempts, 重試耗盡) from a plain failed
+    download (下載失敗). Logs from before the status column existed
+    fall back to the outcome-based inference.
     """
     bad = fetch_log.filter(F.col("outcome").isin("missing_404", "failed"))
+    if "status" in fetch_log.columns:
+        status = F.coalesce(
+            F.col("status"),
+            F.when(F.col("outcome") == "missing_404", F.lit(404)),
+        )
+    else:
+        status = F.when(F.col("outcome") == "missing_404", F.lit(404)) \
+            .otherwise(F.lit(429))
     return bad.select(
         F.lit(NETWORK_ERROR).alias("error_type"),
-        F.when(F.col("outcome") == "missing_404", F.lit("下載失敗"))
-        .otherwise(F.lit("重試耗盡")).alias("message"),
-        F.when(F.col("outcome") == "missing_404", F.lit("HTTP 404"))
-        .otherwise(F.lit("HTTP 429")).alias("cause"),
+        F.when(status == 429, F.lit("重試耗盡"))
+        .otherwise(F.lit("下載失敗")).alias("message"),
+        F.concat(F.lit("HTTP "), status.cast("string")).alias("cause"),
         "url",
         "superstep",
         F.map_from_arrays(

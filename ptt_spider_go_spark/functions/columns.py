@@ -25,10 +25,16 @@ def _go_atoi(c: Column) -> Column:
 
 
 def ws_trim(c: Column) -> Column:
-    """Go strings.TrimSpace twin: strips ALL ASCII whitespace, not just
-    spaces (F.trim strips only ' ' — a tab-padded push marker decoded
-    wrong through it; found by the parity fuzzer)."""
-    return F.regexp_replace(c, r"^\s+|\s+$", "")
+    """Go strings.TrimSpace twin: strips the exact unicode.IsSpace set
+    (F.trim strips only ' '; Java regex \\s is ASCII-only, silently
+    missing U+3000 — the full-width space ubiquitous in PTT Chinese
+    text — and U+00A0; ADVICE r2). The class is built from the same
+    canonical GO_WHITESPACE the Python kernel strips, so the Catalyst
+    path, the kernel, and Go agree character-for-character."""
+    from ptt_spider_go_spark.htmlparse.ptt import GO_WHITESPACE
+
+    cls = f"[{GO_WHITESPACE}]"
+    return F.regexp_replace(c, f"^{cls}+|{cls}+$", "")
 
 
 # --- C1: push-count decode (ptt/parser_impl.go:46-60) ----------------------

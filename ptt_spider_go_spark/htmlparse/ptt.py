@@ -23,6 +23,24 @@ PTT_BASE_URL = "https://www.ptt.cc"  # constants/constants.go:7
 
 _IMG_SUFFIXES = (".jpg", ".jpeg", ".png", ".gif")
 
+#: Go unicode.IsSpace set (what strings.TrimSpace trims): Latin-1
+#: whitespace plus the Unicode White_Space property — notably U+3000
+#: (ideographic space, ubiquitous padding in Chinese text) and U+00A0.
+#: Python's bare str.strip() additionally strips U+001C-001F, which Go
+#: does NOT, so every TrimSpace twin strips exactly this set (ADVICE
+#: r2: the Catalyst ws_trim and this kernel must agree with Go on
+#: non-ASCII whitespace).
+GO_WHITESPACE = (
+    "\t\n\x0b\x0c\r \x85\xa0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000"
+)
+
+
+def trim_space(s: str) -> str:
+    """strings.TrimSpace twin (exact Go whitespace set)."""
+    return s.strip(GO_WHITESPACE)
+
 
 def decode_push_rate(s: str) -> int:
     """Push-marker decode (parser_impl.go:46-60).
@@ -32,7 +50,7 @@ def decode_push_rate(s: str) -> int:
     Go's Atoi accepts an optional sign and digits only — no whitespace,
     no floats — so the Python equivalent is an explicit digit check.
     """
-    s = s.strip()
+    s = trim_space(s)
     if s == "爆":
         return 100
     if s.startswith("X"):
@@ -64,11 +82,11 @@ def parse_articles(html: str | bytes) -> list[dict]:
         if not title_nodes:
             continue
         href = title_nodes[0].attrs.get("href", "")
-        title = "".join(n.text() for n in title_nodes).strip()
+        title = trim_space("".join(n.text() for n in title_nodes))
         if "公告" in title:
             continue
-        author = "".join(n.text() for n in rent.find(".meta .author")).strip()
-        push_str = "".join(n.text() for n in rent.find(".nrec span")).strip()
+        author = trim_space("".join(n.text() for n in rent.find(".meta .author")))
+        push_str = trim_space("".join(n.text() for n in rent.find(".nrec span")))
         rows.append(
             {
                 "title": title,
@@ -112,9 +130,9 @@ def parse_article_content(html: str | bytes) -> tuple[str, list[str]]:
     doc = parse_html(html)
     title = ""
     for tag_el in doc.find(".article-meta-tag"):
-        if tag_el.text().strip() == "標題":
+        if trim_space(tag_el.text()) == "標題":
             nxt = tag_el.next_element()
-            title = nxt.text().strip() if nxt is not None else ""
+            title = trim_space(nxt.text()) if nxt is not None else ""
             break
     imgs: list[str] = []
     for a in doc.find("a"):

@@ -108,7 +108,7 @@ _ARTICLE_SCHEMA = (
 )
 _LOG_SCHEMA = (
     "superstep int, url string, kind string, outcome string, attempt int, "
-    "backoff_ms long"
+    "backoff_ms long, status int"
 )
 
 
@@ -336,26 +336,32 @@ def run_crawl(
         # 7. bookkeeping tables for this superstep. The 'fetched' rows
         # come from the already-materialized parse result — no extra
         # pages scan; 'missing' is a column-pruned url-only anti-join.
+        # The final HTTP status rides along so the quarantine can name
+        # the true cause (a 500 is not an exhausted 429 retry).
         lit_step = F.lit(step)
         log_rows = (
             parsed_all.filter(F.col("row_kind") == "fetch").select(
                 lit_step.alias("superstep"), "url", "kind",
                 F.lit("fetched").alias("outcome"), "attempt", "backoff_ms",
+                F.lit(200).alias("status"),
             )
             .unionByName(missing.select(
                 lit_step.alias("superstep"), "url", "kind",
                 F.lit("missing_404").alias("outcome"), "attempt", "backoff_ms",
+                F.lit(404).alias("status"),
             ))
         )
         if retry is not None:
             log_rows = log_rows.unionByName(retry.select(
                 lit_step.alias("superstep"), "url", "kind",
                 F.lit("retry_429").alias("outcome"), "attempt", "backoff_ms",
+                F.lit(429).alias("status"),
             ))
         if failed is not None:
             log_rows = log_rows.unionByName(failed.select(
                 lit_step.alias("superstep"), "url", "kind",
                 F.lit("failed").alias("outcome"), "attempt", "backoff_ms",
+                "status",
             ))
 
         next_frontier = fresh.unionByName(deferred.select(FRONTIER_COLS))

@@ -129,6 +129,32 @@ def test_partial_yaml_merges_over_defaults(tmp_path):
     assert c["http"]["idleConnTimeout_ms"] == 90_000
 
 
+def test_null_section_keeps_defaults(tmp_path):
+    """`crawler:` with no body is YAML null; Go's yaml.Unmarshal into a
+    prefilled struct treats it as a no-op, so defaults survive
+    (ADVICE r2: this crashed with AttributeError before)."""
+    cfg = _load(tmp_path, "crawler:\n")
+    assert cfg["crawler"]["workers"] == 10
+    assert cfg["crawler"]["http"]["timeout_ms"] == 30_000
+    # nested null section too
+    cfg = _load(tmp_path, "crawler:\n  channels:\n  workers: 7\n")
+    assert cfg["crawler"]["workers"] == 7
+    assert cfg["crawler"]["channels"]["articleInfo"] == 100
+
+
+def test_scalar_section_raises_config_error(tmp_path):
+    """A scalar where a mapping is expected is an unmarshal type error
+    in the reference's Load; the twin raises the ConfigError taxonomy
+    instead of an unstructured TypeError."""
+    from ptt_spider_go_spark.errors import CONFIG_ERROR, CrawlerError
+
+    with pytest.raises(CrawlerError) as ei:
+        _load(tmp_path, "crawler:\n  channels: 5\n")
+    assert ei.value.is_type(CONFIG_ERROR)
+    with pytest.raises(CrawlerError):
+        _load(tmp_path, "crawler: 3\n")
+
+
 def test_invalid_duration_falls_back_per_field(tmp_path):
     cfg = _load(
         tmp_path,

@@ -67,6 +67,27 @@ def test_quarantine_types_fetch_failures(spark):
     assert exhausted["context"]["backoff_ms"] == "3000"
 
 
+def test_quarantine_cause_from_final_status(spark):
+    """ADVICE r2: a non-429 failure (e.g. 500) must be labeled with its
+    real status, not as exhausted-429 retries; 429-exhausted keeps the
+    重試耗盡 message."""
+    log = spark.createDataFrame(
+        [
+            (0, "https://x/boom500", "article", "failed", 1, 0, 500),
+            (0, "https://x/always429", "article", "failed", 3, 3000, 429),
+            (0, "https://x/gone", "article", "missing_404", 1, 0, 404),
+        ],
+        "superstep int, url string, kind string, outcome string, "
+        "attempt int, backoff_ms long, status int",
+    )
+    rows = {r["url"]: r for r in E.quarantine_from_fetch_log(log).collect()}
+    assert rows["https://x/boom500"]["cause"] == "HTTP 500"
+    assert rows["https://x/boom500"]["message"] == "下載失敗"
+    assert rows["https://x/always429"]["cause"] == "HTTP 429"
+    assert rows["https://x/always429"]["message"] == "重試耗盡"
+    assert rows["https://x/gone"]["cause"] == "HTTP 404"
+
+
 def test_crawl_result_carries_quarantine(spark):
     from ptt_spider_go_spark.datagen import pages_df
     from ptt_spider_go_spark.plans.crawl import run_crawl

@@ -42,9 +42,37 @@ def _rand_strings(rng, alphabet, n=400, maxlen=12):
 
 def test_push_rate_decode_parity_fuzz(spark):
     rng = random.Random(SEED)
-    alphabet = "0123456789Xx爆+- \t普"
-    inputs = _rand_strings(rng, alphabet) + ["爆", "X", "XX", "+5", "-0", " 爆 "]
+    # 　 (full-width space), \xa0 (NBSP), \x85 (NEL): Unicode
+    # whitespace Go's TrimSpace strips but ASCII-only \s does not
+    # (ADVICE r2 — the gap was untested before these joined the
+    # alphabet)
+    alphabet = "0123456789Xx爆+- \t普　\xa0\x85"
+    inputs = _rand_strings(rng, alphabet) + [
+        "爆", "X", "XX", "+5", "-0", " 爆 ",
+        "　99　", "\xa0X5\xa0", "　爆", "\x85 7",
+    ]
     _col_vs_python(spark, inputs, C.push_rate_decode, PP.decode_push_rate)
+
+
+def test_ws_trim_exact_go_set(spark):
+    """ws_trim strips exactly GO_WHITESPACE: every member goes, and
+    near-miss non-members (U+001C, which bare Python str.strip() DOES
+    strip but Go does not; U+200B zero-width space) stay."""
+    members = [f"{ch}a{ch}" for ch in PP.GO_WHITESPACE]
+    non = ["\x1ca\x1c", "\u200ba\u200b"]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(members + non)], "i long, s string"
+    )
+    got = {
+        r["i"]: r["v"]
+        for r in df.select("i", C.ws_trim(F.col("s")).alias("v")).collect()
+    }
+    for i, s in enumerate(members):
+        assert got[i] == "a", repr(s)
+        assert PP.trim_space(s) == "a", repr(s)
+    for j, s in enumerate(non, start=len(members)):
+        assert got[j] == s, repr(s)
+        assert PP.trim_space(s) == s, repr(s)
 
 
 def test_normalize_img_href_parity_fuzz(spark):
