@@ -325,9 +325,34 @@ def test_multimodal_plumbing(spark, docs):
     assert all(len(r["feature"]) == 8 for r in rows)
     frames = multimodal.sample_frames(decoded, every_nth=2)
     assert frames.filter(F.col("frame") % 2 != 0).count() == 0
-    # real decode is stubbed
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"x", fake=False)
+    if not multimodal._HAS_PIL:
+        # real decode is stubbed without an imaging library
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"x", fake=False)
+
+
+def test_real_decode_golden_with_pil():
+    """Golden test for the real codec path (r2 VERDICT #7): auto-skips
+    in the PIL-less sandbox, pins decode_image(fake=False) wherever an
+    imaging library exists. The golden image is generated in-test (a
+    3x2 horizontal white-to-black gradient PNG), so no binary fixture
+    is checked in."""
+    if not multimodal._HAS_PIL:
+        pytest.skip("PIL not installed — fake decode is the active path")
+    from io import BytesIO
+
+    from PIL import Image
+
+    img = Image.new("L", (3, 2))
+    img.putdata([255, 128, 0, 255, 128, 0])
+    buf = BytesIO()
+    img.save(buf, format="PNG")
+    d = multimodal.decode_image(buf.getvalue(), fake=False)
+    assert (d["width"], d["height"], d["n_frames"]) == (3, 2, 1)
+    assert len(d["feature"]) == 8
+    # resize((8,8)) of the gradient: row-0 features run bright->dark
+    assert d["feature"][0] > d["feature"][7]
+    assert all(0.0 <= f < 1.0 for f in d["feature"])
 
 
 def test_decode_media_deterministic(spark, docs):
