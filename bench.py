@@ -49,6 +49,8 @@ HEADLINE = [
     "token_counts",
     "lang_id",
     "fingerprints",
+    "repetition_ratio",
+    "stratified_sample",
     "embedding_near_dup",
     "media_decode",
     "sessionize",
@@ -59,6 +61,27 @@ HEADLINE = [
 def _force(df) -> int:
     df.write.format("noop").mode("overwrite").save()
     return 0
+
+
+def _calibrate(spark, cpus: int) -> float:
+    """Same probe as bench_scaling._calibrate: embarrassingly-parallel
+    pure-Python CPU burn, cpus*6 tasks, zero shuffle — measures the
+    MACHINE for this window (co-tenant load on the shared host swings
+    wall times up to 3x between 10-minute windows; see BASELINE.md
+    variance log). Returns tasks/sec; compare across BENCH files to
+    tell a slow engine from a slow window."""
+    sc = spark.sparkContext
+    n_tasks = cpus * 6
+
+    def burn(i):
+        x = 0
+        for k in range(2_000_000):
+            x = (x * 1664525 + 1013904223 + k) & 0xFFFFFFFF
+        return x
+
+    t0 = time.time()
+    sc.parallelize(range(n_tasks), n_tasks).map(burn).count()
+    return round(n_tasks / (time.time() - t0), 2)
 
 
 def _warmup(spark, sf_dir, qs) -> float:
@@ -100,11 +123,23 @@ def main():
     total = 0.0
 
     warmup_sec = _warmup(spark, sf_dir, qs)
+    calib_before = _calibrate(spark, cpus)
 
+    # Best-of-2 for queries under the cap: single-pass times on this
+    # shared host swing up to 3x between co-tenant windows (measured —
+    # BASELINE.md "Measurement variance"); the min of two passes is a
+    # far better estimator of engine cost. Queries whose first pass
+    # exceeds the cap run once (their relative noise is small and a
+    # repeat is expensive).
+    RETIME_CAP_SEC = 15.0
     for name in HEADLINE:
         t0 = time.time()
         _force(qs[name](spark, sf_dir))
         dt = time.time() - t0
+        if dt < RETIME_CAP_SEC:
+            t0 = time.time()
+            _force(qs[name](spark, sf_dir))
+            dt = min(dt, time.time() - t0)
         times[name] = round(dt, 3)
         total += dt
 
@@ -132,13 +167,16 @@ def main():
         board="Beauty", pages=scale["pages_per_board"], push_rate=10,
         host_salt=cpus, max_supersteps=8, superstep_ms=600_000,
     )
-    t0 = time.time()
-    res = run_crawl(spark, pages, cfg, boards=list(scale["boards"]),
-                    verify_text=False)
-    _force(res.articles)
-    _force(res.markdown_docs)
-    fetched = res.fetch_log.count()
-    crawl_dt = time.time() - t0
+    crawl_dt = None
+    for _ in range(2):  # best-of-2 (same window-noise rationale)
+        t0 = time.time()
+        res = run_crawl(spark, pages, cfg, boards=list(scale["boards"]),
+                        verify_text=False)
+        _force(res.articles)
+        _force(res.markdown_docs)
+        fetched = res.fetch_log.count()
+        dt = time.time() - t0
+        crawl_dt = dt if crawl_dt is None else min(crawl_dt, dt)
     times["crawl_pipeline"] = round(crawl_dt, 3)
     total += crawl_dt
 
@@ -154,13 +192,16 @@ def main():
         board="Beauty", pages=scale["pages_per_board"], push_rate=10,
         host_salt=cpus, max_supersteps=24, superstep_ms=600_000, workers=3,
     )
-    t0 = time.time()
-    res_small = run_crawl(spark, pages, cfg_small,
-                          boards=list(scale["boards"]), verify_text=False)
-    _force(res_small.articles)
-    _force(res_small.markdown_docs)
-    fetched_small = res_small.fetch_log.count()
-    ab_small_dt = time.time() - t0
+    ab_small_dt = None
+    for _ in range(2):  # best-of-2, same as the workers=10 side
+        t0 = time.time()
+        res_small = run_crawl(spark, pages, cfg_small,
+                              boards=list(scale["boards"]), verify_text=False)
+        _force(res_small.articles)
+        _force(res_small.markdown_docs)
+        fetched_small = res_small.fetch_log.count()
+        dt = time.time() - t0
+        ab_small_dt = dt if ab_small_dt is None else min(ab_small_dt, dt)
     config_ab = {
         "knob": "politeness worker-pool size (CrawlConfig.workers)",
         "workers3_sec": round(ab_small_dt, 3),
@@ -233,6 +274,16 @@ def main():
                 "crawl_pages_available": n_pages,
                 "crawl_supersteps": res.supersteps,
                 "warmup_sec_excluded": warmup_sec,
+                "calibration_tasks_per_sec": {
+                    "before": calib_before,
+                    "after": _calibrate(spark, cpus),
+                },
+                "timing": (
+                    "best-of-2 per query below 15s first-pass (and for the "
+                    "crawl); single-pass times on this shared host swing up "
+                    "to 3x between co-tenant windows (BASELINE.md variance "
+                    "log) — min-of-2 estimates engine cost, not the window"
+                ),
                 "config_ab": config_ab,
                 "jaccard_zipf_ab": jaccard_zipf_ab,
                 "shared_with_prev": shared_with_prev,

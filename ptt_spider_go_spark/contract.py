@@ -1474,6 +1474,42 @@ FROM d ORDER BY df DESC, tok ASC LIMIT 100
 """
 
 
+def q_repetition_ratio(spark, sf_dir):
+    """Within-document n-gram repetition (Gopher-style quality signal):
+    share of word-3-gram occurrences that repeat an earlier one."""
+    return textstats.repetition_ratio(_t(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_RATIO = f"""
+WITH {_TOKS_CTE}, {_SHINGLES_CTE}
+SELECT doc_id, count(*) AS n_shingles,
+       count(DISTINCT sh) AS n_distinct,
+       round(1 - count(DISTINCT sh) / count(*), 4) AS rep_ratio
+FROM shingles GROUP BY doc_id
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language budget sample: ceil(0.1 * |stratum|)
+    docs per lang, md5(doc_id)-hash order (no RNG — engine-reproducible,
+    hence fully oracled)."""
+    return textstats.stratified_sample(_t(spark, sf_dir, "documents"),
+                                       fraction=0.1)
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rnk,
+         count(*) OVER (PARTITION BY lang) AS n_stratum
+  FROM documents)
+SELECT doc_id, lang FROM ranked
+WHERE rnk <= ceil(0.1 * n_stratum)
+"""
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-payload media table: typed metadata extraction."""
     m = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
@@ -1656,6 +1692,8 @@ QUERIES = {
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
     "vocab_stats": (q_vocab_stats, SQL_VOCAB_STATS),
+    "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     # multimodal decode plumbing (md5-derived fake decode -> SQL-oracled)
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),

@@ -187,3 +187,62 @@ def vocab_stats(docs: DataFrame, top_k: int = 100) -> DataFrame:
         .select(F.col("s.tok").alias("tok"), F.col("s.df").alias("df"),
                 (F.col("i") + 1).alias("rank"))
     )
+
+
+def repetition_ratio(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, n_shingles, n_distinct, rep_ratio): fraction of word
+    n-gram occurrences that repeat an earlier occurrence — the
+    Gopher-style within-document repetition quality signal (templated
+    or looping text scores high and gets filtered before training).
+
+    Scale shape: explode shingles -> ONE groupBy(doc_id) computing
+    count + count_distinct (two-phase partial aggregation map-side);
+    no window, no self-join. Shingle construction shares
+    common.shingles_from_tokens with the MinHash path (tokens
+    projected first — see its perf note).
+    """
+    from ptt_spider_go_spark.pipeline.common import shingles_from_tokens
+
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    sh = toked.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("toks"), n)).alias("sh")
+    )
+    per = sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.count_distinct("sh").alias("n_distinct"),
+    )
+    return per.select(
+        "doc_id", "n_shingles", "n_distinct",
+        F.round(1 - F.col("n_distinct") / F.col("n_shingles"), 4)
+        .alias("rep_ratio"),
+    )
+
+
+def stratified_sample(docs: DataFrame, fraction: float = 0.1,
+                      strata_col: str = "lang") -> DataFrame:
+    """(doc_id, <strata_col>): deterministic per-stratum sample —
+    exactly ceil(fraction * |stratum|) docs per stratum, chosen by
+    md5(doc_id) hash order (reproducible across runs and engines; no
+    RNG). The per-language/per-source budget sampling a curation
+    pipeline uses to rebalance a corpus.
+
+    Scale shape: one partitioned window per stratum (row_number +
+    count over the same partitioning -> a single shuffle on
+    strata_col); no global sort, no driver-side sizes. Skewed strata
+    are the data's own skew — at 100 TB pre-aggregate sizes and salt
+    if one stratum dominates.
+    """
+    order = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(order, "doc_id")
+    wn = Window.partitionBy(strata_col)
+    sized = (
+        docs.select("doc_id", strata_col)
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_stratum", F.count("*").over(wn))
+    )
+    return (
+        sized.filter(
+            F.col("rnk") <= F.ceil(F.lit(fraction) * F.col("n_stratum"))
+        )
+        .select("doc_id", strata_col)
+    )

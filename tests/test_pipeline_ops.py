@@ -360,3 +360,35 @@ def test_decode_media_deterministic(spark, docs):
     a = sorted(map(tuple, multimodal.decode_media(media).collect()))
     b = sorted(map(tuple, multimodal.decode_media(media).collect()))
     assert a == b
+
+
+def test_repetition_ratio_semantics(spark):
+    """Looping text scores high; all-unique text scores 0; short docs
+    (<3 tokens) have one shingle -> ratio 0."""
+    rows = [
+        (1, "a b c a b c a b c", "en"),   # 7 shingles, 3 distinct
+        (2, "one two three four five", "en"),
+        (3, "hi there", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r for r in textstats.repetition_ratio(docs).collect()}
+    assert (got[1]["n_shingles"], got[1]["n_distinct"]) == (7, 3)
+    assert got[1]["rep_ratio"] == round(1 - 3 / 7, 4)
+    assert got[2]["rep_ratio"] == 0.0
+    assert (got[3]["n_shingles"], got[3]["rep_ratio"]) == (1, 0.0)
+
+
+def test_stratified_sample_budget_and_determinism(spark):
+    """Exactly ceil(fraction * |stratum|) per stratum, identical set on
+    re-run (hash order, no RNG)."""
+    rows = [(i, f"text {i}", "en") for i in range(20)] + [
+        (100 + i, f"text {i}", "de") for i in range(3)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    a = sorted(map(tuple, textstats.stratified_sample(docs, 0.1).collect()))
+    b = sorted(map(tuple, textstats.stratified_sample(docs, 0.1).collect()))
+    assert a == b
+    from collections import Counter
+
+    per = Counter(lang for _, lang in a)
+    assert per == {"en": 2, "de": 1}  # ceil(2.0)=2, ceil(0.3)=1
