@@ -65,6 +65,81 @@ def _test_bits(bits: np.ndarray, h1, h2, k: int, m_bits: int) -> np.ndarray:
     return hit
 
 
+#: broadcast-vs-partitioned probe crossover: past this many bytes of
+#: filter state, with_maybe_seen(mode="auto") stops broadcasting the
+#: whole table set to every executor and instead shuffles the URLs to
+#: their shard (groupBy-cogroup against an n_shards-row table DF) so a
+#: task only ever holds ITS shard's bytes. At the 10^10-URL design
+#: point the Bloom set is ~15 GB and the cuckoo set ~20 GB — far past
+#: any broadcast budget; the shard shuffle is the scalable path (set
+#: n_shards ~ cluster cores there so the probe stage has full
+#: parallelism).
+PROBE_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _shard_of(urls: pd.Series, n_shards: int) -> np.ndarray:
+    h1, _ = _hash2(urls)
+    return (h1 % np.uint64(n_shards)).astype(np.int64)
+
+
+def _with_shard(df: DataFrame, url_col: str, n_shards: int,
+                out_col: str = "_shard") -> DataFrame:
+    """Append the shard id (pandas-hash-derived, so it must be computed
+    in an Arrow batch, not a Catalyst expression)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cols = df.columns
+
+    def add(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = (
+                _shard_of(pdf[url_col], n_shards)
+                if len(pdf) else pd.Series([], dtype="int64")
+            )
+            yield pdf
+
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType())])
+    return df.mapInPandas(add, schema)
+
+
+def _partitioned_probe(df: DataFrame, url_col: str, out_col: str,
+                       n_shards: int, shard_blobs: list[bytes],
+                       probe_one) -> DataFrame:
+    """Shuffle-to-shard probe: cogroup the URL rows with the one-row-
+    per-shard table DF; `probe_one(pdf, blob) -> bool ndarray` tests one
+    batch against one shard's bytes. No broadcast of the full table set
+    anywhere — each task deserializes only its own shard."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    spark = df.sparkSession
+    tables_df = spark.createDataFrame(
+        [(s, bytearray(shard_blobs[s])) for s in range(n_shards)],
+        "shard long, bits binary",
+    )
+    with_shard = _with_shard(df, url_col, n_shards)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, BooleanType())]
+    )
+
+    def probe_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.drop(columns=["_shard"])
+        if not len(left):
+            left[out_col] = pd.Series([], dtype=bool)
+            return left
+        left = left.copy()
+        # a shard with no URLs simply never reaches us; a URL group
+        # always has exactly one matching table row
+        left[out_col] = probe_one(left, bytes(right["bits"].iloc[0]))
+        return left
+
+    return (
+        with_shard.groupBy("_shard")
+        .cogroup(tables_df.groupBy("shard"))
+        .applyInPandas(probe_group, out_schema)
+    )
+
+
 class BloomShardSet:
     """n_shards Bloom filters keyed by shard = h1(url) % n_shards."""
 
@@ -108,13 +183,40 @@ class BloomShardSet:
     # -- probe ---------------------------------------------------------------
 
     def with_maybe_seen(self, df: DataFrame, url_col: str = "url",
-                        out_col: str = "maybe_seen") -> DataFrame:
+                        out_col: str = "maybe_seen",
+                        mode: str = "auto") -> DataFrame:
         """Append a boolean column: True if the URL *might* be in the set
-        (needs exact verification), False if definitely new."""
+        (needs exact verification), False if definitely new.
+
+        mode: 'broadcast' ships the whole shard set to every executor
+        (right while the filter is small); 'partitioned' shuffles URLs
+        to their shard and cogroups against a one-row-per-shard table
+        DF, so no task ever holds more than one shard (the 10^10-URL
+        path — a ~15 GB Bloom set cannot be broadcast); 'auto' switches
+        on PROBE_BROADCAST_MAX_BYTES. Both modes are bit-identical
+        (equivalence-tested)."""
+        n_shards, m_bits, k = self.n_shards, self.m_bits, self.k
+        if mode == "auto":
+            mode = (
+                "broadcast"
+                if self.shards.nbytes <= PROBE_BROADCAST_MAX_BYTES
+                else "partitioned"
+            )
+
+        if mode == "partitioned":
+            def probe_one(left: pd.DataFrame, blob: bytes) -> np.ndarray:
+                bits = np.frombuffer(blob, dtype=np.uint8)
+                h1, h2 = _hash2(left[url_col])
+                return _test_bits(bits, h1, h2, k, m_bits)
+
+            return _partitioned_probe(
+                df, url_col, out_col, n_shards,
+                [self.shards[s].tobytes() for s in range(n_shards)],
+                probe_one,
+            )
+
         spark = df.sparkSession
         bc = spark.sparkContext.broadcast(self.shards.tobytes())
-        n_shards, m_bits, k = self.n_shards, self.m_bits, self.k
-        cols = df.columns
 
         def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             flat = np.frombuffer(bc.value, dtype=np.uint8).reshape(
@@ -375,13 +477,47 @@ class CuckooShardSet:
         bc.unpersist()
 
     def with_maybe_seen(self, df: DataFrame, url_col: str = "url",
-                        out_col: str = "maybe_seen") -> DataFrame:
-        """Vectorized broadcast probe; no false negatives."""
+                        out_col: str = "maybe_seen",
+                        mode: str = "auto") -> DataFrame:
+        """Vectorized probe; no false negatives. mode as in
+        BloomShardSet.with_maybe_seen: 'broadcast' while the tables fit
+        the broadcast budget, 'partitioned' (shuffle-to-shard cogroup,
+        one shard per task) past it — a 10^10-key cuckoo set is ~20 GB
+        and must never be shipped whole."""
+        n_shards, n_buckets, slots = self.n_shards, self.n_buckets, self.slots
+        if mode == "auto":
+            mode = (
+                "broadcast"
+                if self.tables.nbytes <= PROBE_BROADCAST_MAX_BYTES
+                else "partitioned"
+            )
+
+        if mode == "partitioned":
+            overflowed = self.overflowed.copy()
+
+            def probe_one(left: pd.DataFrame, blob: bytes) -> np.ndarray:
+                table = np.frombuffer(blob[:-1], dtype=np.uint16).reshape(
+                    n_buckets, slots
+                )
+                if blob[-1]:  # overflow byte: shard degrades to all-True
+                    return np.ones(len(left), dtype=bool)
+                _, fp, i1 = _cuckoo_decompose(left[url_col], n_shards,
+                                              n_buckets)
+                i2 = _cuckoo_alt(fp, i1, n_buckets)
+                return (table[i1] == fp[:, None]).any(axis=1) | \
+                       (table[i2] == fp[:, None]).any(axis=1)
+
+            blobs = [
+                self.tables[s].tobytes() + bytes([int(overflowed[s])])
+                for s in range(n_shards)
+            ]
+            return _partitioned_probe(df, url_col, out_col, n_shards, blobs,
+                                      probe_one)
+
         spark = df.sparkSession
         bc = spark.sparkContext.broadcast(
             (self.tables.tobytes(), self.overflowed.tobytes())
         )
-        n_shards, n_buckets, slots = self.n_shards, self.n_buckets, self.slots
 
         def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             tbl_b, ov_b = bc.value

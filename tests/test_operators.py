@@ -477,6 +477,54 @@ def test_cuckoo_bulk_place_empty_kernel():
     assert set(table[3]) == {12, 14}
 
 
+def test_probe_modes_bit_identical(spark):
+    """broadcast vs partitioned (shuffle-to-shard cogroup) probes must
+    agree bit-for-bit on both filter layers — the partitioned path is
+    the 10^10-URL mode where the tables no longer fit a broadcast."""
+    seen_urls = [f"https://m.test/{i}" for i in range(4000)]
+    probe_urls = [f"https://m.test/{i}" for i in range(2000, 6000)]
+    seen = spark.createDataFrame([(u,) for u in seen_urls], "url string")
+    probes = spark.createDataFrame(
+        [(u,) for u in probe_urls], "url string"
+    ).repartition(7)
+    bl = BloomShardSet(n_shards=4, expected_per_shard=2048)
+    ck = CuckooShardSet(n_shards=4, buckets_per_shard=1 << 11)
+    bl.add_df(seen)
+    ck.add_df(seen)
+    for filt in (bl, ck):
+        a = {r["url"]: r["maybe_seen"] for r in
+             filt.with_maybe_seen(probes, mode="broadcast").collect()}
+        b = {r["url"]: r["maybe_seen"] for r in
+             filt.with_maybe_seen(probes, mode="partitioned").collect()}
+        assert a == b
+        # true members are always flagged in both modes
+        assert all(a[u] for u in probe_urls[:2000])
+
+
+def test_probe_auto_mode_switches_on_size(spark, monkeypatch):
+    """auto = broadcast under the byte budget, partitioned above it."""
+    from ptt_spider_go_spark.operators import dedup as dmod
+
+    urls = [f"https://auto.test/{i}" for i in range(500)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    bl = BloomShardSet(n_shards=2, expected_per_shard=512)
+    bl.add_df(df)
+    calls = []
+    real = dmod._partitioned_probe
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(dmod, "_partitioned_probe", spy)
+    bl.with_maybe_seen(df).count()          # small -> broadcast
+    assert calls == []
+    monkeypatch.setattr(dmod, "PROBE_BROADCAST_MAX_BYTES", 0)
+    out = bl.with_maybe_seen(df)            # forced over budget
+    assert out.filter(~F.col("maybe_seen")).count() == 0
+    assert calls  # partitioned path taken
+
+
 def test_dedup_exactness_with_cuckoo_layer(spark):
     """Bloom -> cuckoo -> exact anti-join keeps the exactness invariant
     bit-for-bit (same contract as the bloom-only path)."""
