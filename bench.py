@@ -50,6 +50,7 @@ HEADLINE = [
     "lang_id",
     "fingerprints",
     "repetition_ratio",
+    "novel_documents",
     "stratified_sample",
     "embedding_near_dup",
     "media_decode",

@@ -1474,6 +1474,35 @@ FROM d ORDER BY df DESC, tok ASC LIMIT 100
 """
 
 
+def q_novel_documents(spark, sf_dir):
+    """Incremental crawl-batch dedup: docs of source 'src0' (the
+    arriving batch) admitted only where they have no MinHash-LSH band
+    collision with the rest of the corpus (new x old equi-join +
+    left-anti; never all-pairs)."""
+    return dedup_text.novel_documents(_t(spark, sf_dir, "documents"), "src0")
+
+
+SQL_NOVEL_DOCUMENTS = f"""
+WITH {_TOKS_CTE}, {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id, {_mh_sql(0)}, {_mh_sql(1)}, {_mh_sql(2)}, {_mh_sql(3)}
+  FROM shingles GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || ',' || CAST(mh1 AS VARCHAR) AS sig FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, CAST(mh2 AS VARCHAR) || ',' || CAST(mh3 AS VARCHAR) AS sig FROM sig),
+srcb AS (SELECT b.doc_id, b.band, b.sig, d.source
+         FROM banded b JOIN documents d ON d.doc_id = b.doc_id),
+hits AS (
+  SELECT DISTINCT n.doc_id
+  FROM srcb n JOIN srcb o
+    ON n.band = o.band AND n.sig = o.sig AND o.source <> 'src0'
+  WHERE n.source = 'src0')
+SELECT doc_id, source FROM documents
+WHERE source = 'src0' AND doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+
 def q_repetition_ratio(spark, sf_dir):
     """Within-document n-gram repetition (Gopher-style quality signal):
     share of word-3-gram occurrences that repeat an earlier one."""
@@ -1692,6 +1721,7 @@ QUERIES = {
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
     "vocab_stats": (q_vocab_stats, SQL_VOCAB_STATS),
+    "novel_documents": (q_novel_documents, SQL_NOVEL_DOCUMENTS),
     "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),

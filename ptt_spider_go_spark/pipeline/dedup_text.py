@@ -62,13 +62,14 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 2) -> DataFrame:
-    """(doc_a, doc_b) candidate near-dup pairs: equal signature in at
-    least one band. With k=4, band 0 = (mh0, mh1), band 1 = (mh2, mh3).
-    """
+def band_table(signatures: DataFrame, bands: int = 2) -> DataFrame:
+    """(doc_id, band, sig): one row per (doc, band) with the band's
+    concatenated minhash signature — the LSH bucketing relation both
+    the pairwise join and the incremental (new-vs-corpus) anti-join
+    build on. With k=4, band 0 = (mh0, mh1), band 1 = (mh2, mh3)."""
     k = sum(1 for c in signatures.columns if c.startswith("mh"))
     rows_per_band = k // bands
-    banded = signatures.select(
+    return signatures.select(
         "doc_id",
         F.explode(
             F.array(
@@ -88,6 +89,13 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 2) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 2) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs: equal signature in at
+    least one band. With k=4, band 0 = (mh0, mh1), band 1 = (mh2, mh3).
+    """
+    banded = band_table(signatures, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -286,6 +294,40 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.4,
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def novel_documents(docs: DataFrame, new_source: str,
+                    bands: int = 2) -> DataFrame:
+    """(doc_id, source) documents of `new_source` with NO MinHash-LSH
+    band collision against the rest of the corpus — the incremental
+    crawl-batch dedup pattern: each arriving batch is admitted only
+    where it does not near-duplicate the existing corpus.
+
+    Scale shape: one signature pass over everything (the corpus side
+    is the expensive scan either way), then a band-bucket equi-join of
+    ONLY new x old (never all-pairs, never new x new), and a left-anti
+    join back. This is the cheap LSH prefilter stage — collisions are
+    *candidates*; compose with ngram_jaccard on the collision set when
+    exact thresholds are required. Conservative by construction: a
+    chance band collision discards a genuinely-novel doc, never the
+    reverse.
+    """
+    sigs = minhash_signatures(docs)
+    src = docs.select("doc_id", "source")
+    banded = band_table(sigs, bands).join(src, "doc_id")
+    new = banded.filter(F.col("source") == new_source)
+    old = banded.filter(F.col("source") != new_source)
+    hits = (
+        new.alias("n")
+        .join(old.alias("o"), on=[F.col("n.band") == F.col("o.band"),
+                                  F.col("n.sig") == F.col("o.sig")])
+        .select(F.col("n.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        src.filter(F.col("source") == new_source)
+        .join(hits, "doc_id", "left_anti")
+    )
 
 
 def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -392,3 +392,20 @@ def test_stratified_sample_budget_and_determinism(spark):
 
     per = Counter(lang for _, lang in a)
     assert per == {"en": 2, "de": 1}  # ceil(2.0)=2, ceil(0.3)=1
+
+
+def test_novel_documents_semantics(spark):
+    """A new-batch doc near-duplicating a corpus doc is rejected; a
+    genuinely new doc is admitted; corpus docs never appear."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "corpus"),
+        (1, "totally unrelated content words here", "en", "corpus"),
+        (10, "the quick brown fox jumps over the lazy dog", "en", "batch"),
+        (11, "fresh novel sentence nothing shares these tokens", "en", "batch"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {r["doc_id"] for r in
+           dedup_text.novel_documents(docs, "batch").collect()}
+    assert got == {11}
