@@ -85,6 +85,35 @@ class CheckpointManager:
         os.replace(tmp, self._manifest_path)  # atomic commit
         return counts
 
+    #: loop-carried state tables — only the latest committed snapshot is
+    #: live (resume reads nothing older). Append-only ``*_delta`` tables
+    #: are table HISTORY (final assembly unions every step) and are
+    #: never expired.
+    STATE_TABLES = ("frontier", "seen")
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Iceberg ``expire_snapshots`` analogue: drop loop-carried
+        state tables from snapshots older than the newest `keep_last`
+        committed steps. At a 10^10-URL frontier the seen table is the
+        biggest artifact in the store and every superstep rewrites it —
+        without expiry the checkpoint root grows O(steps x |seen|).
+        Crash-safety is untouched: the manifest still points at an
+        intact snapshot, and resume only ever reads the latest
+        committed step. Returns the removed paths."""
+        import shutil
+
+        last = self.last_committed_step()
+        if last is None:
+            return []
+        removed: list[str] = []
+        for step in range(0, last - keep_last + 1):
+            for name in self.STATE_TABLES:
+                path = self.table_path(step, name)
+                if os.path.exists(path):
+                    shutil.rmtree(path)
+                    removed.append(path)
+        return removed
+
     def read(self, step: int, name: str) -> DataFrame:
         return self.spark.read.parquet(self.table_path(step, name))
 

@@ -400,6 +400,11 @@ def run_crawl(
             )
             next_frontier = ckpt.read(step, "frontier")
             seen = ckpt.read(step, "seen")
+            # Iceberg expire_snapshots analogue: older frontier/seen
+            # copies are dead the moment this commit lands (resume reads
+            # only the latest step); without expiry the store grows
+            # O(steps x |seen|). Delta tables are history — kept.
+            ckpt.expire_snapshots()
         else:
             # Nothing to materialize here: seen is a union of
             # checkpointed disjoint pieces, and next_frontier is a union

@@ -81,3 +81,29 @@ def test_manifest_counts_present(spark, pages, tmp_path):
         "frontier", "seen", "articles_delta", "contents_delta", "fetch_log_delta"
     }
     assert m["tables"]["seen"] > 0
+
+
+def test_expire_snapshots_keeps_history_drops_stale_state(spark, pages,
+                                                          tmp_path):
+    """Iceberg expire_snapshots analogue: after a multi-step crawl,
+    only the latest step still holds frontier/seen, every step keeps
+    its *_delta history, and resume from the expired store is exact."""
+    import os
+
+    d = tmp_path / "exp"
+    full = run_crawl(spark, pages, _cfg(), checkpoint_dir=str(d),
+                     verify_text=False)
+    assert full.supersteps >= 2
+    from ptt_spider_go_spark.plans.checkpoint import CheckpointManager
+
+    ck = CheckpointManager(str(d), spark)
+    last = ck.last_committed_step()
+    for step in range(last + 1):
+        state_present = os.path.exists(ck.table_path(step, "seen"))
+        assert state_present == (step == last), step
+        assert os.path.exists(ck.table_path(step, "articles_delta")), step
+
+    # resume over the expired store is still a no-op with equal tables
+    again = run_crawl(spark, pages, _cfg(), checkpoint_dir=str(d),
+                      resume=True, verify_text=False)
+    assert _snapshot(full) == _snapshot(again)
