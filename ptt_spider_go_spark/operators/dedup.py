@@ -359,13 +359,22 @@ class CuckooShardSet:
 
     Construction is executor-side and O(new) per superstep: executors
     reduce new URLs to unique (shard, fingerprint, bucket) triples,
-    then a per-shard applyInPandas runs the (vectorized-bulk +
-    displacement-fallback) inserts against a broadcast copy of that
-    shard's current table and returns the updated table bytes plus an
-    overflow flag. The driver only installs n_shards byte blobs —
-    exactly the Bloom-bitmap-OR transfer class (BloomShardSet.add_df),
-    with no per-row driver work. Probing broadcasts the tables and is
-    fully vectorized.
+    then a per-shard cogroup-applyInPandas runs the (vectorized-bulk +
+    displacement-fallback) inserts against ONLY that shard's current
+    bytes (one-row-per-shard state DF — no full-table broadcast
+    anywhere) and returns the updated table bytes plus an overflow
+    flag. The driver only installs n_shards byte blobs — exactly the
+    Bloom-bitmap-OR transfer class (BloomShardSet.add_df), with no
+    per-row driver work. Probing is dual-mode (with_maybe_seen):
+    broadcast under PROBE_BROADCAST_MAX_BYTES, shuffle-to-shard
+    cogroup past it.
+
+    Driver-memory note for the 10^10 design point: the driver holds
+    ONE copy of the state (~2 bytes/fingerprint -> ~20 GB at 10^10
+    keys) as the coordination point between supersteps; size the
+    driver for it, or raise n_shards and spill the (shard, bits) rows
+    to a table — every build/probe path above already works per-shard,
+    so externalizing the state changes only add_df's install loop.
     """
 
     MAX_KICKS = 500
@@ -418,9 +427,6 @@ class CuckooShardSet:
 
         n_shards, n_buckets, slots = self.n_shards, self.n_buckets, self.slots
         spark = df.sparkSession
-        bc = spark.sparkContext.broadcast(
-            (self.tables.tobytes(), self.overflowed.tobytes())
-        )
         epoch = self._epoch
 
         def to_triples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -440,26 +446,45 @@ class CuckooShardSet:
                         out["i1"].append(key[2])
             yield pd.DataFrame(out, columns=["shard", "fp", "i1"])
 
-        def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-            s = int(pdf["shard"].iloc[0])
-            tbl_b, ov_b = bc.value
-            table = np.frombuffer(tbl_b, dtype=np.uint16).reshape(
-                n_shards, n_buckets, slots
-            )[s].copy()
-            ov = bool(np.frombuffer(ov_b, dtype=bool)[s])
+        # one-row-per-shard current state, cogrouped with the triples —
+        # a build task receives ONLY its shard's bytes (no broadcast of
+        # the full table set, same reasoning as the partitioned probe)
+        tables_df = spark.createDataFrame(
+            [
+                (s, bytearray(self.tables[s].tobytes()),
+                 bool(self.overflowed[s]))
+                for s in range(n_shards)
+            ],
+            "shard long, bits binary, overflowed boolean",
+        )
+
+        def build_shard(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if not len(left):  # shard with no new triples: state unchanged
+                return pd.DataFrame(
+                    {"shard": [], "bits": [], "overflowed": []}
+                ).astype({"shard": "int64", "overflowed": "bool"})
+            s = int(left["shard"].iloc[0])
+            table = np.frombuffer(bytes(right["bits"].iloc[0]),
+                                  dtype=np.uint16).reshape(
+                n_buckets, slots
+            ).copy()
+            ov = bool(right["overflowed"].iloc[0])
             rng = np.random.default_rng([42, epoch, s])
             ov |= _cuckoo_build_shard(
-                table, pdf["fp"].to_numpy(dtype=np.uint16),
-                pdf["i1"].to_numpy(dtype=np.int64), n_buckets, slots, rng
+                table, left["fp"].to_numpy(dtype=np.uint16),
+                left["i1"].to_numpy(dtype=np.int64), n_buckets, slots, rng
             )
             return pd.DataFrame({"shard": [s], "bits": [table.tobytes()],
                                  "overflowed": [ov]})
 
         triples = df.select(url_col).mapInPandas(
-            to_triples, "shard int, fp int, i1 long"
+            to_triples, "shard long, fp int, i1 long"
         ).distinct()
-        parts = triples.groupBy("shard").applyInPandas(
-            build_shard, "shard int, bits binary, overflowed boolean"
+        parts = (
+            triples.groupBy("shard")
+            .cogroup(tables_df.groupBy("shard"))
+            .applyInPandas(build_shard,
+                           "shard long, bits binary, overflowed boolean")
         )
         for row in parts.collect():
             s = row["shard"]
@@ -474,7 +499,6 @@ class CuckooShardSet:
                 )
             self.overflowed[s] |= bool(row["overflowed"])
         self._epoch += 1
-        bc.unpersist()
 
     def with_maybe_seen(self, df: DataFrame, url_col: str = "url",
                         out_col: str = "maybe_seen",
