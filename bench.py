@@ -52,6 +52,8 @@ HEADLINE = [
     "repetition_ratio",
     "novel_documents",
     "stratified_sample",
+    "redact_pii",
+    "pack_documents",
     "embedding_near_dup",
     "media_decode",
     "sessionize",

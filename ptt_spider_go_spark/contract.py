@@ -1539,6 +1539,69 @@ WHERE rnk <= ceil(0.1 * n_stratum)
 """
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrub (emails + long digit runs) over documents salted with
+    deterministic synthetic PII (every third doc gets an address and an
+    account number appended — the base corpus has none, so the salt is
+    what exercises the operator; the transform is reproduced in SQL)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" u"),
+                     F.col("doc_id").cast("string"),
+                     F.lit("@mail.example id 1234567890")),
+        ).otherwise(F.col("text")),
+    )
+    return textstats.redact_pii(docs)
+
+
+SQL_REDACT_PII = f"""
+WITH pdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' u' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example id 1234567890'
+              ELSE text END AS text
+  FROM documents),
+e AS (SELECT doc_id, text,
+             regexp_replace(text, '{textstats.PII_EMAIL}', '<EMAIL>', 'g')
+               AS after_email
+      FROM pdocs)
+SELECT doc_id,
+       regexp_replace(after_email, '{textstats.PII_LONG_DIGITS}', '<NUM>', 'g')
+         AS redacted_text,
+       len(regexp_extract_all(text, '{textstats.PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(after_email, '{textstats.PII_LONG_DIGITS}'))
+         AS n_long_digits
+FROM e
+"""
+
+
+def q_pack_documents(spark, sf_dir):
+    """Deterministic greedy sequence packing into ~256-token training
+    windows, per lang (pack-until-exceed, docs never split)."""
+    return textstats.pack_documents(_t(spark, sf_dir, "documents"),
+                                    budget_tokens=256)
+
+
+SQL_PACK_DOCUMENTS = """
+WITH sized AS (
+  SELECT doc_id, lang,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS c
+  FROM sized)
+SELECT doc_id, lang, n_tokens,
+       CAST(floor((c - n_tokens) / 256) AS BIGINT) AS bin_id
+FROM cum
+"""
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-payload media table: typed metadata extraction."""
     m = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
@@ -1724,6 +1787,8 @@ QUERIES = {
     "novel_documents": (q_novel_documents, SQL_NOVEL_DOCUMENTS),
     "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "redact_pii": (q_redact_pii, SQL_REDACT_PII),
+    "pack_documents": (q_pack_documents, SQL_PACK_DOCUMENTS),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     # multimodal decode plumbing (md5-derived fake decode -> SQL-oracled)
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),

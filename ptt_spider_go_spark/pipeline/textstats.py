@@ -246,3 +246,57 @@ def stratified_sample(docs: DataFrame, fraction: float = 0.1,
         )
         .select("doc_id", strata_col)
     )
+
+
+#: PII patterns kept to syntax shared verbatim by Java regex (Spark)
+#: and RE2 (DuckDB): no backrefs, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONG_DIGITS = r"[0-9]{9,}"
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """(doc_id, redacted_text, n_emails, n_long_digits): scrub emails
+    and long digit runs (phone/account numbers) from the text — the
+    standard pre-training PII pass. Pure JVM-side regexp (one
+    projection, whole-stage codegen; no UDF), patterns restricted to
+    the regex subset Spark and DuckDB interpret identically so the
+    operator is value-oracled end-to-end.
+
+    Order matters and is pinned: emails are redacted FIRST (an email
+    can contain a long digit run; counting happens on the original
+    text for emails, on the email-redacted text for digit runs —
+    matching the sequential replace)."""
+    emails = F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL), 0)
+    after_email = F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>")
+    digits = F.regexp_extract_all(after_email, F.lit(PII_LONG_DIGITS), 0)
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(after_email, PII_LONG_DIGITS, "<NUM>")
+        .alias("redacted_text"),
+        F.size(emails).alias("n_emails"),
+        F.size(digits).alias("n_long_digits"),
+    )
+
+
+def pack_documents(docs: DataFrame, budget_tokens: int = 256,
+                   strata_col: str = "lang") -> DataFrame:
+    """(doc_id, <strata_col>, n_tokens, bin_id): deterministic greedy
+    sequence packing — concatenate docs (doc_id order, per stratum)
+    into training windows of ~budget_tokens, starting a new bin when
+    the running total passes the budget (a bin may overrun by its last
+    doc, the standard pack-until-exceed rule; docs are never split).
+
+    Scale shape: one partitioned running-sum window per stratum —
+    bin_id = floor((cumsum - n_tokens) / budget), i.e. the bin the
+    doc STARTS in. No driver loop, no iterative assignment; exactly
+    reproducible in SQL (full value oracle)."""
+    toks = F.size(tokens(F.col("text")))
+    w = Window.partitionBy(strata_col).orderBy("doc_id")
+    sized = docs.select(
+        "doc_id", strata_col, toks.alias("n_tokens")
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    return sized.select(
+        "doc_id", strata_col, "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / budget_tokens)
+        .cast("long").alias("bin_id"),
+    )

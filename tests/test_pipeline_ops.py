@@ -409,3 +409,32 @@ def test_novel_documents_semantics(spark):
     got = {r["doc_id"] for r in
            dedup_text.novel_documents(docs, "batch").collect()}
     assert got == {11}
+
+
+def test_redact_pii_semantics(spark):
+    rows = [
+        (1, "mail me at bob.smith+x@corp.example.com or 123456789012", "en"),
+        (2, "clean text with short 12345 number", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r for r in textstats.redact_pii(docs).collect()}
+    assert got[1]["redacted_text"] == "mail me at <EMAIL> or <NUM>"
+    assert (got[1]["n_emails"], got[1]["n_long_digits"]) == (1, 1)
+    assert got[2]["redacted_text"] == rows[1][1]  # untouched (<9 digits)
+    assert (got[2]["n_emails"], got[2]["n_long_digits"]) == (0, 0)
+
+
+def test_pack_documents_semantics(spark):
+    """pack-until-exceed with budget 10: cum 6,12 -> bins 0,0 (second
+    doc STARTS at offset 6 < 10); third doc starts at 12 -> bin 1.
+    Strata pack independently."""
+    rows = [
+        (1, " ".join(["w"] * 6), "en"),
+        (2, " ".join(["w"] * 6), "en"),
+        (3, " ".join(["w"] * 2), "en"),
+        (9, " ".join(["w"] * 4), "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r["bin_id"]
+           for r in textstats.pack_documents(docs, budget_tokens=10).collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 9: 0}
