@@ -106,9 +106,14 @@ def quarantine_from_fetch_log(fetch_log: DataFrame) -> DataFrame:
     """
     bad = fetch_log.filter(F.col("outcome").isin("missing_404", "failed"))
     if "status" in fetch_log.columns:
+        # A 'failed' row may still carry NULL status (legacy fetch-log
+        # deltas unioned into an upgraded log, ADVICE r3); fall back to
+        # the same outcome-based inference as the no-column path so
+        # `cause` is never NULL.
         status = F.coalesce(
             F.col("status"),
-            F.when(F.col("outcome") == "missing_404", F.lit(404)),
+            F.when(F.col("outcome") == "missing_404", F.lit(404))
+            .otherwise(F.lit(429)),
         )
     else:
         status = F.when(F.col("outcome") == "missing_404", F.lit(404)) \

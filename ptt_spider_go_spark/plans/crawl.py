@@ -136,7 +136,24 @@ def run_crawl(
     file_mode = file_urls_path is not None
     ckpt = CheckpointManager(checkpoint_dir, spark) if checkpoint_dir else None
 
-    blooms = BloomShardSet(cfg.bloom_shards, fpp=cfg.bloom_fpp)
+    # Filter state placement: checkpointed runs keep the Bloom/cuckoo
+    # shard state as epoch-versioned parquet tables NEXT TO the seen
+    # snapshots (dedup.FilterStateTable) — builds chain table-to-table
+    # with no driver blob round-trip, and resume restores the filter
+    # from the table instead of rebuilding from seen. Un-checkpointed
+    # runs (contract queries, bench) keep the small in-memory mode.
+    filters_root = (
+        os.path.join(checkpoint_dir, "filters") if checkpoint_dir else None
+    )
+    if filters_root and not resume and os.path.exists(filters_root):
+        import shutil
+
+        shutil.rmtree(filters_root)  # stale state from a previous run
+
+    blooms = BloomShardSet(
+        cfg.bloom_shards, fpp=cfg.bloom_fpp,
+        state_dir=os.path.join(filters_root, "bloom") if filters_root else None,
+    )
     # north_star: cuckoo-filter verification pass on Bloom probable hits
     # (~99% of Bloom FPs never reach the exact anti-join). Engages
     # adaptively: below cfg.cuckoo_min_seen rows the exact join is
@@ -149,8 +166,11 @@ def run_crawl(
     # the crossing); the 2^16 floor keeps forced-on test configs
     # (cuckoo_min_seen=0) from starting life overflowed.
     cuckoos = (
-        CuckooShardSet.for_capacity(cfg.bloom_shards,
-                                    max(cfg.cuckoo_min_seen, 1 << 16))
+        CuckooShardSet.for_capacity(
+            cfg.bloom_shards, max(cfg.cuckoo_min_seen, 1 << 16),
+            state_dir=(os.path.join(filters_root, "cuckoo")
+                       if filters_root else None),
+        )
         if cfg.cuckoo_verify else None
     )
     cuckoo_active = False
@@ -172,8 +192,15 @@ def run_crawl(
         frontier = ckpt.read_latest("frontier")
         seen = ckpt.read_latest("seen")
         if seen is not None:
-            blooms.add_df(seen)  # rebuild bloom shards from checkpoint
+            # Filter state restored straight from its table when present
+            # (the filter epoch always commits at-or-after the seen
+            # snapshot, so it is a superset — extra false positives get
+            # exact-verified; never a false negative). Rebuild from seen
+            # only for legacy checkpoints that predate the state table.
+            if not blooms.has_state():
+                blooms.add_df(seen)
             n_seen_est = seen.count()
+        cuckoo_active = cuckoos is not None and cuckoos.has_state()
     else:
         if file_mode:
             frontier = file_frontier(spark, file_urls_path)
@@ -518,5 +545,9 @@ def _union_mem(spark, dfs, schema):
         return _empty(spark, schema) if schema else None
     out = dfs[0]
     for d in dfs[1:]:
-        out = out.unionByName(d)
+        # allowMissingColumns: checkpoint deltas written before a schema
+        # gained a column (e.g. fetch_log's status, ADVICE r3) union
+        # against new deltas with NULLs in the missing column; the
+        # quarantine builder's status fallback then covers those rows.
+        out = out.unionByName(d, allowMissingColumns=True)
     return out
