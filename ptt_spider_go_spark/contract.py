@@ -1585,20 +1585,26 @@ def q_pack_documents(spark, sf_dir):
                                     budget_tokens=256)
 
 
+# true greedy pack-until-exceed: the accumulator RESETS once a bin's
+# running total reaches the budget, so the recursion is the exact
+# linear fold (one step per doc rank within its stratum).
 SQL_PACK_DOCUMENTS = """
-WITH sized AS (
+WITH RECURSIVE sized AS (
   SELECT doc_id, lang,
          len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                         x -> x <> '')) AS n_tokens
+                         x -> x <> '')) AS n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
   FROM documents),
-cum AS (
-  SELECT doc_id, lang, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) AS c
-  FROM sized)
-SELECT doc_id, lang, n_tokens,
-       CAST(floor((c - n_tokens) / 256) AS BIGINT) AS bin_id
-FROM cum
+packed AS (
+  SELECT doc_id, lang, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin_id, n_tokens AS run
+  FROM sized WHERE rn = 1
+  UNION ALL
+  SELECT s.doc_id, s.lang, s.n_tokens, s.rn,
+         CASE WHEN p.run >= 256 THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.run >= 256 THEN s.n_tokens ELSE p.run + s.n_tokens END
+  FROM packed p JOIN sized s ON s.lang = p.lang AND s.rn = p.rn + 1)
+SELECT doc_id, lang, n_tokens, bin_id FROM packed
 """
 
 
@@ -1822,10 +1828,14 @@ def oracle_sql():
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the web-text curation pipeline over sf0.001 documents —
     fingerprint + quality + token counts + MinHash signature + lang
-    guess + duplicate-cluster assignment (connected components over the
-    LSH pair graph, keeper flag), assembled into one curation table
-    (the per-document feature row a 100 TB training-data pipeline
-    materializes before filtering).
+    guess + duplicate-cluster assignment (star-alternation connected
+    components over the LSH pair graph, keeper flag) + the r3 curation
+    signals (Gopher-style repetition ratio, deterministic stratified-
+    sample membership, greedy pack bin), assembled into one curation
+    table — the full per-document record a 100 TB training-data
+    pipeline materializes before filtering/packing (VERDICT r03
+    next-round #6). All joins are doc_id equi-joins over column-pruned
+    single-purpose tables.
     """
     from ptt_spider_go_spark.pipeline import clusters
 
@@ -1835,18 +1845,28 @@ def entry(spark: SparkSession) -> DataFrame:
     comp = clusters.duplicate_clusters(
         docs, dedup_text.lsh_candidate_pairs(sigs)
     )
+    sample = textstats.stratified_sample(docs).select(
+        "doc_id", F.lit(True).alias("in_sample")
+    )
     out = (
         docs.select("doc_id", "lang", "source", "n_chars")
         .join(textstats.fingerprints(docs), "doc_id")
         .join(textstats.quality_scores(docs), "doc_id")
         .join(textstats.token_counts(docs), "doc_id")
         .join(comp, "doc_id")
+        .join(textstats.pack_documents(docs).select("doc_id", "bin_id"),
+              "doc_id")
         # left joins: a doc with no shingles or no stopword hits must
         # still get a curation row (it would otherwise be silently
         # dropped from the corpus accounting).
         .join(sigs, "doc_id", "left")
         .join(textstats.lang_scores(docs), "doc_id", "left")
+        .join(textstats.repetition_ratio(docs)
+              .select("doc_id", "rep_ratio"), "doc_id", "left")
+        .join(sample, "doc_id", "left")
         .withColumn("lang_guess", F.coalesce(F.col("lang_guess"), F.lit("unknown")))
         .withColumn("best_ratio", F.coalesce(F.col("best_ratio"), F.lit(0.0)))
+        .withColumn("rep_ratio", F.coalesce(F.col("rep_ratio"), F.lit(0.0)))
+        .withColumn("in_sample", F.coalesce(F.col("in_sample"), F.lit(False)))
     )
     return out

