@@ -99,6 +99,125 @@ def _warmup(spark, sf_dir, qs) -> float:
     return round(time.time() - t0, 3)
 
 
+def _synth_urls(spark, lo: int, hi: int, parallelism: int):
+    """Deterministic ptt-shaped URL column over id in [lo, hi)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(lo, hi, 1, parallelism)
+        .select(
+            F.concat(
+                F.lit("https://www.ptt.cc/bbs/Beauty/M."),
+                (F.lit(1500000000) + F.col("id")).cast("string"),
+                F.lit(".A.html"),
+            ).alias("url")
+        )
+    )
+
+
+def _cuckoo_ab(spark, cpus: int) -> dict:
+    """Measured form of the cuckoo-verification claim: same candidates,
+    same (overloaded) Bloom, anti-join input rows + wall with the cuckoo
+    pass off vs on, plus the exact-join-only wall for context."""
+    from ptt_spider_go_spark.operators.dedup import (
+        BloomShardSet,
+        CuckooShardSet,
+        dedup_against_seen,
+    )
+
+    n_seen, n_cand, n_repeat = 2_000_000, 400_000, 20_000
+    seen = _synth_urls(spark, 0, n_seen, cpus).persist()
+    n_seen_rows = seen.count()
+    # candidates: n_repeat revisits (ids at the seen tail) + the rest new
+    cand = (
+        _synth_urls(spark, n_seen - n_repeat, n_seen - n_repeat + n_cand, cpus)
+        .persist()
+    )
+    cand.count()
+
+    # Bloom sized for half the seen set (the budgeted-bits/URL web-scale
+    # regime: defaults give 8 shards x 2^17 expected = 1M at 1% fpp, so
+    # at 2M inserted the realized fpp climbs to ~13%); cuckoo sized at
+    # capacity like run_crawl's crossing build.
+    blooms = BloomShardSet()
+    blooms.add_df(seen)
+    cuckoos = CuckooShardSet.for_capacity(blooms.n_shards, n_seen)
+    cuckoos.add_df(seen)
+
+    out = {
+        "n_seen": n_seen_rows,
+        "n_candidates": n_cand,
+        "n_true_repeats": n_repeat,
+        "bloom_sized_for": "1.05M urls @ fpp 0.01 (deliberately 2x-loaded)",
+        "cuckoo_capacity": cuckoos.capacity,
+    }
+    for mode, ck in (("bloom_only", None), ("bloom_plus_cuckoo", cuckoos)):
+        counters: dict = {}
+        t0 = time.time()
+        _force(dedup_against_seen(cand, seen, blooms, ck, counters=counters))
+        out[mode] = {
+            "wall_sec": round(time.time() - t0, 3),
+            "anti_join_input_rows": counters.get(
+                "anti_join_input_after_cuckoo",
+                counters["anti_join_input_after_bloom"],
+            ),
+            **counters,
+        }
+    t0 = time.time()
+    _force(dedup_against_seen(cand, seen, None))
+    out["exact_join_only_wall_sec"] = round(time.time() - t0, 3)
+    after_b = out["bloom_only"]["anti_join_input_rows"]
+    after_c = out["bloom_plus_cuckoo"]["anti_join_input_rows"]
+    out["bloom_fp_rows"] = after_b - n_repeat
+    out["cuckoo_fp_rows"] = after_c - n_repeat
+    out["cuckoo_fp_cut_pct"] = round(
+        100.0 * (1 - (after_c - n_repeat) / max(1, after_b - n_repeat)), 2
+    )
+    out["join_input_cut_pct"] = round(100.0 * (1 - after_c / after_b), 2)
+    seen.unpersist()
+    cand.unpersist()
+    return out
+
+
+def _salt_ab(spark, cpus: int) -> dict:
+    """Budget-gate lane split under total single-host skew: identical
+    2M-row one-host frontier, salt=1 (one window task) vs salt=cpus.
+    Admitted sets are identical by construction (lane budgets sum
+    exactly to the host budget; only the priority tie-break WITHIN the
+    admitted/deferred boundary can differ, and row counts pin both)."""
+    from pyspark.sql import functions as F
+
+    from ptt_spider_go_spark.operators.politeness import budget_gate
+
+    n_rows, host_budget = 2_000_000, 100_000
+    frontier = (
+        _synth_urls(spark, 0, n_rows, cpus)
+        .withColumn("kind_rank", F.lit(1))
+        .withColumn("page_no", F.pmod(F.xxhash64("url"), F.lit(4000)))
+        .withColumn("warc_ts", F.timestamp_seconds(F.lit(1700000000)))
+        .persist()
+    )
+    frontier.count()
+    out: dict = {"n_rows": n_rows, "host_budget": host_budget, "hosts": 1}
+    counts = {}
+    for salt in (1, cpus):
+        best = None
+        for _ in range(2):  # best-of-2, same window-noise rationale
+            t0 = time.time()
+            admitted, deferred = budget_gate(frontier, host_budget, salt)
+            n_adm = admitted.count()
+            _force(deferred)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        counts[salt] = n_adm
+        out[f"salt{salt}_sec"] = round(best, 3)
+    out["admitted_rows_equal"] = len(set(counts.values())) == 1
+    out["admitted_rows"] = counts[cpus]
+    out["speedup"] = round(out["salt1_sec"] / out[f"salt{cpus}_sec"], 2)
+    frontier.unpersist()
+    return out
+
+
 def crawl_scale(sf: float) -> dict:
     return {
         "boards": ("Beauty", "Gossiping"),
@@ -236,6 +355,28 @@ def main():
         "flat_corpus_prefix_sec": times["ngram_jaccard_prefix"],
     }
 
+    # --- cuckoo-layer A/B (VERDICT r03 #5): the '~99% join-input cut'
+    # claim (operators/dedup.py CuckooShardSet docstring), measured.
+    # Shape mirrors the 10^10 design point scaled down: the Bloom layer
+    # holds 2x its sized capacity (at web scale bits/URL are budgeted,
+    # so the filter runs past its design load and its fpp climbs to
+    # ~10%+), the cuckoo layer is capacity-sized at engagement
+    # (CuckooShardSet.for_capacity, exactly what run_crawl does at the
+    # cuckoo_min_seen crossing). Candidates are a frontier-expansion
+    # batch: mostly new URLs + a 5% revisit tail. Counters report the
+    # rows actually entering the exact |probable| anti-join after each
+    # probabilistic layer; exactness is identical in all modes (both
+    # layers are false-negative-free).
+    cuckoo_ab = _cuckoo_ab(spark, cpus)
+
+    # --- salted-lane skew A/B (VERDICT r03 #7): the budget gate's lane
+    # split (operators/politeness.py budget_gate) under a 100%-single-
+    # host frontier — the actual PTT shape, where groupBy(host) alone
+    # serializes the whole admission sort into ONE task. salt=1 is that
+    # degenerate plan; salt=cpus splits the per-host priority window
+    # into `cpus` lanes whose budgets sum exactly to the host budget.
+    salt_ab = _salt_ab(spark, cpus)
+
     # --- round-over-round comparability: one number over the queries
     # shared with the previous round's BENCH file (suite totals are
     # query-set-dependent and not comparable across rounds).
@@ -249,14 +390,30 @@ def main():
         try:
             with open(os.path.join(repo_dir, prev_files[-1])) as fh:
                 prev = json.load(fh)
-            # driver BENCH files wrap the bench JSON under "parsed"
-            prev_q = prev.get("queries") or prev.get("parsed", {}).get(
+            # driver BENCH files wrap the bench JSON under "parsed";
+            # when the stdout line outgrew the driver's 2000-char tail
+            # cap (r03) "parsed" is null and the tail string holds only
+            # the line's end — recover per-query times from it by regex
+            # (keys are unambiguous: "name": 1.234 with a known name).
+            prev_q = prev.get("queries") or (prev.get("parsed") or {}).get(
                 "queries", {}
             )
+            if not prev_q and isinstance(prev.get("tail"), str):
+                import re
+
+                known = set(times)
+                prev_q = {
+                    k: float(v)
+                    for k, v in re.findall(
+                        r'"([a-z0-9_]+)": ([0-9]+\.[0-9]+)', prev["tail"]
+                    )
+                    if k in known
+                }
             shared = sorted(set(prev_q) & set(times))
             shared_with_prev = {
                 "prev_file": prev_files[-1],
-                "prev_sf": prev.get("sf") or prev.get("parsed", {}).get("sf"),
+                "prev_sf": prev.get("sf")
+                or (prev.get("parsed") or {}).get("sf"),
                 "n_queries": len(shared),
                 "now_sec": round(sum(times[q] for q in shared), 3),
                 "prev_sec": round(sum(prev_q[q] for q in shared), 3),
@@ -264,48 +421,89 @@ def main():
         except (OSError, ValueError):
             pass
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline suite wall time (crawl pipeline + SURVEY §2 operator queries)",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "crawl_urls_per_sec": round(fetched / crawl_dt, 1),
-                "crawl_urls_fetched": fetched,
-                "crawl_pages_available": n_pages,
-                "crawl_supersteps": res.supersteps,
-                "warmup_sec_excluded": warmup_sec,
-                "calibration_tasks_per_sec": {
-                    "before": calib_before,
-                    "after": _calibrate(spark, cpus),
-                },
-                "timing": (
-                    "best-of-2 per query below 15s first-pass (and for the "
-                    "crawl); single-pass times on this shared host swing up "
-                    "to 3x between co-tenant windows (BASELINE.md variance "
-                    "log) — min-of-2 estimates engine cost, not the window"
-                ),
-                "config_ab": config_ab,
-                "jaccard_zipf_ab": jaccard_zipf_ab,
-                "shared_with_prev": shared_with_prev,
-                "note": (
-                    "ngram_jaccard_prefix pins the PPJoin-style scale path "
-                    "on its WORST-case input (the synthetic corpus is "
-                    "uniform-df, vocab 31, zipf_factor 1.03 — prefixes "
-                    "prune nothing); the adaptive default "
-                    "ngram_jaccard_pairs measures df skew and picks the "
-                    "naive join there. ngram_jaccard_zipf + jaccard_zipf_ab "
-                    "demonstrate the flip side: on web-shaped Zipfian text "
-                    "(datagen.zipfify_documents) the selector picks prefix "
-                    "and it wins — the selector chooses the faster exact "
-                    "algorithm on BOTH corpus shapes"
-                ),
-                "cpus": cpus,
-            }
-        )
-    )
+    # Full record (exhibits with all counters + the methodology prose)
+    # goes to BENCH_FULL.json in the repo; stdout gets a COMPACT line.
+    # The driver that records BENCH_r{N}.json keeps only the LAST 2000
+    # characters of bench stdout and json-parses that — round 3's line
+    # grew past the cap and landed as parsed:null (BENCH_r03.json).
+    # The stdout line is therefore kept under 2000 chars, hard-checked.
+    full = {
+        "metric": "headline suite wall time (crawl pipeline + SURVEY §2 operator queries)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "crawl_urls_per_sec": round(fetched / crawl_dt, 1),
+        "crawl_urls_fetched": fetched,
+        "crawl_pages_available": n_pages,
+        "crawl_supersteps": res.supersteps,
+        "warmup_sec_excluded": warmup_sec,
+        "calibration_tasks_per_sec": {
+            "before": calib_before,
+            "after": _calibrate(spark, cpus),
+        },
+        "timing": (
+            "best-of-2 per query below 15s first-pass (and for the "
+            "crawl); single-pass times on this shared host swing up "
+            "to 3x between co-tenant windows (BASELINE.md variance "
+            "log) — min-of-2 estimates engine cost, not the window"
+        ),
+        "config_ab": config_ab,
+        "jaccard_zipf_ab": jaccard_zipf_ab,
+        "cuckoo_ab": cuckoo_ab,
+        "salt_ab": salt_ab,
+        "shared_with_prev": shared_with_prev,
+        "note": (
+            "ngram_jaccard_prefix pins the PPJoin-style scale path "
+            "on its WORST-case input (the synthetic corpus is "
+            "uniform-df, vocab 31, zipf_factor 1.03 — prefixes "
+            "prune nothing); the adaptive default "
+            "ngram_jaccard_pairs measures df skew and picks the "
+            "naive join there. ngram_jaccard_zipf + jaccard_zipf_ab "
+            "demonstrate the flip side: on web-shaped Zipfian text "
+            "(datagen.zipfify_documents) the selector picks prefix "
+            "and it wins — the selector chooses the faster exact "
+            "algorithm on BOTH corpus shapes"
+        ),
+        "cpus": cpus,
+    }
+    with open(os.path.join(repo_dir, "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+
+    compact = {
+        "metric": "headline suite wall (crawl + SURVEY §2 queries)",
+        "value": full["value"],
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "crawl_urls_per_sec": full["crawl_urls_per_sec"],
+        "crawl_urls_fetched": fetched,
+        "crawl_supersteps": res.supersteps,
+        "calib_tasks_per_sec": full["calibration_tasks_per_sec"],
+        "config_ab_sec": {"workers3": config_ab["workers3_sec"],
+                          "workers10": config_ab["workers10_sec"],
+                          "same_fetch_set": config_ab["same_fetch_set"]},
+        "zipf_ab_sec": {"prefix": jaccard_zipf_ab["adaptive_prefix_sec"],
+                        "naive": jaccard_zipf_ab["naive_sec"]},
+        "cuckoo_ab": {"bloom_fp_rows": cuckoo_ab["bloom_fp_rows"],
+                      "cuckoo_fp_rows": cuckoo_ab["cuckoo_fp_rows"],
+                      "join_input_cut_pct": cuckoo_ab["join_input_cut_pct"]},
+        "salt_ab_sec": {"salt1": salt_ab["salt1_sec"],
+                        "saltN": salt_ab[f"salt{cpus}_sec"],
+                        "speedup": salt_ab["speedup"]},
+        "shared_with_prev": shared_with_prev,
+        "detail": "BENCH_FULL.json",
+        "cpus": cpus,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1990:  # driver tail cap; shed in fixed order, never crash
+        for k in ("shared_with_prev", "calib_tasks_per_sec", "salt_ab_sec",
+                  "cuckoo_ab", "zipf_ab_sec", "config_ab_sec", "queries"):
+            compact.pop(k, None)
+            line = json.dumps(compact)
+            if len(line) <= 1990:
+                break
+    print(line)
     spark.stop()
 
 
