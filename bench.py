@@ -50,6 +50,8 @@ HEADLINE = [
     "lang_id",
     "fingerprints",
     "repetition_ratio",
+    "segment_dedup",
+    "decontaminate",
     "novel_documents",
     "stratified_sample",
     "redact_pii",

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ptt_spider_go_spark.functions import columns as C
+from ptt_spider_go_spark.pipeline.common import md5_long_sql
 from ptt_spider_go_spark.pipeline import (
     dedup_text,
     multimodal,
@@ -1608,6 +1609,129 @@ SELECT doc_id, lang, n_tokens, bin_id FROM packed
 """
 
 
+def q_segment_dedup(spark, sf_dir):
+    """MassiveText-style duplicate-line analysis (10-token segment
+    proxy): per-doc share of segments appearing in >=2 documents."""
+    return textstats.segment_dup_ratio(_t(spark, sf_dir, "documents"))
+
+
+SQL_SEGMENT_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '') AS toks
+  FROM documents),
+seg0 AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, greatest(CAST(ceil(len(toks) / 10.0) AS INT) - 1, 0))) AS g
+  FROM toks WHERE len(toks) > 0),
+segs AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[g*10+1 : g*10+10], ' ') AS seg
+  FROM seg0),
+counted AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY seg) AS n_docs_with_seg
+  FROM segs)
+SELECT doc_id, count(*) AS n_segments,
+       CAST(sum(CASE WHEN n_docs_with_seg > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+       round(sum(CASE WHEN n_docs_with_seg > 1 THEN 1 ELSE 0 END) / count(*), 4)
+         AS dup_seg_ratio,
+       sum(CASE WHEN n_docs_with_seg > 1 THEN 1 ELSE 0 END) / count(*) > 0.3
+         AS dup_flagged
+FROM counted GROUP BY doc_id
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Train/eval 13-gram decontamination: eval set = doc_id % 97 == 0,
+    per-training-doc distinct-gram collision counts vs the eval set."""
+    return dedup_text.decontaminate(_t(spark, sf_dir, "documents"))
+
+
+_GRAM13 = "array_to_string(toks[j+1 : j+13], ' ')"
+SQL_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '') AS toks
+  FROM documents),
+g0 AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, greatest(len(toks) - 13, 0))) AS j
+  FROM toks),
+grams AS (
+  SELECT DISTINCT doc_id,
+         {md5_long_sql(_GRAM13)} AS gh
+  FROM g0),
+eval_grams AS (
+  SELECT DISTINCT gh FROM grams WHERE doc_id % 97 = 0)
+SELECT g.doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN e.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_hits,
+       round(sum(CASE WHEN e.gh IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4)
+         AS contamination_ratio,
+       sum(CASE WHEN e.gh IS NOT NULL THEN 1 ELSE 0 END) > 0 AS is_contaminated
+FROM grams g LEFT JOIN eval_grams e ON g.gh = e.gh
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id
+"""
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """RFC 3986 syntax-based URL canonicalization (frontier-key
+    normalization): fragment strip, scheme/authority lowercase,
+    default-port drop, empty-path -> '/'. Input spellings are
+    synthesized deterministically from orders (6 variants)."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    url = (
+        F.when(k % 6 == 0, F.concat(F.lit("HTTP://WWW.PTT.CC:80/bbs/B/M."),
+                                    ks, F.lit(".A.html#push")))
+        .when(k % 6 == 1, F.concat(F.lit("https://Example.COM:443/x/"),
+                                   ks, F.lit("?q=1#frag")))
+        .when(k % 6 == 2, F.concat(F.lit("https://cdn"), ks,
+                                   F.lit(".Example.com")))
+        .when(k % 6 == 3, F.concat(F.lit("http://example.com:8080/p/"), ks))
+        .when(k % 6 == 4, F.concat(F.lit("http://Example.com:80/"), ks,
+                                   F.lit("/#a#b")))
+        .otherwise(F.concat(F.lit("https://example.com/a%2Fb/"), ks))
+    )
+    return o.select(
+        k.alias("o_orderkey"), url.alias("url"),
+        C.canonicalize_url(url).alias("canon_url"),
+    )
+
+
+SQL_URL_CANONICALIZE = """
+WITH raw AS (
+  SELECT o_orderkey,
+    CASE o_orderkey % 6
+      WHEN 0 THEN 'HTTP://WWW.PTT.CC:80/bbs/B/M.' || o_orderkey || '.A.html#push'
+      WHEN 1 THEN 'https://Example.COM:443/x/' || o_orderkey || '?q=1#frag'
+      WHEN 2 THEN 'https://cdn' || o_orderkey || '.Example.com'
+      WHEN 3 THEN 'http://example.com:8080/p/' || o_orderkey
+      WHEN 4 THEN 'http://Example.com:80/' || o_orderkey || '/#a#b'
+      ELSE 'https://example.com/a%2Fb/' || o_orderkey
+    END AS url
+  FROM orders),
+parts AS (
+  SELECT o_orderkey, url,
+         regexp_replace(url, '#.*$', '', 's') AS no_frag,
+         regexp_extract(regexp_replace(url, '#.*$', '', 's'),
+                        '^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*)', 1) AS auth
+  FROM raw),
+canon0 AS (
+  SELECT o_orderkey, url, auth,
+         substr(no_frag, length(auth) + 1) AS rest,
+         regexp_replace(
+           regexp_replace(lower(auth), '^(http://[^/:]*):80$', '\\1'),
+           '^(https://[^/:]*):443$', '\\1') AS low
+  FROM parts)
+SELECT o_orderkey, url,
+       CASE WHEN auth <> '' AND rest = '' THEN low || '/'
+            ELSE low || rest END AS canon_url
+FROM canon0
+"""
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-payload media table: typed metadata extraction."""
     m = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
@@ -1745,6 +1869,10 @@ QUERIES = {
     # FIRST; the long-stable analogues (green since r1) rotate through the
     # tail. r4 head = the 13 r3 additions the judge had to re-run by hand,
     # plus this round's new operators.
+    # r4 additions (never driver-checked -> front of the window)
+    "segment_dedup": (q_segment_dedup, SQL_SEGMENT_DEDUP),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
     "vocab_stats": (q_vocab_stats, SQL_VOCAB_STATS),
     "novel_documents": (q_novel_documents, SQL_NOVEL_DOCUMENTS),
     "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),

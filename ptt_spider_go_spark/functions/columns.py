@@ -227,3 +227,39 @@ def retry_after_delay_ms(ra: Column, attempt: Column, now: Column) -> Column:
 
 def url_host(url: Column) -> Column:
     return F.try_parse_url(url, F.lit("HOST"))
+
+
+# --- URL canonicalization (frontier-dedup key normalization) ---------------
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical frontier key for a URL — the normalization a web-scale
+    crawler applies BEFORE the seen-set probe so that trivially-distinct
+    spellings of one resource collapse to one frontier entry (RFC 3986
+    §6.2.2-6.2.3 syntax-based normalization, the subset that is always
+    semantics-preserving):
+
+      1. fragment stripped ('#...' never reaches the server);
+      2. scheme + authority lowercased (case-insensitive per RFC);
+      3. default port dropped (:80 for http, :443 for https);
+      4. empty path normalized to '/' (http://h and http://h/ are the
+         same request target).
+
+    The reference has no canonicalizer (its URLs are produced, not
+    discovered — crawler/crawler.go builds them from a template), so
+    rule choice follows RFC 3986; path dot-segment and percent-encoding
+    normalization are deliberately omitted (they require a parser, not
+    a projection — and percent-case folding can change keys for servers
+    that treat %2F specially). Pure JVM-side regex projection; every
+    regex is in the Java/RE2-shared subset, so the DuckDB oracle is
+    value-exact."""
+    no_frag = F.regexp_replace(url, "#.*$", "")
+    auth = F.regexp_extract(no_frag, "^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*)", 1)
+    rest = F.substring(no_frag, F.length(auth) + 1, F.lit(1_000_000))
+    low = F.lower(auth)
+    low = F.regexp_replace(low, "^(http://[^/:]*):80$", "$1")
+    low = F.regexp_replace(low, "^(https://[^/:]*):443$", "$1")
+    canon = F.concat(low, rest)
+    # empty path -> '/' (only when there IS an authority and no path/query)
+    return F.when(
+        (auth != "") & (rest == ""), F.concat(low, F.lit("/"))
+    ).otherwise(canon)

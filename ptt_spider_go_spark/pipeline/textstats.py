@@ -327,3 +327,62 @@ def pack_documents(docs: DataFrame, budget_tokens: int = 256,
         return pdf
 
     return sized.groupBy(strata_col).applyInPandas(pack, out_schema)
+
+
+def segment_dup_ratio(docs: DataFrame, seg_tokens: int = 10,
+                      flag_threshold: float = 0.3) -> DataFrame:
+    """(doc_id, n_segments, n_dup_segments, dup_seg_ratio, dup_flagged):
+    MassiveText/Gopher-style duplicate-LINE analysis across the corpus
+    — for each document, the share of its text segments that also
+    appear verbatim in at least one OTHER document. High ratios mark
+    boilerplate (navigation chrome, license footers, mirrored pages)
+    that survives document-level dedup because the containing docs
+    differ. MassiveText splits on '\\n'; the synthetic corpus has no
+    newlines, so the deterministic proxy for a "line" is a
+    NON-OVERLAPPING run of `seg_tokens` whitespace tokens (trailing
+    partial run included). Segments are counted once per containing
+    doc (within-doc repetition is X20 repetition_ratio's job).
+
+    Scale shape: one scan -> segment explode -> groupBy(doc_id, seg)
+    dedupe [shuffle 1, map-side partial] -> count docs per segment via
+    a partitionBy(seg) window [shuffle 2] -> groupBy(doc_id) [shuffle
+    3]. No self-join: the per-segment doc count rides the window, so
+    corpus-frequent segments never fan out pairwise. Every shuffle key
+    (segment hash, doc_id) is high-cardinality -> no skew; partial
+    aggregation runs map-side on all three.
+    """
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    n_segs = F.ceil(F.size("toks") / seg_tokens).cast("int")
+    seg_idx = F.sequence(F.lit(0), F.greatest(n_segs - 1, F.lit(0)))
+    segs = toks.filter(F.size("toks") > 0).select(
+        "doc_id", F.explode(seg_idx).alias("g"), "toks"
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.slice(F.col("toks"), F.col("g") * seg_tokens + 1, seg_tokens),
+        ).alias("seg"),
+    )
+    per_doc_seg = segs.groupBy("doc_id", "seg").agg(F.lit(1).alias("_one"))
+    w = Window.partitionBy("seg")
+    counted = per_doc_seg.select(
+        "doc_id", F.count("*").over(w).alias("n_docs_with_seg")
+    )
+    return (
+        counted.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(
+                F.when(F.col("n_docs_with_seg") > 1, 1).otherwise(0)
+            ).alias("n_dup_segments"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_dup_segments",
+            F.round(F.col("n_dup_segments") / F.col("n_segments"), 4)
+            .alias("dup_seg_ratio"),
+            (F.col("n_dup_segments") / F.col("n_segments")
+             > flag_threshold).alias("dup_flagged"),
+        )
+    )

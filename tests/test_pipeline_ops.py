@@ -495,3 +495,73 @@ def test_pack_documents_accumulator_resets(spark):
     got = {r["doc_id"]: r["bin_id"]
            for r in textstats.pack_documents(docs, budget_tokens=10).collect()}
     assert got == {0: 0, 1: 0, 2: 1, 3: 1}
+
+
+def test_segment_dup_ratio_crafted(spark):
+    """12-token docs = two 10-token-truncated segments each (10 + 2).
+    Docs 0 and 1 share their first 10-token segment verbatim but not
+    the tail; doc 2 is disjoint. Exact-dup docs 3/4 share everything."""
+    seg = " ".join(f"w{i}" for i in range(10))      # shared 10-token run
+    rows = [
+        (0, seg + " a0 b0", "en"),
+        (1, seg + " a1 b1", "en"),
+        (2, " ".join(f"x{i}" for i in range(12)), "en"),
+        (3, "tail only matches tail", "en"),
+        (4, "tail only matches tail", "en"),
+        (5, "", "en"),                               # no segments -> no row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r for r in textstats.segment_dup_ratio(docs).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}               # empty doc dropped
+    for d in (0, 1):
+        assert got[d]["n_segments"] == 2
+        assert got[d]["n_dup_segments"] == 1         # the shared head only
+        assert got[d]["dup_seg_ratio"] == 0.5
+        assert bool(got[d]["dup_flagged"])           # 0.5 > 0.3
+    assert got[2]["n_dup_segments"] == 0 and not got[2]["dup_flagged"]
+    for d in (3, 4):                                 # exact dup: 1 segment, dup
+        assert got[d]["n_segments"] == 1
+        assert got[d]["dup_seg_ratio"] == 1.0
+
+
+def test_decontaminate_known_leak(spark):
+    """doc_id 0 (eval: 0 % 97 == 0) leaks verbatim into training doc 1;
+    doc 2 shares no 13-gram with any eval doc. Short docs (<13 tokens)
+    hash one gram of all their tokens."""
+    leak = " ".join(f"t{i}" for i in range(20))      # 20 tokens -> 8 grams
+    rows = [
+        (0, leak, "en"),                             # eval doc
+        (1, "prefix " + leak + " suffix", "en"),     # contains all of 0
+        (2, " ".join(f"z{i}" for i in range(20)), "en"),
+        (3, "short doc", "en"),                      # 1 gram, not in eval
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r for r in dedup_text.decontaminate(docs).collect()}
+    assert set(got) == {1, 2, 3}                     # eval doc excluded
+    assert bool(got[1]["is_contaminated"])
+    assert got[1]["n_eval_hits"] == 8                # every gram of doc 0
+    assert not bool(got[2]["is_contaminated"]) and got[2]["n_eval_hits"] == 0
+    assert got[3]["n_grams"] == 1 and not bool(got[3]["is_contaminated"])
+
+
+def test_canonicalize_url_rules(spark):
+    from ptt_spider_go_spark.functions.columns import canonicalize_url
+
+    cases = [
+        # (input, expected)
+        ("HTTP://WWW.PTT.CC:80/bbs/B/M.1.A.html#push",
+         "http://www.ptt.cc/bbs/B/M.1.A.html"),
+        ("https://Example.COM:443/x?q=1#frag", "https://example.com/x?q=1"),
+        ("https://example.com", "https://example.com/"),     # empty path -> /
+        ("http://example.com:8080/p", "http://example.com:8080/p"),  # non-default port kept
+        ("http://Example.com:80/", "http://example.com/"),
+        ("https://example.com/a%2Fb/9", "https://example.com/a%2Fb/9"),  # %-escapes untouched
+        ("http://h#a#b", "http://h/"),                       # multi-# stripped, empty path
+        ("/bbs/B/index.html#x", "/bbs/B/index.html"),        # schemeless: frag strip only
+        ("HTTPS://H/Path/Case", "https://h/Path/Case"),      # path case preserved
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r["url"]: r["c"] for r in
+           df.select("url", canonicalize_url(F.col("url")).alias("c")).collect()}
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
