@@ -1732,6 +1732,61 @@ FROM canon0
 """
 
 
+def q_domain_stats(spark, sf_dir):
+    """Per-domain corpus rollup (C4/RefinedWeb-style host table):
+    doc counts, exact-dup ratio, token mass, language spread."""
+    return textstats.domain_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_DOMAIN_STATS = """
+WITH proj AS (
+  SELECT source, lang, md5(text) AS h,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '')) AS nt
+  FROM documents)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT h) AS n_unique_texts,
+       round(1 - count(DISTINCT h) / count(*), 4) AS dup_doc_ratio,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       round(CAST(sum(nt) AS BIGINT) / count(*), 4) AS avg_doc_tokens,
+       count(DISTINCT lang) AS n_langs
+FROM proj GROUP BY source
+"""
+
+
+def q_rarity_bins(spark, sf_dir):
+    """CCNet-style head/middle/tail partition by mean token corpus
+    frequency (perplexity proxy), exact per-language tertiles."""
+    return textstats.rarity_bins(_t(spark, sf_dir, "documents"))
+
+
+SQL_RARITY_BINS = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+cf AS (SELECT tok, count(*) AS cf FROM tok GROUP BY tok),
+per_doc AS (
+  SELECT t.doc_id, t.lang,
+         round(CAST(sum(c.cf) AS BIGINT) / count(*), 4) AS mean_tok_cf
+  FROM tok t JOIN cf c ON t.tok = c.tok
+  GROUP BY t.doc_id, t.lang),
+ranked AS (
+  SELECT doc_id, lang, mean_tok_cf,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY mean_tok_cf DESC, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY lang) AS n_lang
+  FROM per_doc)
+SELECT doc_id, lang, mean_tok_cf,
+       CASE WHEN rnk <= CAST(ceil(n_lang / 3) AS BIGINT) THEN 'head'
+            WHEN rnk <= CAST(ceil(2 * n_lang / 3) AS BIGINT) THEN 'middle'
+            ELSE 'tail' END AS bin
+FROM ranked
+"""
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-payload media table: typed metadata extraction."""
     m = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
@@ -1870,6 +1925,8 @@ QUERIES = {
     # tail. r4 head = the 13 r3 additions the judge had to re-run by hand,
     # plus this round's new operators.
     # r4 additions (never driver-checked -> front of the window)
+    "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
+    "rarity_bins": (q_rarity_bins, SQL_RARITY_BINS),
     "segment_dedup": (q_segment_dedup, SQL_SEGMENT_DEDUP),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
@@ -1959,11 +2016,12 @@ def entry(spark: SparkSession) -> DataFrame:
     guess + duplicate-cluster assignment (star-alternation connected
     components over the LSH pair graph, keeper flag) + the r3 curation
     signals (Gopher-style repetition ratio, deterministic stratified-
-    sample membership, greedy pack bin), assembled into one curation
-    table — the full per-document record a 100 TB training-data
-    pipeline materializes before filtering/packing (VERDICT r03
-    next-round #6). All joins are doc_id equi-joins over column-pruned
-    single-purpose tables.
+    sample membership, greedy pack bin) + the r4 signals (MassiveText-
+    style duplicate-segment ratio, train/eval 13-gram contamination
+    flag), assembled into one curation table — the full per-document
+    record a 100 TB training-data pipeline materializes before
+    filtering/packing (VERDICT r03 next-round #6). All joins are
+    doc_id equi-joins over column-pruned single-purpose tables.
     """
     from ptt_spider_go_spark.pipeline import clusters
 
@@ -1992,9 +2050,19 @@ def entry(spark: SparkSession) -> DataFrame:
         .join(textstats.repetition_ratio(docs)
               .select("doc_id", "rep_ratio"), "doc_id", "left")
         .join(sample, "doc_id", "left")
+        # r4: empty docs have no segments; eval-set docs (doc_id%97==0)
+        # have no contamination row by definition -> left joins again.
+        .join(textstats.segment_dup_ratio(docs)
+              .select("doc_id", "dup_seg_ratio"), "doc_id", "left")
+        .join(dedup_text.decontaminate(docs)
+              .select("doc_id", "is_contaminated"), "doc_id", "left")
         .withColumn("lang_guess", F.coalesce(F.col("lang_guess"), F.lit("unknown")))
         .withColumn("best_ratio", F.coalesce(F.col("best_ratio"), F.lit(0.0)))
         .withColumn("rep_ratio", F.coalesce(F.col("rep_ratio"), F.lit(0.0)))
         .withColumn("in_sample", F.coalesce(F.col("in_sample"), F.lit(False)))
+        .withColumn("dup_seg_ratio",
+                    F.coalesce(F.col("dup_seg_ratio"), F.lit(0.0)))
+        .withColumn("is_contaminated",
+                    F.coalesce(F.col("is_contaminated"), F.lit(False)))
     )
     return out

@@ -386,3 +386,105 @@ def segment_dup_ratio(docs: DataFrame, seg_tokens: int = 10,
              > flag_threshold).alias("dup_flagged"),
         )
     )
+
+
+def domain_stats(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, n_unique_texts, dup_doc_ratio, total_tokens,
+    avg_doc_tokens, n_langs): per-domain corpus rollup — the C4/
+    RefinedWeb-style table a curation pipeline ranks hosts by before
+    domain-level filtering (a host whose pages are mostly mutual
+    duplicates, or whose token mass is one boilerplate template, gets
+    dropped wholesale rather than page-by-page). `source` stands in
+    for the registrable domain of a canonicalized URL (X27).
+
+    Scale shape: one narrow projection (doc_id never shuffled; only
+    source, lang, a 32-byte md5, and a token count move) -> ONE
+    groupBy(source). The two count_distinct columns make Catalyst
+    plan an Expand (x3 rows map-side, each keyed (source, value) and
+    partially deduped before the shuffle) — bounded, no self-join.
+    Giant domains are the data's own skew; counts/sums combine
+    map-side so a hot source costs one reducer, not a fan-out.
+    """
+    proj = docs.select(
+        "source",
+        "lang",
+        F.md5(F.col("text")).alias("h"),
+        F.size(tokens(F.col("text"))).alias("nt"),
+    )
+    return (
+        proj.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("h").alias("n_unique_texts"),
+            F.sum("nt").alias("total_tokens"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique_texts",
+            F.round(1 - F.col("n_unique_texts") / F.col("n_docs"), 4)
+            .alias("dup_doc_ratio"),
+            "total_tokens",
+            F.round(F.col("total_tokens") / F.col("n_docs"), 4)
+            .alias("avg_doc_tokens"),
+            "n_langs",
+        )
+    )
+
+
+def rarity_bins(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, mean_tok_cf, bin): CCNet-style head/middle/tail
+    corpus partition by a perplexity PROXY — the mean corpus frequency
+    of a document's tokens. CCNet scores each doc with a KenLM
+    perplexity and cuts each language at the 33rd/67th percentiles;
+    no LM fits the sandbox (and float log-prob sums aren't
+    oracle-exact), so the proxy keeps the integer domain: common-token
+    documents (high mean cf) are fluent/head-like, rare-token
+    documents (low mean cf) are tail. Bins are exact per-language
+    tertiles by doc count, deterministic tie-break by doc_id.
+
+    Scale shape: explode tokens -> groupBy(tok) corpus frequency
+    [shuffle 1, map-side partial] -> equi-join tokens x cf on tok
+    (shuffle join is the safe default — a real corpus vocab is too
+    big to broadcast; AQE may still choose broadcast at small scale)
+    -> groupBy(doc_id, lang) sum+count [shuffle 2] -> per-lang
+    row_number + count window [shuffle 3, partitioned — never
+    partition-less]. Integer sums/counts end in one round(int/int, 4)
+    so the oracle matches bit-for-bit.
+    """
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    cf = tok.groupBy("tok").agg(F.count("*").alias("cf"))
+    per_doc = (
+        tok.join(cf, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("cf").alias("sum_cf"), F.count("*").alias("n_tok"))
+        .select(
+            "doc_id", "lang",
+            F.round(F.col("sum_cf") / F.col("n_tok"), 4)
+            .alias("mean_tok_cf"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("mean_tok_cf").desc(), "doc_id"
+    )
+    wn = Window.partitionBy("lang")
+    ranked = per_doc.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n_lang", F.count("*").over(wn)
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "mean_tok_cf",
+        F.when(
+            F.col("rnk") <= F.ceil(F.col("n_lang") / 3).cast("long"), "head"
+        )
+        .when(
+            F.col("rnk") <= F.ceil(2 * F.col("n_lang") / 3).cast("long"),
+            "middle",
+        )
+        .otherwise("tail")
+        .alias("bin"),
+    )

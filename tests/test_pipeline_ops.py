@@ -565,3 +565,50 @@ def test_canonicalize_url_rules(spark):
            df.select("url", canonicalize_url(F.col("url")).alias("c")).collect()}
     for u, want in cases:
         assert got[u] == want, (u, got[u], want)
+
+
+def test_domain_stats_crafted(spark):
+    """srcA: 3 docs, two of them exact dups -> dup_doc_ratio 1/3;
+    srcB: 1 doc. Token sums and language spread are exact."""
+    rows = [
+        (0, "one two three", "en", "srcA"),
+        (1, "one two three", "de", "srcA"),   # exact dup of 0, other lang
+        (2, "four five", "en", "srcA"),
+        (3, "six", "en", "srcB"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    got = {r["source"]: r for r in textstats.domain_stats(docs).collect()}
+    a, b = got["srcA"], got["srcB"]
+    assert a["n_docs"] == 3 and a["n_unique_texts"] == 2
+    assert a["dup_doc_ratio"] == round(1 - 2 / 3, 4)
+    assert a["total_tokens"] == 8 and a["avg_doc_tokens"] == round(8 / 3, 4)
+    assert a["n_langs"] == 2
+    assert b["n_docs"] == 1 and b["dup_doc_ratio"] == 0.0
+    assert b["total_tokens"] == 1 and b["n_langs"] == 1
+
+
+def test_rarity_bins_tertiles(spark):
+    """3 docs in one language built from a shared common token and
+    per-doc rare tokens: doc 0 all-common (head), doc 2 all-rare
+    (tail), doc 1 mixed (middle). Exact tertiles: n=3 -> one each."""
+    rows = [
+        (0, "c c c", "en"),          # cf(c)=4 -> mean 4.0
+        (1, "c r1 r2", "en"),        # mean (4+1+1)/3 = 2.0
+        (2, "s1 s2 s3", "en"),       # mean 1.0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r for r in textstats.rarity_bins(docs).collect()}
+    assert got[0]["bin"] == "head" and got[0]["mean_tok_cf"] == 4.0
+    assert got[1]["bin"] == "middle" and got[1]["mean_tok_cf"] == 2.0
+    assert got[2]["bin"] == "tail" and got[2]["mean_tok_cf"] == 1.0
+
+
+def test_rarity_bins_deterministic_ties(spark):
+    """Identical docs tie on mean_tok_cf; the doc_id tie-break pins the
+    tertile assignment deterministically (lowest ids fill head first)."""
+    rows = [(i, "same text here", "en") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r["bin"] for r in textstats.rarity_bins(docs).collect()}
+    assert [got[i] for i in range(6)] == [
+        "head", "head", "middle", "middle", "tail", "tail"]
