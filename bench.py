@@ -60,6 +60,12 @@ HEADLINE = [
     "media_decode",
     "sessionize",
     "stream_windowed_counts",
+    # r4 curation additions
+    "gopher_rules",
+    "lang_rebalance",
+    "strip_boilerplate",
+    "domain_stats",
+    "rarity_bins",
 ]
 
 

@@ -1732,6 +1732,107 @@ FROM canon0
 """
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Published Gopher quality-filter rule battery (word count, mean
+    word length, symbol ratio, alpha-word ratio, stop-word presence)."""
+    return textstats.gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+_GOPHER_SW_SQL = "[" + ", ".join(
+    f"'{w}'" for w in textstats.GOPHER_STOPWORDS) + "]"
+SQL_GOPHER_RULES = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS toks,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS ltoks
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CASE WHEN len(toks) > 0
+              THEN round(length(array_to_string(toks, '')) / len(toks), 4)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(toks) > 0
+              THEN round(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                         / len(toks), 4)
+              ELSE 0.0 END AS symbol_word_ratio,
+         CASE WHEN len(toks) > 0
+              THEN round(len(list_filter(toks,
+                       x -> regexp_matches(x, '[A-Za-z]'))) / len(toks), 4)
+              ELSE 0.0 END AS alpha_word_ratio,
+         len(list_intersect(list_distinct(ltoks), {_GOPHER_SW_SQL}))
+           AS n_stop_hits
+  FROM t)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+       alpha_word_ratio, n_stop_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+        AND n_stop_hits >= 2) AS passes_gopher
+FROM m
+"""
+
+
+def q_lang_rebalance(spark, sf_dir):
+    """Temperature-flattened (alpha=0.5) language rebalancing: keep
+    ceil(sqrt(n_l * n_min)) docs per language by md5 hash order."""
+    return textstats.rebalance_languages(_t(spark, sf_dir, "documents"))
+
+
+SQL_LANG_REBALANCE = """
+WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+m AS (SELECT min(n_l) AS n_min FROM c),
+t AS (SELECT lang, CAST(ceil(sqrt(n_l * n_min)) AS BIGINT) AS target
+      FROM c, m),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rnk
+  FROM documents)
+SELECT r.doc_id, r.lang FROM ranked r JOIN t USING (lang)
+WHERE r.rnk <= t.target
+"""
+
+
+def q_strip_boilerplate(spark, sf_dir):
+    """MassiveText-style boilerplate removal: drop 10-token segments
+    appearing in >=2 docs, reassemble the rest in order."""
+    return textstats.strip_boilerplate(_t(spark, sf_dir, "documents"))
+
+
+SQL_STRIP_BOILERPLATE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '') AS toks
+  FROM documents),
+seg0 AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, greatest(CAST(ceil(len(toks) / 10.0) AS INT) - 1, 0))) AS g
+  FROM toks WHERE len(toks) > 0),
+segs AS (
+  SELECT doc_id, g,
+         array_to_string(toks[g*10+1 : g*10+10], ' ') AS seg
+  FROM seg0),
+df AS (SELECT seg, count(DISTINCT doc_id) AS seg_df FROM segs GROUP BY seg),
+kept AS (
+  SELECT s.doc_id, s.g, s.seg FROM segs s JOIN df USING (seg)
+  WHERE seg_df < 2),
+agg AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY g) AS clean_text,
+         count(*) AS n_kept FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       t.n_segments,
+       coalesce(a.n_kept, 0) AS n_kept_segments,
+       t.n_segments - coalesce(a.n_kept, 0) AS n_removed_segments
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_domain_stats(spark, sf_dir):
     """Per-domain corpus rollup (C4/RefinedWeb-style host table):
     doc counts, exact-dup ratio, token mass, language spread."""
@@ -1925,6 +2026,9 @@ QUERIES = {
     # tail. r4 head = the 13 r3 additions the judge had to re-run by hand,
     # plus this round's new operators.
     # r4 additions (never driver-checked -> front of the window)
+    "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
+    "lang_rebalance": (q_lang_rebalance, SQL_LANG_REBALANCE),
+    "strip_boilerplate": (q_strip_boilerplate, SQL_STRIP_BOILERPLATE),
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
     "rarity_bins": (q_rarity_bins, SQL_RARITY_BINS),
     "segment_dedup": (q_segment_dedup, SQL_SEGMENT_DEDUP),
@@ -2018,7 +2122,8 @@ def entry(spark: SparkSession) -> DataFrame:
     signals (Gopher-style repetition ratio, deterministic stratified-
     sample membership, greedy pack bin) + the r4 signals (MassiveText-
     style duplicate-segment ratio, train/eval 13-gram contamination
-    flag), assembled into one curation table — the full per-document
+    flag, Gopher rule-battery pass flag), assembled into one curation
+    table — the full per-document
     record a 100 TB training-data pipeline materializes before
     filtering/packing (VERDICT r03 next-round #6). All joins are
     doc_id equi-joins over column-pruned single-purpose tables.
@@ -2056,6 +2161,10 @@ def entry(spark: SparkSession) -> DataFrame:
               .select("doc_id", "dup_seg_ratio"), "doc_id", "left")
         .join(dedup_text.decontaminate(docs)
               .select("doc_id", "is_contaminated"), "doc_id", "left")
+        # r4: gopher_quality is a total projection (a row per doc,
+        # never null) — plain equi-join, nothing to coalesce.
+        .join(textstats.gopher_quality(docs)
+              .select("doc_id", "passes_gopher"), "doc_id")
         .withColumn("lang_guess", F.coalesce(F.col("lang_guess"), F.lit("unknown")))
         .withColumn("best_ratio", F.coalesce(F.col("best_ratio"), F.lit(0.0)))
         .withColumn("rep_ratio", F.coalesce(F.col("rep_ratio"), F.lit(0.0)))

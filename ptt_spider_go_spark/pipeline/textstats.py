@@ -388,6 +388,180 @@ def segment_dup_ratio(docs: DataFrame, seg_tokens: int = 10,
     )
 
 
+#: Gopher (Rae et al. 2021, table A1) stop-word list: a document must
+#: contain at least 2 of these to pass the quality rules.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, mean_word_len, symbol_word_ratio,
+    alpha_word_ratio, n_stop_hits, passes_gopher): the published Gopher
+    quality-filter rules (Rae et al. 2021 §A1.1) — the standard rule
+    battery a web-text pipeline applies before model-based filtering:
+
+    - 50 <= word count <= 100,000
+    - 3 <= mean word length <= 10
+    - symbol-to-word ratio ('#' or '...') <= 0.1
+    - >= 80% of words contain an alphabetic character
+    - >= 2 distinct stop words present
+
+    The paper's line-based rules (bullet-start / ellipsis-end line
+    ratios) need newline structure the synthetic corpus lacks and are
+    deliberately omitted. All thresholds compare the ROUNDED ratio so
+    Spark and DuckDB compare identical bits (round-half-even on
+    doubles is deterministic in both).
+
+    Scale shape: ONE projection, zero shuffles, whole-stage codegen —
+    tokens array materialized once per row, every metric an expression
+    over it. The per-row cost is O(doc length); there is nothing to
+    broadcast or join."""
+    docs = docs.select(
+        "doc_id", "text",
+        tokens(F.col("text")).alias("toks"),
+        tokens(F.lower(F.col("text"))).alias("ltoks"),
+    )
+    toks = F.col("toks")
+    n_words = F.size(toks)
+    mean_len = F.round(
+        F.when(n_words > 0,
+               F.length(F.array_join(toks, "")) / n_words)
+        .otherwise(F.lit(0.0)), 4)
+    symbols = F.size(F.regexp_extract_all(F.col("text"),
+                                          F.lit(r"#|\.\.\."), 0))
+    sym_ratio = F.round(
+        F.when(n_words > 0, symbols / n_words).otherwise(F.lit(0.0)), 4)
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    alpha_ratio = F.round(
+        F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0)), 4)
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(F.col("ltoks")),
+        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+    ))
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.alias("n_stop_hits"),
+    )
+    return out.withColumn(
+        "passes_gopher",
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("alpha_word_ratio") >= 0.8)
+        & (F.col("n_stop_hits") >= 2),
+    )
+
+
+def rebalance_languages(docs: DataFrame,
+                        strata_col: str = "lang") -> DataFrame:
+    """(doc_id, <strata_col>): temperature-flattened language
+    rebalancing — the multilingual-corpus downsampling step (XLM-R /
+    mT5 style): high-resource languages are cut harder than
+    low-resource ones so the training mix flattens toward uniform.
+    Target per language = ceil(sqrt(n_l * n_min)) — the geometric mean
+    of the language's doc count with the SMALLEST language's count,
+    i.e. exactly temperature T=2 (alpha=0.5) sampling re-anchored so
+    the smallest language is kept whole and every language keeps
+    sqrt-proportionally fewer docs the bigger it is. alpha is pinned
+    to 0.5 because IEEE-754 sqrt is correctly rounded in both engines
+    (pow is not), keeping the oracle bit-exact. Membership is the
+    md5(doc_id) hash order of stratified_sample — no RNG.
+
+    Scale shape: one tiny groupBy(lang) count (≈dozens of rows) read
+    once by a scalar driver probe for n_min (the same probe idiom as
+    the ANN plane probes — the alternative, a 1-row crossJoin or a
+    partition-less min window, funnels an Exchange SinglePartition
+    into the main plan), one partitioned rank window over the docs
+    [the only real shuffle], one broadcast join of the (lang, target)
+    table. No global sort.
+    """
+    counts = docs.groupBy(strata_col).agg(F.count("*").alias("n_l"))
+    n_min = counts.agg(F.min("n_l")).collect()[0][0]
+    if n_min is None:  # empty corpus: no strata, nothing to keep
+        return docs.select("doc_id", strata_col).limit(0)
+    targets = counts.select(
+        strata_col,
+        F.ceil(F.sqrt(F.col("n_l") * F.lit(int(n_min)))).alias("target"),
+    )
+    order = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(order, "doc_id")
+    ranked = docs.select("doc_id", strata_col).withColumn(
+        "rnk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(targets), strata_col)
+        .filter(F.col("rnk") <= F.col("target"))
+        .select("doc_id", strata_col)
+    )
+
+
+def strip_boilerplate(docs: DataFrame, seg_tokens: int = 10,
+                      min_docs: int = 2) -> DataFrame:
+    """(doc_id, clean_text, n_segments, n_kept_segments,
+    n_removed_segments): MassiveText-style boilerplate REMOVAL — the
+    transform twin of segment_dup_ratio (X25): segments appearing
+    verbatim in >= min_docs documents (navigation chrome, license
+    footers, mirrored templates) are dropped and the remaining
+    segments are reassembled in original order. Segment = the same
+    non-overlapping seg_tokens-token run X25 uses (the corpus has no
+    newlines to split on). A doc whose every segment is boilerplate
+    survives with clean_text = ''.
+
+    Scale shape: segment explode -> groupBy(seg) doc-frequency
+    [shuffle 1, map-side partial] -> segs x df equi-join on seg
+    (shuffle join — the segment table is corpus-sized, never
+    broadcast) -> groupBy(doc_id) ordered reassembly via
+    array_sort(collect_list(struct(pos, seg))) [shuffle 2; positions
+    are per-doc unique so the sort is deterministic] -> left join
+    back to per-doc totals. Text moves through the shuffles once,
+    in segment-sized pieces."""
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    n_segs = F.ceil(F.size("toks") / seg_tokens).cast("int")
+    seg_idx = F.sequence(F.lit(0), F.greatest(n_segs - 1, F.lit(0)))
+    segs = toked.filter(F.size("toks") > 0).select(
+        "doc_id", F.explode(seg_idx).alias("g"), "toks"
+    ).select(
+        "doc_id", "g",
+        F.concat_ws(
+            " ",
+            F.slice(F.col("toks"), F.col("g") * seg_tokens + 1, seg_tokens),
+        ).alias("seg"),
+    )
+    seg_df = segs.groupBy("seg").agg(
+        F.count_distinct("doc_id").alias("seg_df"))
+    kept = (
+        segs.join(seg_df, "seg")
+        .filter(F.col("seg_df") < min_docs)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("g", "seg"))),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept_segments"),
+        )
+    )
+    totals = segs.groupBy("doc_id").agg(F.count("*").alias("n_segments"))
+    return (
+        totals.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_segments",
+            F.coalesce(F.col("n_kept_segments"), F.lit(0).cast("long"))
+            .alias("n_kept_segments"),
+            (F.col("n_segments")
+             - F.coalesce(F.col("n_kept_segments"), F.lit(0).cast("long")))
+            .alias("n_removed_segments"),
+        )
+    )
+
+
 def domain_stats(docs: DataFrame) -> DataFrame:
     """(source, n_docs, n_unique_texts, dup_doc_ratio, total_tokens,
     avg_doc_tokens, n_langs): per-domain corpus rollup — the C4/

@@ -612,3 +612,79 @@ def test_rarity_bins_deterministic_ties(spark):
     got = {r["doc_id"]: r["bin"] for r in textstats.rarity_bins(docs).collect()}
     assert [got[i] for i in range(6)] == [
         "head", "head", "middle", "middle", "tail", "tail"]
+
+
+def test_gopher_quality_rules(spark):
+    """One doc engineered to pass every published rule; one per failure
+    mode (short, non-alpha words, symbol-heavy); empty doc fails."""
+    passing = "the of " + " ".join(f"word" for _ in range(48))
+    short = "the of word word"
+    digits = "the of " + " ".join("12345" for _ in range(48))
+    symbols = "the of " + " ".join("ok##" for _ in range(48))
+    rows = [(0, passing), (1, short), (2, digits), (3, symbols), (4, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.gopher_quality(docs).collect()}
+    assert got[0]["passes_gopher"] is True
+    assert got[0]["n_words"] == 50 and got[0]["n_stop_hits"] == 2
+    assert got[0]["mean_word_len"] == round((5 + 48 * 4) / 50, 4)
+    assert got[1]["passes_gopher"] is False          # < 50 words
+    assert got[2]["passes_gopher"] is False          # alpha ratio 2/50
+    assert got[2]["alpha_word_ratio"] == round(2 / 50, 4)
+    assert got[3]["passes_gopher"] is False          # 96 '#' / 50 words
+    assert got[3]["symbol_word_ratio"] == round(96 / 50, 4)
+    assert got[4]["n_words"] == 0 and got[4]["passes_gopher"] is False
+
+
+def test_rebalance_languages_targets(spark):
+    """Counts 9/4/4 -> n_min=4, targets ceil(sqrt(9*4))=6 and 4: the
+    big language is cut to 6, the smallest kept whole; deterministic."""
+    rows = ([(i, "x", "en") for i in range(9)]
+            + [(100 + i, "x", "de") for i in range(4)]
+            + [(200 + i, "x", "fr") for i in range(4)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = textstats.rebalance_languages(docs).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by_lang["en"]) == 6
+    assert by_lang["de"] == {100, 101, 102, 103}
+    assert by_lang["fr"] == {200, 201, 202, 203}
+    again = {(r["doc_id"], r["lang"])
+             for r in textstats.rebalance_languages(docs).collect()}
+    assert again == {(r["doc_id"], r["lang"]) for r in kept}
+
+
+def test_strip_boilerplate_crafted(spark):
+    """A 10-token segment shared by 3 docs is removed everywhere; each
+    doc keeps its unique tail in order; an all-boilerplate doc survives
+    with empty clean_text."""
+    shared = " ".join(f"b{i}" for i in range(10))
+    u0 = " ".join(f"u0x{i}" for i in range(10))
+    u1 = " ".join(f"u1x{i}" for i in range(10))
+    rows = [
+        (0, shared + " " + u0),
+        (1, shared + " " + u1),
+        (2, shared),
+        (3, "tiny unique doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.strip_boilerplate(docs).collect()}
+    assert got[0]["clean_text"] == u0
+    assert got[0]["n_segments"] == 2 and got[0]["n_removed_segments"] == 1
+    assert got[1]["clean_text"] == u1
+    assert got[2]["clean_text"] == "" and got[2]["n_kept_segments"] == 0
+    assert got[3]["clean_text"] == "tiny unique doc"
+    assert got[3]["n_segments"] == 1 and got[3]["n_kept_segments"] == 1
+
+
+def test_strip_boilerplate_order_preserved(spark):
+    """Kept segments reassemble in original position order even when a
+    boilerplate segment sits between them."""
+    shared = " ".join(f"s{i}" for i in range(10))
+    a = " ".join(f"a{i}" for i in range(10))
+    b = " ".join(f"b{i}" for i in range(10))
+    rows = [(0, a + " " + shared + " " + b), (1, shared)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.strip_boilerplate(docs).collect()}
+    assert got[0]["clean_text"] == a + " " + b
+    assert got[0]["n_removed_segments"] == 1
