@@ -62,10 +62,12 @@ HEADLINE = [
     "stream_windowed_counts",
     # r4 curation additions
     "gopher_rules",
+    "c4_rules",
     "lang_rebalance",
     "strip_boilerplate",
     "domain_stats",
     "rarity_bins",
+    "stream_dedup",
 ]
 
 

@@ -1732,6 +1732,24 @@ FROM canon0
 """
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Stateful streaming exact dedup (applyInPandasWithState, one
+    seen-flag per fingerprint): first occurrence admitted, later
+    duplicates suppressed. Bounded single-batch run -> the output
+    equals the batch GROUP BY, making the DuckDB SQL a full oracle."""
+    from ptt_spider_go_spark import streaming as S
+
+    return S.run_dedup_bounded(S.read_documents_stream(spark, sf_dir), spark)
+
+
+SQL_STREAM_DEDUP = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         AS fingerprint,
+       min(doc_id) AS doc_id
+FROM documents GROUP BY 1
+"""
+
+
 def q_gopher_rules(spark, sf_dir):
     """Published Gopher quality-filter rule battery (word count, mean
     word length, symbol ratio, alpha-word ratio, stop-word presence)."""
@@ -1772,6 +1790,50 @@ SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
         AND symbol_word_ratio <= 0.1 AND alpha_word_ratio >= 0.8
         AND n_stop_hits >= 2) AS passes_gopher
 FROM m
+"""
+
+
+def q_c4_rules(spark, sf_dir):
+    """Published C4 cleaning rules over documents salted with
+    deterministic sentence structure (the base corpus has no
+    punctuation, so the salt is what exercises every rule branch;
+    the transform is reproduced in SQL — redact_pii precedent)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" { code }")))
+        .when(F.col("doc_id") % 11 == 0,
+              F.concat(F.col("text"), F.lit(" lorem ipsum filler.")))
+        .when(F.col("doc_id") % 2 == 0,
+              F.concat(F.col("text"),
+                       F.lit(" one. two! three? the end.")))
+        .otherwise(F.col("text")),
+    )
+    return textstats.c4_rules(docs)
+
+
+SQL_C4_RULES = """
+WITH pdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' { code }'
+              WHEN doc_id % 11 = 0 THEN text || ' lorem ipsum filler.'
+              WHEN doc_id % 2 = 0 THEN text || ' one. two! three? the end.'
+              ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       x -> x <> '')) AS n_words,
+       len(regexp_extract_all(text, '[.!?]')) AS n_sentences,
+       regexp_matches(text, '[.!?"]$') AS ends_terminal,
+       position('{' IN text) > 0 AS has_brace,
+       position('lorem ipsum' IN lower(text)) > 0 AS has_lorem,
+       (len(regexp_extract_all(text, '[.!?]')) >= 3
+        AND regexp_matches(text, '[.!?"]$')
+        AND NOT position('{' IN text) > 0
+        AND NOT position('lorem ipsum' IN lower(text)) > 0
+        AND len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) >= 5) AS passes_c4
+FROM pdocs
 """
 
 
@@ -2027,6 +2089,8 @@ QUERIES = {
     # plus this round's new operators.
     # r4 additions (never driver-checked -> front of the window)
     "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
+    "c4_rules": (q_c4_rules, SQL_C4_RULES),
+    "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     "lang_rebalance": (q_lang_rebalance, SQL_LANG_REBALANCE),
     "strip_boilerplate": (q_strip_boilerplate, SQL_STRIP_BOILERPLATE),
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),

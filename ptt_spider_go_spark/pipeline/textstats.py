@@ -455,6 +455,42 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
     )
 
 
+def c4_rules(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_sentences, ends_terminal, has_brace,
+    has_lorem, passes_c4): the published C4 cleaning rules (Raffel et
+    al. 2020 §2.2) adapted to a newline-less corpus — the other
+    canonical public rule battery next to Gopher (X30):
+
+    - >= 3 sentences (sentence proxy: terminal-punctuation count —
+      C4 splits lines and keeps those ending in terminal punctuation;
+      with no line structure the count of '.', '!', '?' stands in)
+    - document ends with terminal punctuation ('.', '!', '?', '\"')
+    - no curly brace (code marker)
+    - no 'lorem ipsum' (placeholder-text marker)
+    - >= 5 words (C4's per-line word floor, applied per document)
+
+    C4's bad-word list and line-level retention are omitted: the
+    first needs an external word list (none in sandbox), the second
+    needs newlines. One projection, zero shuffles, all JVM regexp in
+    the Java/RE2-shared subset -> fully value-oracled."""
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]"), 0))
+        .alias("n_sentences"),
+        F.col("text").rlike('[.!?"]$').alias("ends_terminal"),
+        (F.instr(F.col("text"), "{") > 0).alias("has_brace"),
+        (F.instr(F.lower(F.col("text")), "lorem ipsum") > 0)
+        .alias("has_lorem"),
+    ).withColumn(
+        "passes_c4",
+        (F.col("n_sentences") >= 3) & F.col("ends_terminal")
+        & ~F.col("has_brace") & ~F.col("has_lorem")
+        & (F.col("n_words") >= 5),
+    )
+
+
 def rebalance_languages(docs: DataFrame,
                         strata_col: str = "lang") -> DataFrame:
     """(doc_id, <strata_col>): temperature-flattened language

@@ -1,5 +1,10 @@
 """Structured Streaming surface (bounded, deterministic via availableNow)."""
 
+from ptt_spider_go_spark.streaming.dedup import (
+    dedup_stream,
+    read_documents_stream,
+    run_dedup_bounded,
+)
 from ptt_spider_go_spark.streaming.sessions import (
     run_sessionize_bounded,
     sessionize_stream,
@@ -11,8 +16,11 @@ from ptt_spider_go_spark.streaming.windows import (
 )
 
 __all__ = [
+    "dedup_stream",
+    "read_documents_stream",
     "read_events_stream",
     "run_bounded",
+    "run_dedup_bounded",
     "run_sessionize_bounded",
     "sessionize_stream",
     "windowed_event_counts",

@@ -688,3 +688,24 @@ def test_strip_boilerplate_order_preserved(spark):
     got = {r["doc_id"]: r for r in textstats.strip_boilerplate(docs).collect()}
     assert got[0]["clean_text"] == a + " " + b
     assert got[0]["n_removed_segments"] == 1
+
+
+def test_c4_rules_crafted(spark):
+    """One doc per C4 rule branch: pass, brace, lorem (case-folded),
+    sentence floor, terminal end, word floor."""
+    rows = [
+        (0, "this is fine. really good! is it? yes."),
+        (1, "code here { x } three. two. one."),
+        (2, "Lorem Ipsum dolor sit amet. second. third."),
+        (3, "only one sentence here period."),
+        (4, "one. two. three. trailing words"),
+        (5, "a. b! c?"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.c4_rules(docs).collect()}
+    assert got[0]["passes_c4"] is True and got[0]["n_sentences"] == 4
+    assert got[1]["passes_c4"] is False and got[1]["has_brace"] is True
+    assert got[2]["passes_c4"] is False and got[2]["has_lorem"] is True
+    assert got[3]["passes_c4"] is False and got[3]["n_sentences"] == 1
+    assert got[4]["passes_c4"] is False and got[4]["ends_terminal"] is False
+    assert got[5]["passes_c4"] is False and got[5]["n_words"] == 3

@@ -189,3 +189,25 @@ def test_embedding_near_dup_pairs(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
     assert (1, 3) not in pairs           # below threshold
     assert (1, 4) not in pairs           # bucket-limited candidate set
+
+
+def test_stream_dedup_first_occurrence(spark, tmp_path):
+    """Streaming exact dedup over a bounded file source: one admitted
+    row per canonical fingerprint with the min doc_id; case/whitespace
+    variants collapse to one key (canonical-form parity with
+    textstats.fingerprints)."""
+    from ptt_spider_go_spark.streaming import run_dedup_bounded
+
+    rows = [
+        (0, "Hello   World"),
+        (1, "hello world"),        # canonical dup of 0
+        (2, "something else"),
+        (3, "  HELLO WORLD  "),    # canonical dup of 0
+        (4, "something else"),     # exact dup of 2
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1) \
+        .write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    got = {r["doc_id"] for r in run_dedup_bounded(stream, spark).collect()}
+    assert got == {0, 2}
