@@ -1,0 +1,159 @@
+"""Two-parallelism-level scaling evidence for the CURATION path.
+
+bench_scaling.py evidences the north rule's N -> 4N criterion on the
+crawl; this twin evidences it on the other half of the engine — the
+dedup/curation pipeline a 100 TB corpus actually spends its cluster
+time in. Same methodology (see bench_scaling.py module docstring):
+identical job at local[N] and local[4N] over the same on-disk corpus,
+pure-Python calibration at both levels as the hardware ceiling, raw +
+clock-normalized efficiency, best-of-2 timed runs, untimed warmup.
+
+Workload: MinHash signatures -> LSH band candidate pairs -> exact-dup
+groups over a corpus deterministically replicated from the sf0.1
+documents table (no external data, no RNG):
+
+- replica r of doc d gets doc_id = d*K + r and text = base text plus
+  ~40 replica-derived filler tokens ("r<r>w<j>"), so replicas of one
+  base doc sit near Jaccard ~0.35 of each other — BELOW the LSH band
+  collision regime. This keeps the candidate-pair mass at the base
+  corpus's own near-dup structure (scaled by K) instead of a
+  quadratic K^2-per-base-doc blowup, i.e. the pair join measures the
+  engine, not an adversarial input.
+- every 7th replica keeps the base text verbatim -> a real exact-dup
+  population for the md5 groupBy.
+
+The three stages cover the shapes that dominate a curation cluster:
+wide explode + 4-way min-agg (signatures), band equi-join + pair
+dedup (LSH), and hash groupBy (exact dedup).
+
+Usage: python bench_scaling_dedup.py [--n 4] [--replicas 100]
+Writes BENCH_SCALING_DEDUP.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from bench_scaling import _calibrate, _dir_bytes
+from ptt_spider_go_spark.pipeline import dedup_text
+from ptt_spider_go_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def build_corpus(path: str, replicas: int) -> None:
+    """Deterministic K-fold replication of the sf0.1 documents table
+    (one-time; reused across levels and runs, like the pages table)."""
+    spark = get_spark(app_name="dedup-scaling-gen", master="local[32]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    filler = F.concat_ws(
+        " ",
+        *[F.concat(F.lit("r"), F.col("r").cast("string"), F.lit(f"w{j}"))
+          for j in range(40)],
+    )
+    rep = (
+        docs.select("doc_id", "text")
+        .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))))
+        .select(
+            (F.col("doc_id") * replicas + F.col("r")).alias("doc_id"),
+            F.when(F.col("r") % 7 == 0, F.col("text"))
+            .otherwise(F.concat_ws(" ", F.col("text"), filler))
+            .alias("text"),
+        )
+    )
+    # Hash layout on doc_id: uniform bytes per file (same rationale as
+    # the pages table's bucket-by-url-hash layout in bench_scaling.py).
+    rep.repartition(128, "doc_id").write.mode("overwrite").parquet(path)
+    spark.stop()
+
+
+def _workload(spark, path: str) -> dict:
+    docs = spark.read.parquet(path)
+    sigs = dedup_text.minhash_signatures(docs)
+    pairs = dedup_text.lsh_candidate_pairs(sigs)
+    groups = dedup_text.exact_dup_groups(docs)
+    pairs.write.format("noop").mode("overwrite").save()
+    groups.write.format("noop").mode("overwrite").save()
+    return {"n_docs": docs.count()}
+
+
+def run_once(cpus: int, path: str) -> dict:
+    spark = get_spark(app_name=f"dedup-scaling-{cpus}",
+                      master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+    split = max(1024 * 1024, _dir_bytes(path) // (cpus * 5))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(256 * 1024))
+
+    # Untimed warmup on a slice: JIT + Python worker pool.
+    sl = spark.read.parquet(path).limit(2000)
+    dedup_text.lsh_candidate_pairs(
+        dedup_text.minhash_signatures(sl)
+    ).write.format("noop").mode("overwrite").save()
+
+    cal = _calibrate(spark, cpus)
+
+    wall, meta = float("inf"), {}
+    for _ in range(2):
+        t0 = time.time()
+        meta = _workload(spark, path)
+        wall = min(wall, time.time() - t0)
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "wall_sec": round(wall, 2),
+        "n_docs": meta["n_docs"],
+        "docs_per_sec": round(meta["n_docs"] / wall, 1),
+        "calib_tasks_per_sec": round(cal, 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=4)
+    ap.add_argument("--replicas", type=int, default=100)
+    args = ap.parse_args()
+
+    path = f"/tmp/ptt_scaling_docs_x{args.replicas}"
+    if not os.path.exists(path):
+        build_corpus(path, args.replicas)
+
+    lo = run_once(args.n, path)
+    hi = run_once(args.n * 4, path)
+    eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
+    ceiling = hi["calib_tasks_per_sec"] / (4 * lo["calib_tasks_per_sec"])
+    out = {
+        "metric": "dedup-pipeline scaling efficiency N->4N (local parallelism)",
+        "n": args.n,
+        "workload": "minhash sigs + LSH band pairs + exact-dup groups",
+        "low": lo,
+        "high": hi,
+        "scaling_efficiency": round(eff, 3),
+        "hw_ceiling_efficiency": round(ceiling, 3),
+        "clock_normalized_efficiency": round(eff / ceiling, 3),
+        "target": 0.8,
+        "pass_raw": eff >= 0.8,
+        "pass_normalized": eff / ceiling >= 0.8,
+        "pass": eff / ceiling >= 0.8,
+        "note": (
+            "curation-path twin of BENCH_SCALING.json; same single-box "
+            "ceiling methodology (see bench_scaling.py docstring)"
+        ),
+    }
+    with open("BENCH_SCALING_DEDUP.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
