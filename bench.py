@@ -61,6 +61,10 @@ HEADLINE = [
     "sessionize",
     "stream_windowed_counts",
     # r4 curation additions
+    "mixture_sample",
+    "classifier_scores",
+    "excise_substrings",
+    "shard_manifest",
     "gopher_rules",
     "c4_rules",
     "lang_rebalance",

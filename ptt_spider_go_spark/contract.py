@@ -39,6 +39,7 @@ from ptt_spider_go_spark.pipeline import (
     similarity,
     textstats,
 )
+from ptt_spider_go_spark.sinks import shards
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -1950,6 +1951,143 @@ FROM ranked
 """
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Token-budget mixture sampling (X35): half the corpus's token
+    mass split into equal per-source allocations, filled in
+    md5(doc_id) hash order."""
+    return textstats.mixture_sample(_t(spark, sf_dir, "documents"))
+
+
+SQL_MIXTURE_SAMPLE = """
+WITH proj AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+               count(DISTINCT source) AS s FROM proj),
+alloc AS (SELECT (t // 2) // s AS a FROM tot),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id
+                                  ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_tokens
+  FROM proj)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c, alloc WHERE cum_tokens <= a
+"""
+
+
+def q_classifier_scores(spark, sf_dir):
+    """Hashed linear quality-classifier inference (X37): unigram +
+    bigram features, md5-derived weights, integer-exact scoring."""
+    return textstats.classifier_scores(_t(spark, sf_dir, "documents"))
+
+
+SQL_CLASSIFIER_SCORES = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '') AS toks
+  FROM documents),
+feats AS (
+  SELECT doc_id,
+         list_concat(
+           toks,
+           list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                          j -> toks[j] || ' ' || toks[j + 1])) AS fs
+  FROM toks),
+scored AS (
+  SELECT doc_id, len(fs) AS n_features,
+         coalesce(list_sum(list_transform(
+           fs,
+           f -> ('0x' || substr(md5('w:' || f), 1, 15))::BIGINT
+                % 2001 - 1000)), 0) AS si
+  FROM feats)
+SELECT doc_id, n_features,
+       CASE WHEN n_features > 0
+            THEN round(si / (1000.0 * n_features), 4)
+            ELSE 0.0 END AS score,
+       si > 0 AS keep
+FROM scored
+"""
+
+
+def q_excise_substrings(spark, sf_dir):
+    """ExactSubstr-style duplicate-substring excision (X36): every
+    overlapping 10-token window occurring >=2 times corpus-wide is
+    removed from ALL its occurrences."""
+    return dedup_text.excise_dup_substrings(_t(spark, sf_dir, "documents"))
+
+
+SQL_EXCISE_SUBSTRINGS = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '') AS toks
+  FROM documents),
+w0 AS (
+  SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 10)) AS s
+  FROM toks WHERE len(toks) >= 10),
+wins AS (
+  SELECT doc_id, s,
+         md5(array_to_string(toks[s + 1 : s + 10], ' ')) AS h
+  FROM w0),
+dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+cov0 AS (
+  SELECT w.doc_id, unnest(generate_series(w.s, w.s + 9)) AS pos
+  FROM wins w JOIN dup USING (h)),
+cov AS (SELECT DISTINCT doc_id, pos FROM cov0),
+tp0 AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS j
+  FROM toks WHERE len(toks) > 0),
+tp AS (SELECT doc_id, j - 1 AS pos, toks[j] AS tok FROM tp0),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM tp t
+  WHERE NOT EXISTS (SELECT 1 FROM cov c
+                    WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, len(toks) AS n_tokens FROM toks)
+SELECT t.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       t.n_tokens,
+       t.n_tokens - coalesce(a.n_kept, 0) AS n_removed_tokens
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_shard_manifest(spark, sf_dir):
+    """Sharded-export manifest (X38): per-(lang, shard) doc counts and
+    exact token mass under token-offset shard assignment."""
+    return shards.shard_manifest(
+        shards.assign_shards(_t(spark, sf_dir, "documents")))
+
+
+SQL_SHARD_MANIFEST = """
+WITH proj AS (
+  SELECT doc_id, lang,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id
+                                  ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum
+  FROM proj),
+a AS (SELECT lang, CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id,
+             n_tokens FROM c)
+SELECT lang, shard_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+FROM a GROUP BY lang, shard_id
+"""
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-payload media table: typed metadata extraction."""
     m = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
@@ -2088,6 +2226,10 @@ QUERIES = {
     # tail. r4 head = the 13 r3 additions the judge had to re-run by hand,
     # plus this round's new operators.
     # r4 additions (never driver-checked -> front of the window)
+    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    "classifier_scores": (q_classifier_scores, SQL_CLASSIFIER_SCORES),
+    "excise_substrings": (q_excise_substrings, SQL_EXCISE_SUBSTRINGS),
+    "shard_manifest": (q_shard_manifest, SQL_SHARD_MANIFEST),
     "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "c4_rules": (q_c4_rules, SQL_C4_RULES),
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),

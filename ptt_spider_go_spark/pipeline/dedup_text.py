@@ -474,3 +474,91 @@ def decontaminate(docs: DataFrame, n: int = 13,
             (F.col("n_eval_hits") > 0).alias("is_contaminated"),
         )
     )
+
+
+def excise_dup_substrings(docs: DataFrame, window_tokens: int = 10,
+                          min_count: int = 2) -> DataFrame:
+    """(doc_id, clean_text, n_tokens, n_removed_tokens): exact
+    duplicate-SUBSTRING excision — the ExactSubstr dedup of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), windowed variant: every OVERLAPPING window_tokens-token
+    window is hashed; a window whose text occurs >= min_count times
+    across the corpus (including repeats inside one document) marks
+    ALL token positions it covers for removal, in every occurrence;
+    surviving tokens are reassembled in order. Unlike the segment
+    operators (X25/X32: non-overlapping, doc-frequency >= 2), the
+    sliding window catches duplicated spans at ANY alignment and the
+    paper's semantics remove every copy, not just non-keeper docs.
+    Docs shorter than window_tokens have no windows and pass through
+    whole. The paper builds suffix arrays for arbitrary-length
+    matches; fixed-width overlapping windows are the
+    shuffle-friendly equivalent (any duplicated run >= window_tokens
+    long is fully covered by duplicated windows; shorter duplicated
+    runs are deliberately kept, same floor as the paper's minimum
+    match length).
+
+    Scale shape: the shuffles carry (doc_id, start, md5-hex) — 32-char
+    hashes, NEVER window text; the per-doc blowup is one row per
+    token position (the known linear cost of substring-level dedup).
+    groupBy(window hash) count [shuffle 1, map-side partial] ->
+    equi-join instances x duplicated hashes [shuffle join; the dup
+    set is corpus-sized in the worst case, AQE may broadcast when
+    small] -> covered positions explode -> distinct [shuffle 2] ->
+    left_anti on (doc_id, pos) [shuffle 3] -> groupBy(doc_id) ordered
+    reassembly via array_sort(collect_list(struct)) [shuffle 4].
+    Token text crosses a shuffle exactly once, token-sized, in the
+    reassembly.
+    """
+    k = window_tokens
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    wins = (
+        toked.filter(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.size("toks") - k)).alias("s"),
+            "toks",
+        )
+        .select(
+            "doc_id", "s",
+            F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("s") + 1, k)))
+            .alias("h"),
+        )
+    )
+    dup_h = (
+        wins.groupBy("h").agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= min_count)
+        .select("h")
+    )
+    covered = (
+        wins.join(dup_h, "h")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("s"), F.col("s") + k - 1)).alias("pos"),
+        )
+        .distinct()
+    )
+    tokpos = toked.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok"))
+    kept = tokpos.join(covered, ["doc_id", "pos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = toked.select("doc_id", F.size("toks").alias("n_tokens"))
+    return (
+        totals.join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens")
+             - F.coalesce(F.col("n_kept"), F.lit(0).cast("long")))
+            .cast("long").alias("n_removed_tokens"),
+        )
+    )

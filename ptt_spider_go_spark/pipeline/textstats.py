@@ -698,3 +698,108 @@ def rarity_bins(docs: DataFrame) -> DataFrame:
         .otherwise("tail")
         .alias("bin"),
     )
+
+
+def mixture_sample(docs: DataFrame,
+                   budget_frac: float = 0.5) -> DataFrame:
+    """(doc_id, source, n_tokens, cum_tokens): token-budget mixture
+    sampling — the static-mixture assembly step of a training corpus
+    (The Pile / DoReMi style): a global token budget is split into
+    EQUAL per-source token allocations and each source contributes
+    docs until its allocation is filled. This is mixture by token
+    MASS, not doc count (the reason it is not rebalance_languages:
+    two sources with equal doc counts but 10x different doc lengths
+    get the same token mass here, not the same doc count).
+
+    Budget arithmetic is integer-exact end to end: the global budget
+    B = floor(total_tokens * budget_frac) is computed from the exact
+    BIGINT token total (budget_frac=0.5 -> B = total//2), the
+    per-source allocation is B // n_sources, and a doc is kept iff
+    its INCLUSIVE running token total (md5(doc_id) hash order — the
+    same no-RNG determinism as stratified_sample) stays within the
+    allocation. Undershoot is bounded by one doc per source,
+    documented rather than split (docs are never split across the
+    keep boundary).
+
+    Scale shape: one narrow (doc_id, source, n_tokens) projection —
+    text never leaves the scan; one tiny scalar driver probe for
+    (total_tokens, n_sources) (the approved probe idiom — the
+    alternative 1-row crossJoin funnels an Exchange SinglePartition
+    into the main plan); ONE partitioned running-sum window over the
+    narrow projection [the only shuffle]. No global sort, no join.
+
+    Reference parity: the reference crawler has no corpus-assembly
+    stage; this extends SURVEY §2's pipeline extensions (X35).
+    """
+    proj = docs.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    tot = proj.agg(
+        F.sum("n_tokens").cast("long").alias("t"),
+        F.count_distinct("source").alias("s"),
+    ).collect()[0]
+    if not tot["t"]:  # empty corpus
+        return proj.withColumn("cum_tokens", F.lit(0).cast("long")).limit(0)
+    alloc = int(int(tot["t"]) * budget_frac) // int(tot["s"])
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        proj.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= F.lit(alloc))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+def classifier_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_features, score, keep): fasttext-style hashed linear
+    quality classifier INFERENCE at corpus scale — the model-based
+    quality-filtering step (GPT-3 / LLaMA / CCNet pipelines score
+    every document with a cheap linear classifier and keep the
+    high-scoring ones). Features are unigrams plus adjacent bigrams
+    (fasttext's wordNgrams=2), pushed through the hashing trick onto
+    a deterministic weight table: the weight of feature f is
+    md5-derived, w_int(f) = H60("w:" || f) % 2001 - 1000, i.e. an
+    integer in [-1000, 1000] standing in for a trained weight vector
+    (the sandbox has no model artifact; the OPERATOR SHAPE — hash,
+    look up, accumulate, threshold at scale — is the deliverable, and
+    a real weight table would replace w_int with a broadcast join on
+    the feature bucket). Scoring is integer-exact: score_int = sum of
+    w_int over the doc's features (exact BIGINT), published as
+    score = round(score_int / (1000 * n_features), 4) in [-1, 1];
+    keep = score_int > 0 compares the exact integer, so the decision
+    boundary has no float in it.
+
+    Scale shape: ZERO shuffles — features are built as an in-row
+    array (transform + zip_with, no explode) and folded with
+    F.aggregate inside whole-stage codegen; one narrow projection per
+    doc out. At 100 TB this is a map-only pass, the cheapest possible
+    plan class.
+
+    Reference parity: no analogue in the reference (extension X37).
+    """
+    toks = tokens(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    feats = F.concat(toks, bigrams)
+    w_int = lambda f: (  # noqa: E731 — md5-derived weight, oracle-twin
+        F.conv(F.substring(F.md5(F.concat(F.lit("w:"), f)), 1, 15), 16, 10)
+        .cast("long") % 2001 - 1000
+    )
+    score_int = F.aggregate(
+        feats, F.lit(0).cast("long"), lambda acc, f: acc + w_int(f)
+    )
+    n_feats = F.size(feats)
+    return docs.select(
+        "doc_id",
+        n_feats.alias("n_features"),
+        F.when(n_feats > 0,
+               F.round(score_int / (1000.0 * n_feats), 4))
+        .otherwise(F.lit(0.0)).alias("score"),
+        (score_int > 0).alias("keep"),
+    )

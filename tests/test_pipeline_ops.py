@@ -709,3 +709,146 @@ def test_c4_rules_crafted(spark):
     assert got[3]["passes_c4"] is False and got[3]["n_sentences"] == 1
     assert got[4]["passes_c4"] is False and got[4]["ends_terminal"] is False
     assert got[5]["passes_c4"] is False and got[5]["n_words"] == 3
+
+
+def test_mixture_sample_token_budget(spark):
+    """Equal per-source token allocations: a verbose source contributes
+    FEWER docs than a terse one (token mass, not doc count), each
+    source's kept cum stays within alloc, and membership follows the
+    md5 hash order deterministically."""
+    rows = [(i, " ".join(f"a{i}x{j}" for j in range(100)), "big")
+            for i in range(10)]
+    rows += [(100 + i, " ".join(f"b{i}x{j}" for j in range(10)), "small")
+             for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = textstats.mixture_sample(docs).collect()
+    # total = 1100 tokens; B = 550; alloc = 275 per source
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    assert max(r["cum_tokens"] for r in by_src["big"]) <= 275
+    assert max(r["cum_tokens"] for r in by_src["small"]) <= 275
+    assert len(by_src["big"]) == 2        # 100-token docs: 2 fit in 275
+    assert len(by_src["small"]) == 10     # all 100 small tokens fit
+    again = textstats.mixture_sample(docs).collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(
+        r["doc_id"] for r in again)
+
+
+def test_mixture_sample_empty(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert textstats.mixture_sample(docs).count() == 0
+
+
+def test_classifier_scores_integer_exact(spark, docs):
+    """Score equals the pure-Python md5 weight sum; keep thresholds the
+    exact integer; empty doc scores 0/keep False; n_features =
+    2n - 1."""
+    import hashlib
+
+    def w(f):
+        return int(hashlib.md5(f"w:{f}".encode()).hexdigest()[:15], 16) % 2001 - 1000
+
+    got = {r["doc_id"]: r for r in textstats.classifier_scores(docs).collect()}
+    for doc_id, text, _lang in DOCS:
+        toks = text.split()
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        r = got[doc_id]
+        assert r["n_features"] == len(feats)
+        si = sum(w(f) for f in feats)
+        if feats:
+            assert r["score"] == round(si / (1000.0 * len(feats)), 4)
+            assert r["keep"] == (si > 0)
+        else:
+            assert r["score"] == 0.0 and r["keep"] is False
+
+
+def test_excise_dup_substrings_crafted(spark):
+    """A duplicated 10-token run is removed from BOTH docs (every copy,
+    unlike keeper-based dedup); unique prefixes/tails survive in
+    order; a doc shorter than the window passes through whole."""
+    dup = " ".join(f"d{i}" for i in range(10))
+    a = " ".join(f"a{i}" for i in range(5))
+    b = " ".join(f"b{i}" for i in range(5))
+    rows = [
+        (0, a + " " + dup),
+        (1, dup + " " + b),
+        (2, "short unique doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in dedup_text.excise_dup_substrings(docs).collect()}
+    assert got[0]["clean_text"] == a
+    assert got[0]["n_removed_tokens"] == 10
+    assert got[1]["clean_text"] == b
+    assert got[2]["clean_text"] == "short unique doc"
+    assert got[2]["n_removed_tokens"] == 0
+
+
+def test_excise_dup_substrings_any_alignment(spark):
+    """The overlapping window catches a duplicated run at DIFFERENT
+    offsets in each doc (the case the non-overlapping segment ops
+    miss): a 12-token run shared at offsets 0 and 3 is excised from
+    both docs in full."""
+    run = [f"r{i}" for i in range(12)]
+    rows = [
+        (0, " ".join(run + [f"t0x{i}" for i in range(4)])),
+        (1, " ".join([f"h1x{i}" for i in range(3)] + run)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in dedup_text.excise_dup_substrings(docs).collect()}
+    assert got[0]["clean_text"] == " ".join(f"t0x{i}" for i in range(4))
+    assert got[1]["clean_text"] == " ".join(f"h1x{i}" for i in range(3))
+
+
+def test_excise_within_doc_repeat(spark):
+    """min_count counts OCCURRENCES, not docs: a run repeated twice
+    inside ONE doc is excised (both copies)."""
+    run = " ".join(f"w{i}" for i in range(10))
+    mid = " ".join(f"m{i}" for i in range(3))
+    docs = spark.createDataFrame(
+        [(0, run + " " + mid + " " + run)], "doc_id long, text string")
+    got = dedup_text.excise_dup_substrings(docs).collect()[0]
+    assert got["clean_text"] == mid
+    assert got["n_removed_tokens"] == 20
+
+
+def test_write_shards_layout_and_manifest(spark, tmp_path):
+    """The sink writes lang=<l>/shard_id=<s> partition dirs whose
+    read-back doc/token mass equals the manifest exactly, and every
+    shard except each language's last lands within one doc of the
+    token target."""
+    import os
+
+    from ptt_spider_go_spark.sinks import shards as SH
+
+    rows = [(i, " ".join(f"t{i}x{j}" for j in range(20)),
+             "en" if i % 2 else "de") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = str(tmp_path / "shards")
+    manifest = SH.write_shards(docs, out, shard_tokens=100)
+    man = {(r["lang"], r["shard_id"]): r for r in manifest.collect()}
+    assert len(man) > 1
+    data = spark.read.parquet(os.path.join(out, "data"))
+    got = {
+        (r["lang"], r["shard_id"]): r
+        for r in data.groupBy("lang", "shard_id").agg(
+            F.count("*").alias("n"),
+            F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("toks"),
+        ).collect()
+    }
+    assert set(got) == set(man)
+    for k, r in man.items():
+        assert got[k]["n"] == r["n_docs"]
+        assert got[k]["toks"] == r["shard_tokens"]
+    # partition pruning surface exists on disk
+    langs = {d for d in os.listdir(os.path.join(out, "data"))
+             if d.startswith("lang=")}
+    assert langs == {"lang=en", "lang=de"}
+    # offset binning: every non-final shard holds >= target - (doc-1)
+    # and < target + doc tokens (docs are 20 tokens here)
+    for (lang, sid), r in man.items():
+        last = max(s for (l2, s) in man if l2 == lang)
+        if sid != last:
+            assert 100 - 19 <= r["shard_tokens"] <= 100 + 19
