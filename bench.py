@@ -61,6 +61,8 @@ HEADLINE = [
     "sessionize",
     "stream_windowed_counts",
     # r4 curation additions
+    "chunk_documents",
+    "wet_roundtrip",
     "mixture_sample",
     "classifier_scores",
     "excise_substrings",

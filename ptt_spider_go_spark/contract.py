@@ -2088,6 +2088,48 @@ FROM a GROUP BY lang, shard_id
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-context chunking (X39): consecutive 64-token pieces per
+    doc, last ragged, no cross-doc leakage."""
+    return textstats.chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '') AS toks
+  FROM documents),
+c0 AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(
+           0, CAST(ceil(len(toks) / 64.0) AS INT) - 1)) AS chunk_id
+  FROM toks WHERE len(toks) > 0)
+SELECT doc_id, chunk_id,
+       least(64, len(toks) - chunk_id * 64) AS n_tokens,
+       array_to_string(toks[chunk_id * 64 + 1 : chunk_id * 64 + 64],
+                       ' ') AS chunk_text
+FROM c0
+"""
+
+
+def q_wet_roundtrip(spark, sf_dir):
+    """WET-style archive source (X40): documents rendered to sharded
+    WET files and read back via the file-per-task binaryFile +
+    mapInPandas reader — the oracle is the identity on documents, so
+    a green row proves the byte-exact format round-trip."""
+    from ptt_spider_go_spark.sources import wet
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/ptt_wet_{sf_tag}"
+    wet.write_wet(_t(spark, sf_dir, "documents"), path, n_files=8)
+    return wet.read_wet(spark, path)
+
+
+SQL_WET_ROUNDTRIP = """
+SELECT doc_id, lang, source, text FROM documents
+"""
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-payload media table: typed metadata extraction."""
     m = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
@@ -2226,6 +2268,8 @@ QUERIES = {
     # tail. r4 head = the 13 r3 additions the judge had to re-run by hand,
     # plus this round's new operators.
     # r4 additions (never driver-checked -> front of the window)
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "wet_roundtrip": (q_wet_roundtrip, SQL_WET_ROUNDTRIP),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "classifier_scores": (q_classifier_scores, SQL_CLASSIFIER_SCORES),
     "excise_substrings": (q_excise_substrings, SQL_EXCISE_SUBSTRINGS),

@@ -803,3 +803,47 @@ def classifier_scores(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0)).alias("score"),
         (score_int > 0).alias("keep"),
     )
+
+
+def chunk_documents(docs: DataFrame, context_tokens: int = 64) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk_text): fixed-context
+    CHUNKING — the other standard way training windows are cut (the
+    complement of pack_documents/X24: packing concatenates whole short
+    docs up to the budget; chunking SPLITS each doc into consecutive
+    context_tokens-token pieces, last piece ragged — the GPT-style
+    concat-and-chunk dataloader shape, per-document so no cross-doc
+    leakage). Deterministic and reference-free: chunk i of a doc is
+    tokens [i*C, (i+1)*C). Empty docs produce no chunks.
+
+    Scale shape: ZERO shuffles — a per-row explode of
+    ceil(n_tokens/C) slice indices inside the scan projection; each
+    output row carries only its own chunk's text. At 100 TB this is a
+    map-only repartition-free pass (the downstream shard/export sink
+    adds the one shuffle it needs itself).
+
+    Reference parity: no analogue in the reference (extension X39).
+    """
+    c = int(context_tokens)
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / c).cast("int")
+    return (
+        toked.filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.least(
+                F.lit(c),
+                F.size("toks") - F.col("chunk_id") * c,
+            ).alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.slice(F.col("toks"), F.col("chunk_id") * c + 1, c),
+            ).alias("chunk_text"),
+        )
+    )

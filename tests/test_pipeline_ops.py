@@ -852,3 +852,41 @@ def test_write_shards_layout_and_manifest(spark, tmp_path):
         last = max(s for (l2, s) in man if l2 == lang)
         if sid != last:
             assert 100 - 19 <= r["shard_tokens"] <= 100 + 19
+
+
+def test_chunk_documents_semantics(spark):
+    """130 tokens at C=64 -> chunks of 64/64/2 in order; chunk text is
+    the exact token slice; empty docs produce no chunks."""
+    toks = [f"t{i}" for i in range(130)]
+    docs = spark.createDataFrame(
+        [(0, " ".join(toks)), (1, "")], "doc_id long, text string")
+    got = sorted(textstats.chunk_documents(docs).collect(),
+                 key=lambda r: (r["doc_id"], r["chunk_id"]))
+    assert [r["doc_id"] for r in got] == [0, 0, 0]
+    assert [r["n_tokens"] for r in got] == [64, 64, 2]
+    assert got[0]["chunk_text"] == " ".join(toks[:64])
+    assert got[2]["chunk_text"] == " ".join(toks[128:])
+
+
+def test_wet_roundtrip_exact(spark, tmp_path):
+    """WET write -> read returns the exact rows: multi-byte UTF-8,
+    embedded newlines, and empty text all survive (Content-Length is
+    byte-exact); multiple shard files parse independently."""
+    import os
+
+    from ptt_spider_go_spark.sources import wet
+
+    rows = [
+        (0, "en", "s0", "plain ascii text"),
+        (1, "zh", "s1", "中文 多字節 內容"),
+        (2, "en", "s2", "line one\nline two\n\nline four"),
+        (3, "de", "s3", ""),
+        (4, "fr", "s4", "WET/1.0\nRecord-ID: 99\nsneaky body"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    path = str(tmp_path / "wet")
+    wet.write_wet(docs, path, n_files=3)
+    parts = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert len(parts) == 3
+    got = sorted(wet.read_wet(spark, path).collect(), key=lambda r: r["doc_id"])
+    assert [tuple(r) for r in got] == rows
