@@ -2372,8 +2372,9 @@ def entry(spark: SparkSession) -> DataFrame:
     signals (Gopher-style repetition ratio, deterministic stratified-
     sample membership, greedy pack bin) + the r4 signals (MassiveText-
     style duplicate-segment ratio, train/eval 13-gram contamination
-    flag, Gopher rule-battery pass flag), assembled into one curation
-    table — the full per-document
+    flag, Gopher rule-battery pass flag, hashed-linear classifier
+    score/keep, token-budget mixture membership, export shard id),
+    assembled into one curation table — the full per-document
     record a 100 TB training-data pipeline materializes before
     filtering/packing (VERDICT r03 next-round #6). All joins are
     doc_id equi-joins over column-pruned single-purpose tables.
@@ -2415,6 +2416,17 @@ def entry(spark: SparkSession) -> DataFrame:
         # never null) — plain equi-join, nothing to coalesce.
         .join(textstats.gopher_quality(docs)
               .select("doc_id", "passes_gopher"), "doc_id")
+        # r4b: classifier score (total projection), mixture membership
+        # (kept rows only -> left join), export shard assignment.
+        .join(textstats.classifier_scores(docs)
+              .select("doc_id", F.col("score").alias("clf_score"),
+                      F.col("keep").alias("clf_keep")), "doc_id")
+        .join(textstats.mixture_sample(docs)
+              .select("doc_id", F.lit(True).alias("in_mixture")),
+              "doc_id", "left")
+        .join(shards.assign_shards(docs).select("doc_id", "shard_id"),
+              "doc_id")
+        .withColumn("in_mixture", F.coalesce(F.col("in_mixture"), F.lit(False)))
         .withColumn("lang_guess", F.coalesce(F.col("lang_guess"), F.lit("unknown")))
         .withColumn("best_ratio", F.coalesce(F.col("best_ratio"), F.lit(0.0)))
         .withColumn("rep_ratio", F.coalesce(F.col("rep_ratio"), F.lit(0.0)))
