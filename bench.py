@@ -61,6 +61,7 @@ HEADLINE = [
     "sessionize",
     "stream_windowed_counts",
     # r4 curation additions
+    "stream_near_dup",
     "chunk_documents",
     "wet_roundtrip",
     "mixture_sample",

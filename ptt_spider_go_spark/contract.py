@@ -1751,6 +1751,36 @@ FROM documents GROUP BY 1
 """
 
 
+def q_stream_near_dup(spark, sf_dir):
+    """Streaming LSH near-dup flagging (X41): per-(band, sig) bucket
+    keeper state, any-band duplicate rule, folded to one row per doc.
+    Bounded single-batch run -> keeper = min(doc_id) per bucket,
+    making the DuckDB SQL a full oracle."""
+    from ptt_spider_go_spark import streaming as S
+
+    return S.run_near_dup_bounded(
+        S.read_documents_stream(spark, sf_dir), spark)
+
+
+SQL_STREAM_NEAR_DUP = f"""
+WITH {_TOKS_CTE}, {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {_mh_sql(0)}, {_mh_sql(1)}, {_mh_sql(2)},
+               {_mh_sql(3)}
+        FROM shingles GROUP BY doc_id),
+b AS (
+  SELECT doc_id, 0 AS band, concat(mh0, '-', mh1) AS sig FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, concat(mh2, '-', mh3) AS sig FROM sig),
+k AS (SELECT band, sig, min(doc_id) AS keeper FROM b GROUP BY band, sig)
+SELECT b.doc_id,
+       CAST(sum(CASE WHEN b.doc_id <> k.keeper THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_bands,
+       sum(CASE WHEN b.doc_id <> k.keeper THEN 1 ELSE 0 END) > 0
+         AS is_near_dup
+FROM b JOIN k USING (band, sig) GROUP BY b.doc_id
+"""
+
+
 def q_gopher_rules(spark, sf_dir):
     """Published Gopher quality-filter rule battery (word count, mean
     word length, symbol ratio, alpha-word ratio, stop-word presence)."""
@@ -2268,6 +2298,7 @@ QUERIES = {
     # tail. r4 head = the 13 r3 additions the judge had to re-run by hand,
     # plus this round's new operators.
     # r4 additions (never driver-checked -> front of the window)
+    "stream_near_dup": (q_stream_near_dup, SQL_STREAM_NEAR_DUP),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "wet_roundtrip": (q_wet_roundtrip, SQL_WET_ROUNDTRIP),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),

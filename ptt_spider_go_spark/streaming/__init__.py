@@ -2,8 +2,10 @@
 
 from ptt_spider_go_spark.streaming.dedup import (
     dedup_stream,
+    near_dup_stream,
     read_documents_stream,
     run_dedup_bounded,
+    run_near_dup_bounded,
 )
 from ptt_spider_go_spark.streaming.sessions import (
     run_sessionize_bounded,
@@ -17,6 +19,8 @@ from ptt_spider_go_spark.streaming.windows import (
 
 __all__ = [
     "dedup_stream",
+    "near_dup_stream",
+    "run_near_dup_bounded",
     "read_documents_stream",
     "read_events_stream",
     "run_bounded",

@@ -211,3 +211,55 @@ def test_stream_dedup_first_occurrence(spark, tmp_path):
     stream = spark.readStream.schema("doc_id long, text string").parquet(src)
     got = {r["doc_id"] for r in run_dedup_bounded(stream, spark).collect()}
     assert got == {0, 2}
+
+
+def test_stream_near_dup_any_band_rule(spark, tmp_path):
+    """Streaming LSH near-dup flagging: exact dups collide in BOTH
+    bands (keeper = min doc_id, flagged twice); a distinct doc is
+    clean; the fold reports n_dup_bands per doc."""
+    from ptt_spider_go_spark.streaming import run_near_dup_bounded
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base),                               # exact dup -> both bands
+        (2, "completely different words entirely here now today ok"),
+        (3, base),                               # another dup of 0
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1) \
+        .write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    got = {r["doc_id"]: r for r in
+           run_near_dup_bounded(stream, spark).collect()}
+    assert got[0]["n_dup_bands"] == 0 and not got[0]["is_near_dup"]
+    assert got[1]["n_dup_bands"] == 2 and got[1]["is_near_dup"]
+    assert got[3]["n_dup_bands"] == 2 and got[3]["is_near_dup"]
+    assert got[2]["n_dup_bands"] == 0 and not got[2]["is_near_dup"]
+
+
+def test_stream_near_dup_matches_batch_bands(spark, tmp_path):
+    """The stream's in-row signatures equal the batch explode+groupBy
+    minhash signatures: a doc is flagged iff lsh_candidate_pairs
+    pairs it with a smaller doc_id."""
+    from ptt_spider_go_spark.pipeline import dedup_text
+    from ptt_spider_go_spark.streaming import run_near_dup_bounded
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "completely different words entirely here now"),
+        (4, ""),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    got = {r["doc_id"]: r["is_near_dup"]
+           for r in run_near_dup_bounded(stream, spark).collect()}
+    pairs = dedup_text.lsh_candidate_pairs(
+        dedup_text.minhash_signatures(docs)).collect()
+    flagged_by_batch = {p["doc_b"] for p in pairs}
+    assert got == {d: (d in flagged_by_batch) for d, _t in rows}
