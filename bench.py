@@ -61,6 +61,8 @@ HEADLINE = [
     "sessionize",
     "stream_windowed_counts",
     # r4 curation additions
+    "corpus_funnel",
+    "repetition_battery",
     "stream_near_dup",
     "chunk_documents",
     "wet_roundtrip",

@@ -1781,6 +1781,81 @@ FROM b JOIN k USING (band, sig) GROUP BY b.doc_id
 """
 
 
+def q_repetition_battery(spark, sf_dir):
+    """Full Gopher repetition sub-battery (X42): top n-gram char
+    fraction (n=2..4, lexicographic tie-break) + duplicated n-gram
+    char fraction (n=5..10), thresholds on the rounded values."""
+    return textstats.repetition_battery(_t(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_BATTERY = f"""
+WITH {_TOKS_CTE},
+t2 AS (SELECT doc_id, toks,
+              length(array_to_string(toks, ' ')) AS n_chars FROM toks),
+g0 AS (SELECT doc_id, n_chars, toks,
+              unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n FROM t2),
+g1 AS (SELECT doc_id, n_chars, n, toks,
+              unnest(generate_series(0, len(toks) - n)) AS j
+       FROM g0 WHERE len(toks) >= n),
+grams AS (SELECT doc_id, n_chars, n,
+                 array_to_string(toks[j+1 : j+n], ' ') AS gram FROM g1),
+gcnt AS (SELECT doc_id, n, gram, count(*) AS cnt,
+                min(n_chars) AS n_chars
+         FROM grams GROUP BY doc_id, n, gram),
+top AS (SELECT doc_id, n, cnt, gram,
+               row_number() OVER (PARTITION BY doc_id, n
+                                  ORDER BY cnt DESC, gram) AS rn
+        FROM gcnt WHERE n <= 4),
+tops AS (SELECT doc_id,
+                max(CASE WHEN n = 2 THEN cnt * length(gram) END) AS t2m,
+                max(CASE WHEN n = 3 THEN cnt * length(gram) END) AS t3m,
+                max(CASE WHEN n = 4 THEN cnt * length(gram) END) AS t4m
+         FROM top WHERE rn = 1 GROUP BY doc_id),
+dups AS (SELECT doc_id,
+                sum(CASE WHEN n = 5 AND cnt >= 2
+                         THEN cnt * length(gram) END) AS d5m,
+                sum(CASE WHEN n = 6 AND cnt >= 2
+                         THEN cnt * length(gram) END) AS d6m,
+                sum(CASE WHEN n = 7 AND cnt >= 2
+                         THEN cnt * length(gram) END) AS d7m,
+                sum(CASE WHEN n = 8 AND cnt >= 2
+                         THEN cnt * length(gram) END) AS d8m,
+                sum(CASE WHEN n = 9 AND cnt >= 2
+                         THEN cnt * length(gram) END) AS d9m,
+                sum(CASE WHEN n = 10 AND cnt >= 2
+                         THEN cnt * length(gram) END) AS d10m
+         FROM gcnt GROUP BY doc_id),
+fr AS (
+  SELECT b.doc_id,
+         CASE WHEN b.n_chars > 0 AND t2m IS NOT NULL
+              THEN round(t2m / b.n_chars, 4) ELSE 0.0 END AS top2_frac,
+         CASE WHEN b.n_chars > 0 AND t3m IS NOT NULL
+              THEN round(t3m / b.n_chars, 4) ELSE 0.0 END AS top3_frac,
+         CASE WHEN b.n_chars > 0 AND t4m IS NOT NULL
+              THEN round(t4m / b.n_chars, 4) ELSE 0.0 END AS top4_frac,
+         CASE WHEN b.n_chars > 0 AND d5m IS NOT NULL
+              THEN round(d5m / b.n_chars, 4) ELSE 0.0 END AS dup5_frac,
+         CASE WHEN b.n_chars > 0 AND d6m IS NOT NULL
+              THEN round(d6m / b.n_chars, 4) ELSE 0.0 END AS dup6_frac,
+         CASE WHEN b.n_chars > 0 AND d7m IS NOT NULL
+              THEN round(d7m / b.n_chars, 4) ELSE 0.0 END AS dup7_frac,
+         CASE WHEN b.n_chars > 0 AND d8m IS NOT NULL
+              THEN round(d8m / b.n_chars, 4) ELSE 0.0 END AS dup8_frac,
+         CASE WHEN b.n_chars > 0 AND d9m IS NOT NULL
+              THEN round(d9m / b.n_chars, 4) ELSE 0.0 END AS dup9_frac,
+         CASE WHEN b.n_chars > 0 AND d10m IS NOT NULL
+              THEN round(d10m / b.n_chars, 4) ELSE 0.0 END AS dup10_frac
+  FROM t2 b LEFT JOIN tops USING (doc_id) LEFT JOIN dups USING (doc_id))
+SELECT doc_id, top2_frac, top3_frac, top4_frac,
+       dup5_frac, dup6_frac, dup7_frac, dup8_frac, dup9_frac, dup10_frac,
+       (top2_frac <= 0.20 AND top3_frac <= 0.18 AND top4_frac <= 0.16
+        AND dup5_frac <= 0.15 AND dup6_frac <= 0.14 AND dup7_frac <= 0.13
+        AND dup8_frac <= 0.12 AND dup9_frac <= 0.11
+        AND dup10_frac <= 0.10) AS passes_repetition
+FROM fr
+"""
+
+
 def q_gopher_rules(spark, sf_dir):
     """Published Gopher quality-filter rule battery (word count, mean
     word length, symbol ratio, alpha-word ratio, stop-word presence)."""
@@ -2287,6 +2362,110 @@ def q_crawl_quarantine(spark, sf_dir):
 # registry
 # ---------------------------------------------------------------------------
 
+#: 11 tokens — deliberately SHORTER than the 13-gram decontamination
+#: window, so the shared tail itself can never make two salted docs
+#: collide in X26 (spanning grams include >=2 doc-specific tokens);
+#: carries 2 Gopher stopwords (the, and) and 3 terminal marks for C4.
+_FUNNEL_TAIL = " the fox and a dog ran! it is fine. ends here."
+
+
+def q_corpus_funnel(spark, sf_dir):
+    """End-to-end curation funnel (X43): cumulative doc/token survival
+    through rules -> repetition -> exact dedup -> decontamination ->
+    classifier, in cost-ascending order. The corpus is salted with
+    deterministic stopword + sentence structure (c4_rules precedent —
+    the base corpus has no punctuation or stopwords, so unsalted EVERY
+    doc dies at stage 2 and the funnel is a cliff, not a ladder):
+    doc_id%3==0 untouched (fails gopher), doc_id%5==0 additionally
+    braced (fails c4), the rest step through every gate."""
+    from ptt_spider_go_spark.pipeline import curation
+
+    # the salt branch keys on md5(text), NOT doc_id: exact-duplicate
+    # texts get the same salt, so the exact_dedup stage still sees
+    # them as duplicates and the funnel shows real dedup attrition
+    h = F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("long")
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(h % 3 == 0, F.col("text"))
+        .when(h % 5 == 0,
+              F.concat(F.col("text"), F.lit(_FUNNEL_TAIL + " { code }")))
+        .otherwise(F.concat(F.col("text"), F.lit(_FUNNEL_TAIL))),
+    )
+    return curation.corpus_funnel(docs)
+
+
+# The funnel oracle nests the component oracles verbatim (certification
+# by composition): each derived table below IS the already-green
+# component query.
+SQL_CORPUS_FUNNEL = f"""
+WITH documents AS (
+  SELECT * REPLACE (
+    CASE WHEN ('0x' || substr(md5(text), 1, 2))::BIGINT % 3 = 0 THEN text
+         WHEN ('0x' || substr(md5(text), 1, 2))::BIGINT % 5 = 0
+           THEN text || '{_FUNNEL_TAIL} {{ code }}'
+         ELSE text || '{_FUNNEL_TAIL}' END AS text)
+  FROM main.documents),
+nt AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '')) AS n_tokens,
+         md5(text) AS text_hash
+  FROM documents),
+gop AS (SELECT doc_id, passes_gopher FROM ({SQL_GOPHER_RULES}) g),
+c4t AS (
+  -- raw C4 core over the (shadowed) salted documents: SQL_C4_RULES
+  -- itself is the contract-salted variant, which the Spark side's
+  -- direct textstats.c4_rules call does not apply here
+  SELECT doc_id,
+         (len(regexp_extract_all(text, '[.!?]')) >= 3
+          AND regexp_matches(text, '[.!?"]$')
+          AND NOT position('{{' IN text) > 0
+          AND NOT position('lorem ipsum' IN lower(text)) > 0
+          AND len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              x -> x <> '')) >= 5) AS passes_c4
+  FROM documents),
+rep AS (SELECT doc_id, passes_repetition
+        FROM ({SQL_REPETITION_BATTERY}) r),
+kp AS (SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id
+       FROM documents GROUP BY 1),
+dec AS (SELECT doc_id, is_contaminated FROM ({SQL_DECONTAMINATE}) d),
+clf AS (SELECT doc_id, keep FROM ({SQL_CLASSIFIER_SCORES}) s),
+flags AS (
+  SELECT nt.doc_id, nt.n_tokens,
+         gop.passes_gopher AS c2,
+         gop.passes_gopher AND c4t.passes_c4 AS c3,
+         gop.passes_gopher AND c4t.passes_c4
+           AND rep.passes_repetition AS c4f,
+         gop.passes_gopher AND c4t.passes_c4 AND rep.passes_repetition
+           AND nt.doc_id = kp.keeper_doc_id AS c5,
+         gop.passes_gopher AND c4t.passes_c4 AND rep.passes_repetition
+           AND nt.doc_id = kp.keeper_doc_id
+           AND coalesce(NOT dec.is_contaminated, FALSE) AS c6,
+         gop.passes_gopher AND c4t.passes_c4 AND rep.passes_repetition
+           AND nt.doc_id = kp.keeper_doc_id
+           AND coalesce(NOT dec.is_contaminated, FALSE)
+           AND clf.keep AS c7
+  FROM nt
+  JOIN gop USING (doc_id) JOIN c4t USING (doc_id) JOIN rep USING (doc_id)
+  JOIN kp USING (text_hash)
+  LEFT JOIN dec USING (doc_id)
+  JOIN clf USING (doc_id)),
+st AS (
+  SELECT 1 AS stage_id, 'raw' AS stage, TRUE AS surv, n_tokens FROM flags
+  UNION ALL SELECT 2, 'gopher', c2, n_tokens FROM flags
+  UNION ALL SELECT 3, 'c4', c3, n_tokens FROM flags
+  UNION ALL SELECT 4, 'repetition', c4f, n_tokens FROM flags
+  UNION ALL SELECT 5, 'exact_dedup', c5, n_tokens FROM flags
+  UNION ALL SELECT 6, 'decontaminated', c6, n_tokens FROM flags
+  UNION ALL SELECT 7, 'classifier', c7, n_tokens FROM flags)
+SELECT stage_id, stage,
+       CAST(sum(CASE WHEN surv THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN surv THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS n_tokens
+FROM st GROUP BY stage_id, stage
+"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -2298,6 +2477,8 @@ QUERIES = {
     # tail. r4 head = the 13 r3 additions the judge had to re-run by hand,
     # plus this round's new operators.
     # r4 additions (never driver-checked -> front of the window)
+    "corpus_funnel": (q_corpus_funnel, SQL_CORPUS_FUNNEL),
+    "repetition_battery": (q_repetition_battery, SQL_REPETITION_BATTERY),
     "stream_near_dup": (q_stream_near_dup, SQL_STREAM_NEAR_DUP),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "wet_roundtrip": (q_wet_roundtrip, SQL_WET_ROUNDTRIP),

@@ -847,3 +847,127 @@ def chunk_documents(docs: DataFrame, context_tokens: int = 64) -> DataFrame:
             ).alias("chunk_text"),
         )
     )
+
+
+#: (n, threshold) pairs from Rae et al. 2021 table A1: max fraction of
+#: characters in the most common n-gram (n=2..4) and in duplicated
+#: n-grams (n=5..10).
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12,
+                        9: 0.11, 10: 0.10}
+
+
+def repetition_battery(docs: DataFrame) -> DataFrame:
+    """(doc_id, top2_frac..top4_frac, dup5_frac..dup10_frac,
+    passes_repetition): the FULL published Gopher repetition
+    sub-battery (Rae et al. 2021 §A1.1 — X20's rep_ratio is the
+    single-n summary; this is the 9-rule set used for filtering):
+    for n=2..4 the fraction of characters contained in the most
+    common n-gram (ties broken by lexicographically smallest gram),
+    for n=5..10 the fraction of characters contained in ALL
+    occurrences of duplicated n-grams. Characters are counted on the
+    whitespace-normalized text (tokens joined by single spaces) and
+    every fraction is char_mass/n_chars rounded to 4 dp; the pass
+    thresholds compare the ROUNDED values so both engines compare
+    identical bits (same convention as gopher_quality). Char mass is
+    the standard cheap product count*len(gram) — with overlapping
+    occurrences it overcounts (can exceed 1.0) exactly like the
+    public implementations of this battery; exact interval-union
+    coverage would cost a per-doc sort for no filtering benefit. Docs shorter
+    than n have no n-grams: fraction 0. Empty docs pass vacuously.
+
+    Scale shape: ONE explode produces every n-gram for all nine n in
+    one pass (~9 rows per token — the bounded, linear cost of the
+    battery; NOT nine corpus scans), then exactly TWO shuffles:
+    groupBy(doc, n, gram) counts [map-side partial], and ONE
+    groupBy(doc) with per-n conditional aggregates (min-struct argmax
+    for the top grams — no window, no self-join; n_chars rides along
+    via first()). The published battery at 100 TB is two exchanges.
+    """
+    ns = sorted(GOPHER_TOP_NGRAM_MAX) + sorted(GOPHER_DUP_NGRAM_MAX)
+    toked = docs.select(
+        "doc_id",
+        tokens(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id", "toks",
+        F.length(F.concat_ws(" ", "toks")).alias("n_chars"),
+    )
+    grams = (
+        toked.select(
+            "doc_id", "n_chars", "toks",
+            F.explode(F.array(*[F.lit(n) for n in ns])).alias("n"),
+        )
+        .filter(F.size("toks") >= F.col("n"))
+        .select(
+            "doc_id", "n_chars", "n",
+            F.explode(
+                F.sequence(F.lit(0), F.size("toks") - F.col("n"))
+            ).alias("j"),
+            "toks",
+        )
+        .select(
+            "doc_id", "n_chars", "n",
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("j") + 1, F.col("n"))
+            ).alias("gram"),
+        )
+    )
+    gcnt = grams.groupBy("doc_id", "n", "gram").agg(
+        F.count("*").alias("cnt"),
+        F.first("n_chars").alias("n_chars"),
+    )
+    top_aggs = [
+        F.min(
+            F.when(
+                F.col("n") == n,
+                F.struct((-F.col("cnt")).alias("neg_cnt"),
+                         F.col("gram").alias("gram")),
+            )
+        ).alias(f"_top{n}")
+        for n in GOPHER_TOP_NGRAM_MAX
+    ]
+    dup_aggs = [
+        F.sum(
+            F.when((F.col("n") == n) & (F.col("cnt") >= 2),
+                   F.col("cnt") * F.length("gram"))
+        ).alias(f"_dup{n}")
+        for n in GOPHER_DUP_NGRAM_MAX
+    ]
+    per_doc = gcnt.groupBy("doc_id").agg(
+        F.first("n_chars").alias("n_chars"), *top_aggs, *dup_aggs)
+
+    def frac(expr):
+        return F.when(
+            (F.col("n_chars") > 0) & expr.isNotNull(),
+            F.round(expr / F.col("n_chars"), 4),
+        ).otherwise(F.lit(0.0))
+
+    top_cols = [
+        frac((-F.col(f"_top{n}.neg_cnt")) * F.length(f"_top{n}.gram"))
+        .alias(f"top{n}_frac")
+        for n in GOPHER_TOP_NGRAM_MAX
+    ]
+    dup_cols = [
+        frac(F.col(f"_dup{n}")).alias(f"dup{n}_frac")
+        for n in GOPHER_DUP_NGRAM_MAX
+    ]
+    out = per_doc.select("doc_id", *top_cols, *dup_cols)
+    checks = [
+        F.col(f"top{n}_frac") <= t for n, t in GOPHER_TOP_NGRAM_MAX.items()
+    ] + [
+        F.col(f"dup{n}_frac") <= t for n, t in GOPHER_DUP_NGRAM_MAX.items()
+    ]
+    passes = checks[0]
+    for c in checks[1:]:
+        passes = passes & c
+    # docs left-joined back so token-less docs get an (all-zero, pass)
+    # row instead of vanishing from the corpus accounting
+    return (
+        docs.select("doc_id")
+        .join(out, "doc_id", "left")
+        .na.fill(0.0)
+        .withColumn("passes_repetition", passes.alias("p"))
+        .select("doc_id", *[f"top{n}_frac" for n in GOPHER_TOP_NGRAM_MAX],
+                *[f"dup{n}_frac" for n in GOPHER_DUP_NGRAM_MAX],
+                "passes_repetition")
+    )

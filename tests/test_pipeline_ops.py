@@ -890,3 +890,82 @@ def test_wet_roundtrip_exact(spark, tmp_path):
     assert len(parts) == 3
     got = sorted(wet.read_wet(spark, path).collect(), key=lambda r: r["doc_id"])
     assert [tuple(r) for r in got] == rows
+
+
+def test_repetition_battery_crafted(spark):
+    """Hand-computed fractions: 'a b a b a b' -> top 2-gram 'a b' x3,
+    char mass 9 over 11 chars; a 20-token doc with a repeated 5-token
+    run fails dup5; a unique doc passes everything; an empty doc gets
+    an all-zero pass row."""
+    run5 = "r1 r2 r3 r4 r5"
+    # long enough that one occurrence of a top n-gram is a small char
+    # fraction — the battery is calibrated for >=50-word docs
+    uniq = " ".join(f"u{i}" for i in range(100))
+    rows = [
+        (0, "a b a b a b"),
+        (1, f"{run5} x1 x2 x3 x4 x5 {run5}"),
+        (2, uniq),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in textstats.repetition_battery(docs).collect()}
+    assert got[0]["top2_frac"] == round(3 * len("a b") / 11, 4)
+    assert not got[0]["passes_repetition"]           # 0.8182 > 0.20
+    # doc 1: "r1 r2 r3 r4 r5" appears twice (n=5, 14 chars, cnt 2)
+    n_chars1 = len(f"{run5} x1 x2 x3 x4 x5 {run5}")
+    assert got[1]["dup5_frac"] == round(2 * len(run5) / n_chars1, 4)
+    assert got[1]["dup5_frac"] > 0.15 and not got[1]["passes_repetition"]
+    assert got[2]["passes_repetition"]
+    assert got[2]["dup5_frac"] == 0.0 and got[2]["top2_frac"] > 0
+    assert got[3]["passes_repetition"] and got[3]["top2_frac"] == 0.0
+
+
+def test_corpus_funnel_cumulative_attrition(spark):
+    """Crafted corpus stepping through every gate: the funnel is
+    cumulative, always reports all 7 stages, and each stage's count
+    is hand-checkable. Docs (97 is the eval carve-out modulus):
+      1: passes everything                    -> survives to classifier
+      2: exact dup of 1 (non-keeper)          -> dies at exact_dedup
+      3: no stopwords                         -> dies at gopher
+      4: passes rules but has a brace         -> dies at c4
+      5: 13-gram copy of eval doc 97's text   -> dies at decontaminated
+      97: eval carve-out doc                  -> dies at decontaminated
+    """
+    from ptt_spider_go_spark.pipeline import curation
+
+    # gopher needs >=50 words with mean word length in [3, 10]
+    filler = " ".join(f"tok{i}" for i in range(55))
+    leak = " ".join(f"lk{i}x" for i in range(20))
+    ev_fill = " ".join(f"evf{i}" for i in range(30))
+    lc_fill = " ".join(f"lcf{i}" for i in range(30))
+    base = (filler + " the fox and the dog ran far. they went! "
+            "did they return? yes indeed.")
+    nostop = (filler + " fox dog ran far. went fast! quite so? "
+              "good indeed.")
+    rows = [
+        (1, base),
+        (2, base),
+        (4, base + " extra { brace }"),
+        (3, nostop),
+        # 97 and 5 share a 20-token run (>= the 13-gram window) that
+        # appears nowhere else; both otherwise pass the rule gates
+        (97, "evaluation " + leak + " " + ev_fill
+         + " the fox and dog ran. went! ok? yes."),
+        (5, "leaky " + leak + " " + lc_fill
+         + " the fox and a dog ran. went! ok? fine."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["stage"]: (r["n_docs"], r["n_tokens"])
+           for r in curation.corpus_funnel(docs).collect()}
+    assert set(got) == set(curation.STAGES)
+    assert got["raw"][0] == 6
+    assert got["gopher"][0] == 5          # doc 3 out (stopwords)
+    assert got["c4"][0] == 4              # doc 4 out (brace)
+    assert got["repetition"][0] == 4
+    assert got["exact_dedup"][0] == 3     # doc 2 out (non-keeper)
+    assert got["decontaminated"][0] == 1  # 97 (eval) and 5 (leak) out
+    assert got["classifier"][0] in (0, 1) # md5-weight sign of doc 1
+    # token mass is the sum over survivors, strictly non-increasing
+    masses = [got[s][1] for s in curation.STAGES]
+    assert all(a >= b for a, b in zip(masses, masses[1:]))
