@@ -61,6 +61,7 @@ HEADLINE = [
     "sessionize",
     "stream_windowed_counts",
     # r4 curation additions
+    "semantic_dedup",
     "corpus_funnel",
     "repetition_battery",
     "stream_near_dup",

@@ -1276,6 +1276,28 @@ WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.3
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (X44): cosine near-dup pairs ->
+    connected components -> min-id keeper per semantic cluster."""
+    return similarity.semantic_dedup(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE
+pairs AS (SELECT vec_a, vec_b FROM ({SQL_EMBEDDING_NEAR_DUP}) p),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION ALL
+  SELECT vec_b, vec_a FROM pairs),
+reach(vec_id, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.vec_id)
+SELECT vec_id, min(lbl) AS cluster_id, (vec_id = min(lbl)) AS is_keeper
+FROM reach GROUP BY vec_id
+"""
+
+
 def q_media_decode(spark, sf_dir):
     """Multimodal decode plumbing: mapInPandas feature extraction over
     binary payloads (md5-derived fake decode; the real codec is gated
@@ -2477,6 +2499,7 @@ QUERIES = {
     # tail. r4 head = the 13 r3 additions the judge had to re-run by hand,
     # plus this round's new operators.
     # r4 additions (never driver-checked -> front of the window)
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "corpus_funnel": (q_corpus_funnel, SQL_CORPUS_FUNNEL),
     "repetition_battery": (q_repetition_battery, SQL_REPETITION_BATTERY),
     "stream_near_dup": (q_stream_near_dup, SQL_STREAM_NEAR_DUP),

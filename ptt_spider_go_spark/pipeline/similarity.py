@@ -240,3 +240,30 @@ def ivf_topk(embeddings: DataFrame, k: int = 10, n_probe: int = 2,
         .orderBy(F.col("score").desc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """(vec_id, cluster_id, is_keeper): SemDeDup-style SEMANTIC
+    deduplication (Abbas et al. 2023) — the embedding-space twin of
+    the MinHash duplicate_clusters pipeline: cosine near-dup pairs
+    (bucket-limited self-join, near_dup_pairs) become an undirected
+    graph, connected components (large-star/small-star, O(log d)
+    rounds) assign every vector to its semantic cluster, and the
+    keeper is the cluster's minimum vec_id. Dropping non-keepers is
+    exactly the SemDeDup pruning rule with a min-id representative
+    (the paper keeps the lowest-similarity-to-centroid item; a
+    deterministic representative keeps the oracle exact and the
+    operator shape identical).
+
+    Scale shape: inherits its stages' audited plans — the pair join
+    is bucket-limited (no all-pairs), the component loop is two
+    shuffles per O(log d) round with per-round localCheckpoint.
+    """
+    from ptt_spider_go_spark.pipeline.clusters import duplicate_clusters
+
+    pairs = near_dup_pairs(embeddings, threshold=threshold).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    comp = duplicate_clusters(
+        embeddings.select(F.col("vec_id").alias("doc_id")), pairs)
+    return comp.select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "is_keeper")

@@ -969,3 +969,26 @@ def test_corpus_funnel_cumulative_attrition(spark):
     # token mass is the sum over survivors, strictly non-increasing
     masses = [got[s][1] for s in curation.STAGES]
     assert all(a >= b for a, b in zip(masses, masses[1:]))
+
+
+def test_semantic_dedup_clusters_and_keepers(spark):
+    """Two identical-direction vectors cluster with the min-id keeper;
+    an orthogonal vector stays a singleton; clusters chain through
+    shared neighbors (a~b, b~c => one cluster even if a!~c)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0], "x"),
+        (1, [1.0, 0.05, 0.0], "x"),     # ~same direction as 0
+        (2, [0.8, 0.6, 0.0], "x"),      # close to 1, farther from 0
+        (3, [0.0, 0.0, 1.0], "x"),      # orthogonal singleton
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    got = {r["vec_id"]: r
+           for r in similarity.semantic_dedup(emb, threshold=0.9).collect()}
+    assert got[0]["cluster_id"] == got[1]["cluster_id"] == 0
+    assert got[0]["is_keeper"] and not got[1]["is_keeper"]
+    assert got[3]["cluster_id"] == 3 and got[3]["is_keeper"]
+    # chaining: 2 joins the cluster iff it pairs with 1 (cos(1,2)>0.9)
+    import math
+    cos12 = (0.8 + 0.03) / (math.sqrt(1 + 0.05**2) * math.sqrt(0.8**2 + 0.6**2))
+    assert (got[2]["cluster_id"] == 0) == (round(cos12, 6) >= 0.9)
