@@ -61,6 +61,7 @@ HEADLINE = [
     "sessionize",
     "stream_windowed_counts",
     # r4 curation additions
+    "quality_sample",
     "semantic_dedup",
     "corpus_funnel",
     "repetition_battery",

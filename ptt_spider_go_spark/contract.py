@@ -2141,6 +2141,42 @@ FROM scored
 """
 
 
+def q_quality_sample(spark, sf_dir):
+    """Quality-proportional sampling (X45): deterministic md5-uniform
+    draw vs classifier-score retention, pure BIGINT decision."""
+    return textstats.quality_sample(_t(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY_SAMPLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '') AS toks
+  FROM documents),
+feats AS (
+  SELECT doc_id,
+         list_concat(
+           toks,
+           list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                          j -> toks[j] || ' ' || toks[j + 1])) AS fs
+  FROM toks),
+scored AS (
+  SELECT doc_id, len(fs) AS n,
+         coalesce(list_sum(list_transform(
+           fs,
+           f -> ('0x' || substr(md5('w:' || f), 1, 15))::BIGINT
+                % 2001 - 1000)), 0) AS si
+  FROM feats),
+draw AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('qs:' || CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT % 10000 AS u
+  FROM documents)
+SELECT s.doc_id, d.u AS u,
+       (s.n > 0 AND d.u * 2000 * s.n < (s.si + 1000 * s.n) * 10000) AS kept
+FROM scored s JOIN draw d USING (doc_id)
+"""
+
+
 def q_excise_substrings(spark, sf_dir):
     """ExactSubstr-style duplicate-substring excision (X36): every
     overlapping 10-token window occurring >=2 times corpus-wide is
@@ -2499,6 +2535,7 @@ QUERIES = {
     # tail. r4 head = the 13 r3 additions the judge had to re-run by hand,
     # plus this round's new operators.
     # r4 additions (never driver-checked -> front of the window)
+    "quality_sample": (q_quality_sample, SQL_QUALITY_SAMPLE),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "corpus_funnel": (q_corpus_funnel, SQL_CORPUS_FUNNEL),
     "repetition_battery": (q_repetition_battery, SQL_REPETITION_BATTERY),

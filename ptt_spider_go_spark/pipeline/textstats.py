@@ -971,3 +971,51 @@ def repetition_battery(docs: DataFrame) -> DataFrame:
                 *[f"dup{n}_frac" for n in GOPHER_DUP_NGRAM_MAX],
                 "passes_repetition")
     )
+
+
+def quality_sample(docs: DataFrame) -> DataFrame:
+    """(doc_id, u, kept): quality-PROPORTIONAL document sampling —
+    the soft retention rule real pipelines use instead of a hard
+    classifier cutoff (GPT-3 appendix A: documents are kept with
+    probability increasing in classifier score, so low-quality text
+    is down-weighted, not eliminated; CCNet/FineWeb ship the same
+    knob). Deterministic and integer-exact, no RNG: u =
+    H60("qs:" || doc_id) % 10000 is the doc's fixed uniform draw and
+    the keep rule u/10000 < (score_int + 1000·n)/(2000·n) is
+    cross-multiplied to pure BIGINT arithmetic
+    (u·2000·n < (score_int + 1000·n)·10000) — the float score never
+    enters the decision, so the oracle matches bit for bit. Empty
+    docs (n=0) are dropped (their score is undefined).
+
+    Scale shape: same zero-shuffle map-only class as
+    classifier_scores (whose in-row feature fold it reuses inline);
+    one projection, no joins, no windows.
+    """
+    toks = tokens(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    feats = F.concat(toks, bigrams)
+    w_int = lambda f: (  # noqa: E731 — same md5 weight as classifier
+        F.conv(F.substring(F.md5(F.concat(F.lit("w:"), f)), 1, 15), 16, 10)
+        .cast("long") % 2001 - 1000
+    )
+    si = F.aggregate(feats, F.lit(0).cast("long"),
+                     lambda acc, f: acc + w_int(f))
+    n = F.size(feats).cast("long")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qs:"), F.col("doc_id").cast("string"))),
+                1, 15),
+            16, 10,
+        ).cast("long") % 10000
+    )
+    return docs.select(
+        "doc_id",
+        u.alias("u"),
+        ((n > 0)
+         & (u * 2000 * n < (si + 1000 * n) * 10000)).alias("kept"),
+    )

@@ -992,3 +992,30 @@ def test_semantic_dedup_clusters_and_keepers(spark):
     import math
     cos12 = (0.8 + 0.03) / (math.sqrt(1 + 0.05**2) * math.sqrt(0.8**2 + 0.6**2))
     assert (got[2]["cluster_id"] == 0) == (round(cos12, 6) >= 0.9)
+
+
+def test_quality_sample_integer_decision(spark, docs):
+    """kept matches the pure-Python integer rule exactly: fixed
+    md5-uniform draw vs classifier-score retention, no float in the
+    decision; empty docs are never kept; determinism on re-run."""
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def w(f):
+        return h60(f"w:{f}") % 2001 - 1000
+
+    got = {r["doc_id"]: r for r in textstats.quality_sample(docs).collect()}
+    for doc_id, text, _lang in DOCS:
+        toks = text.split()
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        n = len(feats)
+        si = sum(map(w, feats))
+        u = h60(f"qs:{doc_id}") % 10000
+        r = got[doc_id]
+        assert r["u"] == u
+        assert r["kept"] == (n > 0 and u * 2000 * n < (si + 1000 * n) * 10000)
+    again = {r["doc_id"]: r["kept"]
+             for r in textstats.quality_sample(docs).collect()}
+    assert again == {d: r["kept"] for d, r in got.items()}
