@@ -495,7 +495,10 @@ def main():
         "metric": "headline suite wall (crawl + SURVEY §2 queries)",
         "value": full["value"],
         "unit": "sec",
-        "queries": times,
+        # 2dp in the compact line only (full precision in
+        # BENCH_FULL.json) — 40+ headline queries at 3dp pushed the
+        # line past the driver's 2000-char tail cap
+        "queries": {k: round(v, 2) for k, v in times.items()},
         "sf": sf,
         "crawl_urls_per_sec": full["crawl_urls_per_sec"],
         "crawl_urls_fetched": fetched,
@@ -518,8 +521,11 @@ def main():
     }
     line = json.dumps(compact)
     if len(line) > 1990:  # driver tail cap; shed in fixed order, never crash
-        for k in ("shared_with_prev", "calib_tasks_per_sec", "salt_ab_sec",
-                  "cuckoo_ab", "zipf_ab_sec", "config_ab_sec", "queries"):
+        # the A/B exhibits go first (they live in BENCH_FULL.json too);
+        # the cross-round comparison and per-query map go last
+        for k in ("salt_ab_sec", "zipf_ab_sec", "config_ab_sec",
+                  "cuckoo_ab", "calib_tasks_per_sec", "shared_with_prev",
+                  "queries"):
             compact.pop(k, None)
             line = json.dumps(compact)
             if len(line) <= 1990:
