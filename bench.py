@@ -41,6 +41,7 @@ HEADLINE = [
     "simhash",
     "ngram_jaccard_pairs",
     "ngram_jaccard_prefix",
+    "ngram_jaccard_bitset",
     "ngram_jaccard_zipf",
     "ann_cosine_topk",
     "ann_ivf_topk",
@@ -358,8 +359,9 @@ def main():
     # --- adaptive-Jaccard A/B on web-shaped (Zipfian) text: the
     # headline ngram_jaccard_zipf above IS the adaptive/prefix side
     # (probe + prefix join); time the naive join on the same corpus to
-    # show the selector picks the winner on BOTH corpus shapes (it
-    # picks naive on the flat synthetic corpus — see note).
+    # show the selector picks the winner on EVERY corpus shape (it
+    # picks the bitset kernel on the flat dense synthetic corpus — see
+    # note; the naive join is timed on both corpora for the exhibit).
     from ptt_spider_go_spark import datagen as DG
     from ptt_spider_go_spark.pipeline import dedup_text as DT
 
@@ -372,9 +374,16 @@ def main():
     jaccard_zipf_ab = {
         "adaptive_prefix_sec": times["ngram_jaccard_zipf"],
         "naive_sec": round(zipf_naive_dt, 3),
-        "flat_corpus_naive_sec": times["ngram_jaccard_pairs"],
+        "flat_corpus_adaptive_sec": times["ngram_jaccard_pairs"],
+        "flat_corpus_bitset_sec": times["ngram_jaccard_bitset"],
         "flat_corpus_prefix_sec": times["ngram_jaccard_prefix"],
+        "flat_corpus_naive_sec": None,  # filled below
     }
+    t0 = time.time()
+    _force(DT.ngram_jaccard_pairs(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ))
+    jaccard_zipf_ab["flat_corpus_naive_sec"] = round(time.time() - t0, 3)
 
     # --- cuckoo-layer A/B (VERDICT r03 #5): the '~99% join-input cut'
     # claim (operators/dedup.py CuckooShardSet docstring), measured.
@@ -477,14 +486,16 @@ def main():
         "note": (
             "ngram_jaccard_prefix pins the PPJoin-style scale path "
             "on its WORST-case input (the synthetic corpus is "
-            "uniform-df, vocab 31, zipf_factor 1.03 — prefixes "
-            "prune nothing); the adaptive default "
-            "ngram_jaccard_pairs measures df skew and picks the "
-            "naive join there. ngram_jaccard_zipf + jaccard_zipf_ab "
-            "demonstrate the flip side: on web-shaped Zipfian text "
+            "uniform-df, vocab 31, density 0.75 — prefixes prune "
+            "nothing because every pair collides); the adaptive "
+            "default ngram_jaccard_pairs probes (skew, vocab, "
+            "density) and picks the bitmask popcount kernel there "
+            "(r4: ~8x over the naive join it used through r3). "
+            "ngram_jaccard_zipf + jaccard_zipf_ab demonstrate the "
+            "flip side: on web-shaped Zipfian text "
             "(datagen.zipfify_documents) the selector picks prefix "
-            "and it wins — the selector chooses the faster exact "
-            "algorithm on BOTH corpus shapes"
+            "and it wins — the selector chooses the fastest exact "
+            "algorithm on ALL THREE corpus shapes"
         ),
         "cpus": cpus,
     }

@@ -1072,8 +1072,9 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup pairs by exact token-set Jaccard within a lang bucket.
     The join algorithm (naive bounded self-join vs PPJoin-style prefix
-    filter) is selected from the measured document-frequency skew —
-    identical output either way (equivalence-tested)."""
+    filter vs bitmask popcount kernel) is selected from the measured
+    corpus shape (df skew + vocabulary size + density) — identical
+    output on every path (equivalence-tested)."""
     return dedup_text.ngram_jaccard_pairs_auto(_t(spark, sf_dir, "documents"))
 
 
@@ -1082,6 +1083,23 @@ def q_ngram_jaccard_prefix(spark, sf_dir):
     explicitly — the variant the adaptive selector picks on Zipfian
     web text; same oracle as the naive twin (identical output)."""
     return dedup_text.ngram_jaccard_pairs_prefix(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard_bitset(spark, sf_dir):
+    """The vocabulary-bitmask exact-Jaccard kernel pinned explicitly —
+    the variant the selector picks on small-vocab DENSE corpora (this
+    testdata: vocab 31, density ~0.75), where no candidate filter can
+    prune and per-pair work collapses to AND+popcount words. Self-checks
+    the selector actually chose 'bitset' here (raises otherwise); same
+    oracle as the naive twin (identical output)."""
+    docs = _t(spark, sf_dir, "documents")
+    algo = dedup_text.choose_jaccard_algo(docs)
+    if algo != "bitset":
+        raise AssertionError(
+            f"Jaccard selector picked {algo!r} on the dense small-vocab "
+            "corpus — expected 'bitset'"
+        )
+    return dedup_text.ngram_jaccard_pairs_bitset(docs)
 
 
 SQL_NGRAM_JACCARD_PAIRS = """
@@ -2535,6 +2553,7 @@ QUERIES = {
     # tail. r4 head = the 13 r3 additions the judge had to re-run by hand,
     # plus this round's new operators.
     # r4 additions (never driver-checked -> front of the window)
+    "ngram_jaccard_bitset": (q_ngram_jaccard_bitset, SQL_NGRAM_JACCARD_PAIRS),
     "quality_sample": (q_quality_sample, SQL_QUALITY_SAMPLE),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "corpus_funnel": (q_corpus_funnel, SQL_CORPUS_FUNNEL),

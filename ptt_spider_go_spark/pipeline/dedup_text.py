@@ -128,16 +128,34 @@ JACCARD_ZIPF_THRESHOLD = 8.0
 JACCARD_PROBE_CAP_DOCS = 1_000_000
 
 
-def df_skew_factor(docs: DataFrame, sample_fraction: float | None = None,
-                   seed: int = 42) -> float:
-    """Measured document-frequency skew: V * sum(df^2) / n^2 of the
-    distinct-token posting list (V = vocab, n = total postings).
-    Uniform df -> ~1; Zipfian -> >> 1. One narrow agg job.
+#: bitset-kernel engagement bounds (see ngram_jaccard_pairs_bitset).
+#: The kernel is selected only when the whole vocabulary fits a few
+#: long-words per document (BITSET_MAX_VOCAB / 64 = 64 chunks max) AND
+#: documents are DENSE in that vocabulary (each doc carries >=
+#: BITSET_MIN_DENSITY of it) — the regime where candidate pruning is
+#: mathematically useless (every pair collides on some token) and the
+#: only lever left is making per-pair work O(words) of popcount.
+#: Real web text (V ~ 10^5+, density ~ 10^-3) fails both bounds and
+#: routes to prefix/naive as before.
+BITSET_MAX_VOCAB = 4096
+BITSET_MIN_DENSITY = 0.05
+
+
+def jaccard_probe(docs: DataFrame, sample_fraction: float | None = None,
+                  seed: int = 42) -> dict:
+    """One-pass corpus-shape probe for the Jaccard algorithm selector:
+    {'zipf': V*sum(df^2)/n^2, 'vocab': V, 'density': n/(V*D), 'docs': D}
+    over the distinct-token posting list of a (capped) sample.
+
+    zipf: uniform df -> ~1; Zipfian -> >> 1 (the naive join's candidate
+    blow-up factor vs a uniform corpus). density: mean fraction of the
+    vocabulary present per document — ~1 means every pair of documents
+    collides and no candidate filter can prune.
 
     sample_fraction=None (the default) caps the probe at
     ~JACCARD_PROBE_CAP_DOCS documents automatically — callers no longer
     have to remember to sample at scale. Deterministic (fixed seed);
-    the regimes the threshold separates are orders of magnitude apart,
+    the regimes the thresholds separate are orders of magnitude apart,
     so sampling noise cannot flip the decision."""
     if sample_fraction is None:
         n_docs = docs.count()  # narrow count job, no text bytes read
@@ -153,21 +171,49 @@ def df_skew_factor(docs: DataFrame, sample_fraction: float | None = None,
         F.sum("df").alias("n"),
         F.sum(F.col("df") * F.col("df")).alias("s2"),
         F.count("*").alias("v"),
+        # D from the same pass: df counts one posting per (doc, tok),
+        # so max(df) <= D; exact D needs the doc count — one more
+        # narrow agg on the sampled frame.
     ).first()
+    n_sampled = d.count()
     if not row or not row["n"]:
-        return 1.0
-    return row["v"] * row["s2"] / (row["n"] ** 2)
+        return {"zipf": 1.0, "vocab": 0, "density": 0.0, "docs": n_sampled}
+    return {
+        "zipf": row["v"] * row["s2"] / (row["n"] ** 2),
+        "vocab": row["v"],
+        "density": row["n"] / (row["v"] * max(n_sampled, 1)),
+        "docs": n_sampled,
+    }
+
+
+def df_skew_factor(docs: DataFrame, sample_fraction: float | None = None,
+                   seed: int = 42) -> float:
+    """Measured document-frequency skew: V * sum(df^2) / n^2 of the
+    distinct-token posting list (V = vocab, n = total postings).
+    Uniform df -> ~1; Zipfian -> >> 1. See jaccard_probe."""
+    return jaccard_probe(docs, sample_fraction, seed)["zipf"]
 
 
 def choose_jaccard_algo(docs: DataFrame, sample_fraction: float | None = None,
                         zipf_threshold: float = JACCARD_ZIPF_THRESHOLD) -> str:
-    """'prefix' (PPJoin-style, the Zipfian/web-text scale path) or
-    'naive' (bounded self-join, faster on flat distributions)."""
-    return (
-        "prefix"
-        if df_skew_factor(docs, sample_fraction) > zipf_threshold
-        else "naive"
-    )
+    """Pick the exact-Jaccard join plan from the measured corpus shape:
+
+    - 'prefix' (PPJoin-style) when token df is Zipfian — web text; the
+      quadratic stop-word mass is exactly what prefix filtering prunes.
+    - 'bitset' when the vocabulary is small AND documents are dense in
+      it — the no-filter-can-prune regime; per-pair work collapses to
+      a handful of AND+popcount words.
+    - 'naive' otherwise (flat but sparse: the bounded token self-join's
+      candidate set is already near the true pair set).
+
+    All three produce identical output (equivalence-tested); the choice
+    affects only the physical plan."""
+    p = jaccard_probe(docs, sample_fraction)
+    if p["zipf"] > zipf_threshold:
+        return "prefix"
+    if p["vocab"] <= BITSET_MAX_VOCAB and p["density"] >= BITSET_MIN_DENSITY:
+        return "bitset"
+    return "naive"
 
 
 def ngram_jaccard_pairs_auto(docs: DataFrame, threshold: float = 0.4,
@@ -180,7 +226,11 @@ def ngram_jaccard_pairs_auto(docs: DataFrame, threshold: float = 0.4,
     JACCARD_PROBE_CAP_DOCS documents by default (pass an explicit
     sample_fraction to override)."""
     algo = choose_jaccard_algo(docs, sample_fraction)
-    fn = ngram_jaccard_pairs_prefix if algo == "prefix" else ngram_jaccard_pairs
+    fn = {
+        "prefix": ngram_jaccard_pairs_prefix,
+        "bitset": ngram_jaccard_pairs_bitset,
+        "naive": ngram_jaccard_pairs,
+    }[algo]
     return fn(docs, threshold, bucket_col)
 
 
@@ -294,6 +344,124 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.4,
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def ngram_jaccard_pairs_bitset(docs: DataFrame, threshold: float = 0.4,
+                               bucket_col: str = "lang") -> DataFrame:
+    """Exact Jaccard pairs via per-document vocabulary bitmasks — same
+    output as ngram_jaccard_pairs / _prefix.
+
+    The small-vocab dense regime (choose_jaccard_algo -> 'bitset') is
+    the one where candidate filtering cannot prune: with density near 1
+    every document pair shares tokens, the true output is Theta(n^2)
+    per bucket, and both the naive token self-join (one exploded-join
+    row per SHARED TOKEN per pair) and PPJoin verification (array
+    intersection per pair) pay per-token costs on every pair. Here the
+    per-pair cost collapses instead: tokens get per-bucket dense ids,
+    each document becomes ceil(V/64) longs, and
+        |A ∩ B| = sum_i popcount(mask_a[i] & mask_b[i])
+    — a handful of JVM-side AND+popcount words per pair, no arrays of
+    strings, no exploded rows.
+
+    Plan shape: the dictionary (per-bucket distinct tokens, ranked by a
+    window) and per-bucket chunk counts are dimension tables orders of
+    magnitude smaller than the corpus and are broadcast; the pair join
+    broadcasts the (doc_id, sz, masks) relation — at most
+    docs * (16 + 8 * ceil(V/64)) bytes, e.g. ~0.5 GB at 10M docs with
+    V <= 4096 — and streams the probe side repartitioned to full
+    parallelism. A necessary length bound (J >= t implies
+    t * max(|A|,|B|) <= min(|A|,|B|)) is applied inside the join
+    condition before any mask word is touched. Past broadcast size the
+    dense regime is a Theta(n^2)-output problem and the right tool is
+    LSH (lsh_candidate_pairs), not an exact join; the selector's vocab
+    bound keeps this kernel inside that envelope.
+    """
+    tok = docs.select(
+        "doc_id", F.col(bucket_col).alias("bucket"),
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+    )
+    # Per-bucket dense token ids. The dictionary is tiny by selection
+    # (V <= BITSET_MAX_VOCAB per bucket when routed here), so the
+    # single-reducer-per-bucket rank window is a non-issue.
+    vocab = tok.select("bucket", "tok").distinct()
+    w_bucket = Window.partitionBy("bucket").orderBy("tok")
+    vocab_ids = vocab.withColumn("tok_id", F.row_number().over(w_bucket) - 1)
+    n_chunks = vocab_ids.groupBy("bucket").agg(
+        (F.max("tok_id") / 64 + 1).cast("long").alias("n_chunks")
+    )
+
+    ids = tok.join(F.broadcast(vocab_ids), ["bucket", "tok"]).select(
+        "doc_id", "bucket",
+        (F.col("tok_id") / 64).cast("long").alias("chunk"),
+        F.pmod(F.col("tok_id"), F.lit(64)).cast("int").alias("bit"),
+    )
+    per_chunk = ids.groupBy("doc_id", "bucket", "chunk").agg(
+        F.expr("bit_or(shiftleft(1L, bit))").alias("m")
+    )
+    doc_masks = (
+        per_chunk.groupBy("doc_id", "bucket")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("chunk", "m"))
+            ).alias("mm"),
+            F.sum(F.bit_count("m")).alias("sz"),
+        )
+        .join(F.broadcast(n_chunks), "bucket")
+        # Zero-fill to a fixed per-bucket chunk count so zip_with in the
+        # pair join sees equal-length arrays.
+        .select(
+            "doc_id", "bucket", "sz",
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1),
+                lambda c: F.coalesce(F.col("mm")[c], F.lit(0).cast("long")),
+            ).alias("masks"),
+        )
+    )
+
+    nparts = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    a = doc_masks.repartition(nparts, "doc_id").alias("a")
+    b = F.broadcast(doc_masks.alias("b"))
+    t = float(threshold)
+    inter = F.aggregate(
+        F.zip_with(
+            F.col("a.masks"), F.col("b.masks"),
+            lambda x, y: F.bit_count(x.bitwiseAND(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+                # necessary length bound: filters pairs before any
+                # mask word is read
+                F.col("b.sz") * t <= F.col("a.sz"),
+                F.col("a.sz") * t <= F.col("b.sz"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+            inter.alias("common"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def novel_documents(docs: DataFrame, new_source: str,

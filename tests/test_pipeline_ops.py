@@ -204,12 +204,50 @@ def test_jaccard_algo_selection_by_df_skew(spark):
     zipf = spark.createDataFrame(rows, "doc_id long, text string, lang string")
 
     assert dedup_text.df_skew_factor(flat) < 1.5
-    assert dedup_text.df_skew_factor(zipf) > dedup_text.JACCARD_ZIPF_THRESHOLD
+    # flat but SPARSE (each doc holds 10 of 500 vocab tokens, density
+    # 0.02 < BITSET_MIN_DENSITY): stays on the naive join
     assert dedup_text.choose_jaccard_algo(flat) == "naive"
+    assert dedup_text.df_skew_factor(zipf) > dedup_text.JACCARD_ZIPF_THRESHOLD
     assert dedup_text.choose_jaccard_algo(zipf) == "prefix"
     # and the adaptive wrapper still produces the pinned output
     auto = sorted(map(tuple, dedup_text.ngram_jaccard_pairs_auto(zipf).collect()))
     naive = sorted(map(tuple, dedup_text.ngram_jaccard_pairs(zipf).collect()))
+    assert auto == naive
+
+
+def test_ngram_jaccard_bitset_equals_naive(spark, docs):
+    bits = sorted(map(tuple, dedup_text.ngram_jaccard_pairs_bitset(docs).collect()))
+    naive = sorted(map(tuple, dedup_text.ngram_jaccard_pairs(docs).collect()))
+    assert bits == naive and len(bits) > 0
+
+
+def test_ngram_jaccard_bitset_multichunk(spark):
+    """Vocabulary past 64 tokens forces multi-long masks: the chunked
+    zip_with/popcount path must stay exact across chunk boundaries."""
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(150) if (i + j) % 3 != 0), "en")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    bits = sorted(map(tuple, dedup_text.ngram_jaccard_pairs_bitset(docs).collect()))
+    naive = sorted(map(tuple, dedup_text.ngram_jaccard_pairs(docs).collect()))
+    assert bits == naive and len(bits) > 0
+
+
+def test_bitset_selector_dense_small_vocab(spark):
+    """Dense small-vocab corpora route to the bitset kernel; the probe
+    reports the shape that justifies it."""
+    rows = [
+        (i, " ".join(f"v{j}" for j in range(40) if (i + j) % 5 != 0), "en")
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    p = dedup_text.jaccard_probe(docs)
+    assert p["vocab"] <= dedup_text.BITSET_MAX_VOCAB
+    assert p["density"] >= dedup_text.BITSET_MIN_DENSITY
+    assert dedup_text.choose_jaccard_algo(docs) == "bitset"
+    auto = sorted(map(tuple, dedup_text.ngram_jaccard_pairs_auto(docs).collect()))
+    naive = sorted(map(tuple, dedup_text.ngram_jaccard_pairs(docs).collect()))
     assert auto == naive
 
 
@@ -221,7 +259,9 @@ def test_zipfify_flips_selector_with_output_parity(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     z = datagen.zipfify_documents(docs)
-    assert dedup_text.choose_jaccard_algo(docs) == "naive"
+    # the flat testdata corpus is small-vocab AND dense -> bitset kernel
+    # (r4); zipfifying it pushes df skew over the threshold -> prefix
+    assert dedup_text.choose_jaccard_algo(docs) == "bitset"
     assert dedup_text.choose_jaccard_algo(z) == "prefix"
     prefix = sorted(
         map(tuple, dedup_text.ngram_jaccard_pairs_prefix(z).collect())
