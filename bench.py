@@ -80,6 +80,7 @@ HEADLINE = [
     "domain_stats",
     "rarity_bins",
     "stream_dedup",
+    "lm_perplexity",
 ]
 
 

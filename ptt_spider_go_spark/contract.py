@@ -34,6 +34,7 @@ from ptt_spider_go_spark.functions import columns as C
 from ptt_spider_go_spark.pipeline.common import md5_long_sql
 from ptt_spider_go_spark.pipeline import (
     dedup_text,
+    lm,
     multimodal,
     sessions,
     similarity,
@@ -2064,6 +2065,51 @@ FROM proj GROUP BY source
 """
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style bigram-LM document scoring: per-language add-one
+    bigram LM trained over the corpus, each document scored with its
+    average token negative log-likelihood. Float-exact across engines
+    via integer micro-nat costs rounded once at the distinct-bigram
+    level (pipeline/lm.py module docstring)."""
+    return lm.lm_scores(_t(spark, sf_dir, "documents"))
+
+
+SQL_LM_PERPLEXITY = """
+WITH toked AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+idx AS (
+  -- DuckDB 1.0 can't lateral-join generate_series on a column; unnest
+  -- of the scalar list form works (same idiom as SHINGLES oracle)
+  SELECT doc_id, lang, toks,
+         unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS j
+  FROM toked),
+bg AS (SELECT doc_id, lang, toks[j] AS prev, toks[j+1] AS cur FROM idx),
+bc AS (SELECT lang, prev, cur, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+cc AS (SELECT lang, prev, CAST(sum(c) AS BIGINT) AS c_prev
+       FROM bc GROUP BY 1, 2),
+vv AS (
+  SELECT lang, count(DISTINCT t.tok) AS v
+  FROM toked, unnest(toks) t(tok) GROUP BY lang),
+lm AS (
+  SELECT bc.lang, prev, cur,
+         CAST(-round(ln((c + 1.0) / (c_prev + v)) * 1000000) AS BIGINT)
+           AS nll_micro
+  FROM bc JOIN cc USING (lang, prev) JOIN vv USING (lang)),
+scored AS (
+  SELECT bg.doc_id, CAST(sum(nll_micro) AS BIGINT) AS s, count(*) AS n
+  FROM bg JOIN lm ON bg.lang = lm.lang AND bg.prev = lm.prev
+                 AND bg.cur = lm.cur
+  GROUP BY bg.doc_id)
+SELECT d.doc_id, d.lang,
+       coalesce(n, 0) AS n_bigrams,
+       round(s / (n * 1000000.0), 4) AS avg_nll
+FROM documents d LEFT JOIN scored ON scored.doc_id = d.doc_id
+"""
+
+
 def q_rarity_bins(spark, sf_dir):
     """CCNet-style head/middle/tail partition by mean token corpus
     frequency (perplexity proxy), exact per-language tertiles."""
@@ -2554,6 +2600,7 @@ QUERIES = {
     # plus this round's new operators.
     # r4 additions (never driver-checked -> front of the window)
     "ngram_jaccard_bitset": (q_ngram_jaccard_bitset, SQL_NGRAM_JACCARD_PAIRS),
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "quality_sample": (q_quality_sample, SQL_QUALITY_SAMPLE),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "corpus_funnel": (q_corpus_funnel, SQL_CORPUS_FUNNEL),

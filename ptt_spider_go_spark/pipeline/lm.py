@@ -1,0 +1,163 @@
+"""Corpus-trained bigram language-model scoring (CCNet-style quality
+signal).
+
+CCNet (Wenzek et al., 2019) scores every Common-Crawl document with a
+KenLM n-gram perplexity and keeps the head of the distribution; the
+same signal ranks fluent text above boilerplate/gibberish in most
+published web pipelines (CCNet, LLaMA, RedPajama). rarity_bins
+(textstats.py) is the integer-domain PROXY for this; this module is the
+real thing — an add-one-smoothed bigram LM trained distributively over
+the corpus, scoring each document with its average token negative
+log-likelihood.
+
+Oracle-exact float strategy: a naive `sum(ln p)` per document is NOT
+reproducible across engines (ln differs in the last ulp between
+java.lang.Math.log and libm, and float summation order is
+shuffle-dependent). Instead each DISTINCT trained bigram's log-prob is
+rounded ONCE to integer micro-nats:
+
+    nll_micro = -CAST(round(ln((c+1)/(c_prev+V)) * 1e6) AS BIGINT)
+
+The ln argument is an exact IEEE division of integers (identical double
+in both engines); only the tiny distinct-bigram relation ever sees a
+transcendental, so the per-document aggregation is pure BIGINT
+arithmetic — exact, order-independent, bit-identical in DuckDB. The
+final avg divides two exact integers (one correctly-rounded IEEE op)
+before round(., 4).
+
+Scale shape: one explode to the bigram stream; bigram counts via
+map-side-combining groupBy [shuffle]; context counts derived from the
+bigram counts (no second pass over text); vocab per lang from the
+distinct-unigram relation. Scoring is an equi-join of the stream
+against the LM on (lang, prev, cur) — the LM relation is O(distinct
+bigrams), orders smaller than the corpus, and AQE broadcasts it when
+it fits. Nothing touches the driver.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from ptt_spider_go_spark.pipeline.common import tokens
+
+#: nll assigned when even the document's language is unknown to the LM:
+#: p = 1/2 (one bit per token), in micro-nats.
+UNSEEN_LANG_NLL_MICRO = int(round(math.log(2.0) * 1_000_000))
+
+
+def _bigram_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, prev, cur): one row per consecutive token pair.
+    Documents with fewer than two tokens contribute no rows (the
+    sequence guard keeps Spark's descending-sequence pitfall out:
+    sequence(1, greatest(sz-1, 1)) is never descending, and the
+    NULL-cur rows from short docs are filtered)."""
+    toked = docs.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+    pairs = toked.select(
+        "doc_id", "lang",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("toks") - 1, F.lit(1))
+                ),
+                lambda i: F.struct(
+                    F.try_element_at("toks", i.cast("int")).alias("prev"),
+                    F.try_element_at("toks", (i + 1).cast("int")).alias("cur"),
+                ),
+            )
+        ).alias("bg"),
+    )
+    return pairs.select(
+        "doc_id", "lang", F.col("bg.prev").alias("prev"),
+        F.col("bg.cur").alias("cur"),
+    ).filter(F.col("prev").isNotNull() & F.col("cur").isNotNull())
+
+
+def train_bigram_lm(corpus: DataFrame) -> dict[str, DataFrame]:
+    """Train the per-language add-one bigram LM. Returns the three
+    relations scoring needs:
+
+    - 'lm':    (lang, prev, cur, nll_micro) — smoothed bigram cost
+    - 'ctx':   (lang, prev, ctx_nll_micro) — unseen-continuation
+               backoff: p = 1 / (c_prev + V)
+    - 'vocab': (lang, unseen_ctx_nll_micro) — unseen-context backoff:
+               p = 1 / (V + 1)
+    """
+    bg = _bigram_stream(corpus)
+    bc = bg.groupBy("lang", "prev", "cur").agg(F.count("*").alias("c"))
+    cc = bc.groupBy("lang", "prev").agg(F.sum("c").alias("c_prev"))
+    vv = (
+        corpus.select(
+            "lang", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+
+    def nll_micro(p):
+        return (-F.round(F.log(p) * 1_000_000, 0)).cast("long")
+
+    lm = (
+        bc.join(cc, ["lang", "prev"])
+        .join(vv, "lang")
+        .select(
+            "lang", "prev", "cur",
+            nll_micro(
+                (F.col("c") + 1) / (F.col("c_prev") + F.col("v"))
+            ).alias("nll_micro"),
+        )
+    )
+    ctx = (
+        cc.join(vv, "lang")
+        .select(
+            "lang", "prev",
+            nll_micro(
+                F.lit(1) / (F.col("c_prev") + F.col("v"))
+            ).alias("ctx_nll_micro"),
+        )
+    )
+    vocab = vv.select(
+        "lang",
+        nll_micro(F.lit(1) / (F.col("v") + 1)).alias("unseen_ctx_nll_micro"),
+    )
+    return {"lm": lm, "ctx": ctx, "vocab": vocab}
+
+
+def lm_scores(docs: DataFrame, lm: dict[str, DataFrame] | None = None
+              ) -> DataFrame:
+    """(doc_id, lang, n_bigrams, avg_nll): average per-token negative
+    log-likelihood (nats, 4dp) of each document under the bigram LM —
+    the CCNet ranking signal (low = fluent/head, high = gibberish/
+    tail). lm=None trains on `docs` itself (the self-scoring form the
+    oracle certifies); pass train_bigram_lm(reference_corpus) to score
+    new batches against a fixed LM, with graceful backoff for unseen
+    bigrams / contexts / languages. Documents with fewer than two
+    tokens score NULL (n_bigrams = 0)."""
+    if lm is None:
+        lm = train_bigram_lm(docs)
+    bg = _bigram_stream(docs)
+    cost = F.coalesce(
+        F.col("nll_micro"),
+        F.col("ctx_nll_micro"),
+        F.col("unseen_ctx_nll_micro"),
+        F.lit(UNSEEN_LANG_NLL_MICRO).cast("long"),
+    )
+    scored = (
+        bg.join(lm["lm"], ["lang", "prev", "cur"], "left")
+        .join(lm["ctx"], ["lang", "prev"], "left")
+        .join(lm["vocab"], ["lang"], "left")
+        .groupBy("doc_id")
+        .agg(F.sum(cost).alias("s"), F.count("*").alias("n"))
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id", "lang",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_bigrams"),
+            F.round(
+                F.col("s") / (F.col("n") * F.lit(1_000_000.0)), 4
+            ).alias("avg_nll"),
+        )
+    )
