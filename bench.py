@@ -81,6 +81,7 @@ HEADLINE = [
     "rarity_bins",
     "stream_dedup",
     "lm_perplexity",
+    "link_rank",
 ]
 
 

@@ -2065,6 +2065,54 @@ FROM proj GROUP BY source
 """
 
 
+def q_link_rank(spark, sf_dir):
+    """Host-authority ranking for frontier scheduling: 3-iteration
+    integer PageRank (micro-unit BIGINT arithmetic, exact in both
+    engines) over the deterministic md5-derived host link graph of the
+    documents table (operators/linkrank.py)."""
+    from ptt_spider_go_spark.operators import linkrank
+
+    docs = _t(spark, sf_dir, "documents")
+    return linkrank.host_rank(linkrank.host_edges_from_documents(docs))
+
+
+def _link_rank_sql(iters: int = 3, n_hosts: int = 97,
+                   outlinks: int = 3) -> str:
+    """DuckDB twin of host_edges_from_documents + host_rank: the
+    fixed-iteration loop unrolled into chained CTEs (one contrib/rank
+    pair per iteration), all-BIGINT arithmetic."""
+    parts = []
+    for j in range(outlinks):
+        h = md5_long_sql(f"concat(doc_id, ':', {j})")
+        parts.append(f"concat('h', {h} % {n_hosts})")
+    dsts = ", ".join(parts)
+    sql = f"""
+WITH raw_e AS (
+  SELECT concat('h', doc_id % {n_hosts}) AS src,
+         unnest([{dsts}]) AS dst
+  FROM documents),
+edges AS (SELECT src, dst FROM raw_e WHERE src <> dst),
+nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+c{i} AS (
+  SELECT dst, CAST(sum(rank_micro // outdeg) AS BIGINT) AS inflow
+  FROM edges JOIN outdeg USING (src)
+  JOIN r{i - 1} ON r{i - 1}.host = edges.src
+  GROUP BY dst),
+r{i} AS (
+  SELECT host,
+         CAST(150000 + (85 * coalesce(inflow, 0)) // 100 AS BIGINT)
+           AS rank_micro
+  FROM nodes LEFT JOIN c{i} ON c{i}.dst = nodes.host)"""
+    return sql + f"\nSELECT host, rank_micro FROM r{iters}"
+
+
+SQL_LINK_RANK = _link_rank_sql()
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style bigram-LM document scoring: per-language add-one
     bigram LM trained over the corpus, each document scored with its
@@ -2601,6 +2649,7 @@ QUERIES = {
     # r4 additions (never driver-checked -> front of the window)
     "ngram_jaccard_bitset": (q_ngram_jaccard_bitset, SQL_NGRAM_JACCARD_PAIRS),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "link_rank": (q_link_rank, SQL_LINK_RANK),
     "quality_sample": (q_quality_sample, SQL_QUALITY_SAMPLE),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "corpus_funnel": (q_corpus_funnel, SQL_CORPUS_FUNNEL),

@@ -1,0 +1,125 @@
+"""Host-authority ranking over the crawl link graph (integer PageRank).
+
+A frontier scheduler at 10^10-URL scale wants more than per-host
+politeness and page-number priority (sources/seeds.py, the reference's
+newest-first ordering, spider.go:129): crawl authority-ranked hosts
+first. This module ranks hosts by inlink authority with a
+fixed-iteration PageRank over a (src_host, dst_host) edge relation.
+
+Determinism strategy (same family as pipeline/lm.py micro-nats): the
+classic float PageRank is shuffle-order-dependent (float partial sums)
+and not oracle-exact. Ranks here are integers in micro-units:
+
+    r0      = 1_000_000                      (uniform; PageRank is
+                                              scale-free, so any
+                                              uniform start works)
+    contrib = r DIV out_degree               (exact integer division)
+    r'      = 150_000 + (85 * sum(contrib)) DIV 100
+
+Every operation is exact BIGINT arithmetic — aggregation order cannot
+change the result, and the DuckDB oracle reproduces it bit-for-bit.
+The DIV truncation loses < 1 micro-unit per edge per iteration —
+irrelevant to ordering at the 10^6 scale of the units (standard
+practice in integer-PageRank implementations).
+
+Scale shape: each iteration is one equi-join of the rank relation
+(|hosts| rows — small) onto the edge relation partitioned by src, plus
+one groupBy(dst) with map-side partial aggregation. The rank relation
+is broadcast when it fits (AQE); the edge relation never moves if it
+is pre-partitioned by src. Iterations are a fixed small count (the
+published converged-enough choice for crawl scheduling), not a
+converge-loop — no driver-side convergence probes over 100 TB.
+Dangling hosts (no outlinks) leak rank, as in the simplified PageRank
+most crawlers use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ptt_spider_go_spark.pipeline.common import md5_long
+
+#: rank micro-units: r0 and the (1-d) teleport term
+R0_MICRO = 1_000_000
+TELEPORT_MICRO = 150_000
+DAMP_NUM, DAMP_DEN = 85, 100
+
+
+def host_edges_from_documents(docs: DataFrame, n_hosts: int = 97,
+                              outlinks: int = 3) -> DataFrame:
+    """Deterministic md5-derived host link graph over the documents
+    table — the synthetic-but-reproducible edge list the contract
+    query (and its DuckDB oracle) rank. Each doc lives on host
+    'h{doc_id % n_hosts}' and links to `outlinks` md5-chosen hosts;
+    self-loops are dropped. Duplicate edges are kept (a host linking
+    another from many pages SHOULD weigh more)."""
+    outs = [
+        F.concat(
+            F.lit("h"),
+            F.pmod(
+                md5_long(
+                    F.concat_ws(
+                        ":", F.col("doc_id").cast("string"), F.lit(str(j))
+                    ),
+                ),
+                F.lit(n_hosts),
+            ).cast("string"),
+        ).alias(f"dst{j}")
+        for j in range(outlinks)
+    ]
+    src = F.concat(
+        F.lit("h"), F.pmod(F.col("doc_id"), F.lit(n_hosts)).cast("string")
+    ).alias("src")
+    edges = docs.select(
+        src, F.explode(F.array(*outs)).alias("dst")
+    )
+    return edges.filter(F.col("src") != F.col("dst"))
+
+
+def host_rank(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """(host, rank_micro) after `iters` integer-PageRank rounds over
+    (src, dst) edges. Exact BIGINT arithmetic throughout — see module
+    docstring."""
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.select(
+        "host", F.lit(R0_MICRO).cast("long").alias("rank_micro")
+    )
+    for _ in range(iters):
+        contribs = (
+            edges.join(outdeg, "src")
+            .join(
+                ranks.select(
+                    F.col("host").alias("src"),
+                    F.col("rank_micro").alias("src_rank"),
+                ),
+                "src",
+            )
+            .select(
+                "dst",
+                F.expr("src_rank DIV outdeg").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(
+                contribs.select(F.col("dst").alias("host"), "inflow"),
+                "host",
+                "left",
+            )
+            .select(
+                "host",
+                (
+                    F.lit(TELEPORT_MICRO)
+                    + F.expr(
+                        f"{DAMP_NUM} * coalesce(inflow, 0L) DIV {DAMP_DEN}"
+                    )
+                ).cast("long").alias("rank_micro"),
+            )
+        )
+    return ranks
