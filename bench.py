@@ -82,6 +82,7 @@ HEADLINE = [
     "stream_dedup",
     "lm_perplexity",
     "link_rank",
+    "tfidf_topk",
 ]
 
 

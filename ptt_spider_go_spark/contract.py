@@ -2065,6 +2065,38 @@ FROM proj GROUP BY source
 """
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-5 terms by tf·idf; idf in integer micro-nats
+    (rounded once at the distinct-token level) so the score arithmetic
+    is exact BIGINT in both engines."""
+    return textstats.tfidf_topk(_t(spark, sf_dir, "documents"))
+
+
+SQL_TFIDF_TOPK = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+nn AS (SELECT count(*) AS n_docs FROM documents),
+idf AS (
+  SELECT tok,
+         CAST(round(ln((n_docs + 1.0) / (df + 1.0)) * 1000000) AS BIGINT)
+           AS idf_micro
+  FROM dfr, nn),
+scored AS (
+  SELECT doc_id, tok, tf, tf * idf_micro AS score_micro
+  FROM tf JOIN idf USING (tok)),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_micro DESC, tok) AS rnk
+  FROM scored)
+SELECT doc_id, rnk, tok, tf, score_micro FROM ranked WHERE rnk <= 5
+"""
+
+
 def q_link_rank(spark, sf_dir):
     """Host-authority ranking for frontier scheduling: 3-iteration
     integer PageRank (micro-unit BIGINT arithmetic, exact in both
@@ -2650,6 +2682,7 @@ QUERIES = {
     "ngram_jaccard_bitset": (q_ngram_jaccard_bitset, SQL_NGRAM_JACCARD_PAIRS),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "link_rank": (q_link_rank, SQL_LINK_RANK),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "quality_sample": (q_quality_sample, SQL_QUALITY_SAMPLE),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "corpus_funnel": (q_corpus_funnel, SQL_CORPUS_FUNNEL),

@@ -189,6 +189,45 @@ def vocab_stats(docs: DataFrame, top_k: int = 100) -> DataFrame:
     )
 
 
+def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, rnk, tok, tf, score_micro): each document's top-k terms
+    by tf·idf — the classic per-document keyword profile (salient-term
+    extraction, near-dup explanation, topic tagging).
+
+    idf = ln((N+1)/(df+1)) is transcendental, so it gets the micro-nat
+    treatment (pipeline/lm.py): rounded ONCE to integer micro-units at
+    the distinct-token level; score = tf * idf_micro is then exact
+    BIGINT arithmetic and the oracle is bit-exact. df <= N keeps idf
+    non-negative.
+
+    Plan shape: explode -> groupBy(doc, tok) tf [shuffle, map-side
+    partial] -> groupBy(tok) df over the tf relation (no second text
+    pass) -> idf via a broadcast 1-row count -> equi-join tf x idf on
+    tok -> per-doc top-k via a PARTITIONED row_number window (never
+    partition-less). Ties break by token for determinism."""
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfr = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    idf = dfr.crossJoin(F.broadcast(n_docs)).select(
+        "tok",
+        F.round(
+            F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) * 1_000_000, 0
+        ).cast("long").alias("idf_micro"),
+    )
+    scored = tf.join(idf, "tok").withColumn(
+        "score_micro", F.col("tf") * F.col("idf_micro")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "rnk", "tok", "tf", "score_micro")
+    )
+
+
 def repetition_ratio(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, n_shingles, n_distinct, rep_ratio): fraction of word
     n-gram occurrences that repeat an earlier occurrence — the

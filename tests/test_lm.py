@@ -84,3 +84,24 @@ def test_backoff_ladder_on_held_out_docs(spark):
     assert s[11][1] == pytest.approx(nll(1 / 4))
     assert s[12][1] == pytest.approx(nll(1 / 3))
     assert s[13][1] == pytest.approx(nll(1 / 2))
+
+
+def test_tfidf_topk_hand_case(spark):
+    from ptt_spider_go_spark.pipeline import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare rare", "en"),
+            (2, "common other", "en"),
+            (3, "common", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = textstats.tfidf_topk(docs, k=2).collect()
+    top = {(r["doc_id"], r["rnk"]): (r["tok"], r["score_micro"]) for r in rows}
+    # idf(common) = ln(4/4) = 0; idf(rare) = ln(4/2); tf(rare in doc1) = 2
+    assert top[(1, 1)] == ("rare", 2 * round(math.log(2.0) * 1_000_000))
+    # zero-score ties rank alphabetically
+    assert top[(3, 1)][0] == "common" and top[(3, 1)][1] == 0
+    # doc 2: 'other' (idf ln(2)) beats 'common' (idf 0)
+    assert top[(2, 1)][0] == "other"
