@@ -83,6 +83,7 @@ HEADLINE = [
     "lm_perplexity",
     "link_rank",
     "tfidf_topk",
+    "dsir_select",
 ]
 
 

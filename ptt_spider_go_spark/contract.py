@@ -2065,6 +2065,54 @@ FROM proj GROUP BY source
 """
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR-style importance resampling: hashed-unigram target/raw
+    log-ratio weights (integer micro-nats), per-language top-25%
+    rank-based keep; target domain = source 'src0'."""
+    return lm.dsir_select(_t(spark, sf_dir, "documents"))
+
+
+SQL_DSIR_SELECT = f"""
+WITH feat AS (
+  SELECT doc_id, lang, source = 'src0' AS is_t,
+         {md5_long_sql('t.tok')} % 4096 AS b
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                          x -> x <> '')) t(tok)),
+counts AS (
+  SELECT b,
+         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+  FROM feat GROUP BY b),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+               CAST(sum(cr) AS BIGINT) AS tr FROM counts),
+lam AS (
+  SELECT b,
+         CAST(round(ln(((ct + 1.0) / (tt + 4096))
+                       / ((cr + 1.0) / (tr + 4096))) * 1000000) AS BIGINT)
+           AS lam_micro
+  FROM counts, tot),
+scored AS (
+  SELECT doc_id, CAST(sum(lam_micro) AS BIGINT) AS s,
+         count(*) AS n_feat
+  FROM feat JOIN lam USING (b) WHERE NOT is_t GROUP BY doc_id),
+raw_docs AS (
+  SELECT d.doc_id, d.lang, coalesce(n_feat, 0) AS n_feat,
+         coalesce(s, 0) AS lambda_micro
+  FROM documents d LEFT JOIN scored USING (doc_id)
+  WHERE d.source <> 'src0'),
+ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY lambda_micro DESC, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY lang) AS n_lang
+  FROM raw_docs)
+SELECT doc_id, lang, n_feat, lambda_micro,
+       rnk <= CAST(ceil(0.25 * n_lang) AS BIGINT) AS keep
+FROM ranked
+"""
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Per-document top-5 terms by tf·idf; idf in integer micro-nats
     (rounded once at the distinct-token level) so the score arithmetic
@@ -2683,6 +2731,7 @@ QUERIES = {
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "link_rank": (q_link_rank, SQL_LINK_RANK),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "quality_sample": (q_quality_sample, SQL_QUALITY_SAMPLE),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "corpus_funnel": (q_corpus_funnel, SQL_CORPUS_FUNNEL),

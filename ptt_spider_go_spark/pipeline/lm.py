@@ -38,9 +38,9 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-from ptt_spider_go_spark.pipeline.common import tokens
+from ptt_spider_go_spark.pipeline.common import md5_long, tokens
 
 #: nll assigned when even the document's language is unknown to the LM:
 #: p = 1/2 (one bit per token), in micro-nats.
@@ -159,5 +159,89 @@ def lm_scores(docs: DataFrame, lm: dict[str, DataFrame] | None = None
             F.round(
                 F.col("s") / (F.col("n") * F.lit(1_000_000.0)), 4
             ).alias("avg_nll"),
+        )
+    )
+
+def dsir_select(docs: DataFrame, target_col: str = "source",
+                target_value: str = "src0", n_buckets: int = 4096,
+                keep_frac: float = 0.25) -> DataFrame:
+    """(doc_id, lang, n_feat, lambda_micro, keep): DSIR-style data
+    selection via importance resampling (Xie et al., 2023) — pick the
+    raw-pool documents whose hashed-n-gram feature distribution looks
+    most like a high-quality target domain.
+
+    Two add-one unigram models over hashed token buckets (the paper's
+    hashed n-gram features): p_target from the docs where
+    `target_col == target_value`, p_raw from the rest. Each document's
+    importance is the log-likelihood ratio
+
+        lambda(doc) = sum_tok  ln( p_target(b(tok)) / p_raw(b(tok)) )
+
+    The per-bucket log-ratio argument is an exact rational (quotient of
+    two integer-exact IEEE divisions — identical double in any engine),
+    rounded ONCE to integer micro-nats at the distinct-bucket level, so
+    per-document sums are exact BIGINT (same cross-engine strategy as
+    lm_scores). Selection is deterministic rank-based resampling: per
+    language, keep the top ceil(keep_frac * n) documents by
+    (lambda desc, doc_id) — the per-language stratification keeps the
+    ranking window PARTITIONED (never a global sort) and mirrors how
+    production selection balances languages.
+
+    Scale shape: one explode; one groupBy(bucket) with map-side partial
+    conditional sums (the feature table is n_buckets rows — broadcast);
+    one equi-join stream x lambda on bucket; one groupBy(doc); one
+    partitioned rank window. Target docs are the reference sample, not
+    candidates — they are excluded from the output."""
+    is_target = F.col(target_col) == target_value
+    feat = docs.select(
+        "doc_id", "lang", is_target.alias("is_t"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    ).withColumn("b", F.pmod(md5_long(F.col("tok")), F.lit(n_buckets)))
+    counts = feat.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("is_t"), 1).otherwise(0)).alias("cr"),
+    )
+    totals = counts.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    lam = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1) / (F.col("tt") + n_buckets))
+                / ((F.col("cr") + 1) / (F.col("tr") + n_buckets))
+            ) * 1_000_000,
+            0,
+        ).cast("long").alias("lam_micro"),
+    )
+    scored = (
+        feat.filter(~F.col("is_t"))
+        .join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("lam_micro").alias("s"), F.count("*").alias("n_feat"))
+    )
+    raw_docs = (
+        docs.filter(~is_target)
+        .select("doc_id", "lang")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id", "lang",
+            F.coalesce(F.col("n_feat"), F.lit(0).cast("long"))
+            .alias("n_feat"),
+            F.coalesce(F.col("s"), F.lit(0).cast("long"))
+            .alias("lambda_micro"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("lambda_micro").desc(), "doc_id"
+    )
+    wn = Window.partitionBy("lang")
+    return (
+        raw_docs.withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_lang", F.count("*").over(wn))
+        .select(
+            "doc_id", "lang", "n_feat", "lambda_micro",
+            (
+                F.col("rnk")
+                <= F.ceil(F.lit(keep_frac) * F.col("n_lang")).cast("long")
+            ).alias("keep"),
         )
     )

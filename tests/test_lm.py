@@ -105,3 +105,48 @@ def test_tfidf_topk_hand_case(spark):
     assert top[(3, 1)][0] == "common" and top[(3, 1)][1] == 0
     # doc 2: 'other' (idf ln(2)) beats 'common' (idf 0)
     assert top[(2, 1)][0] == "other"
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Raw docs whose tokens match the target domain outrank junk:
+    with keep_frac=0.5 over four raw docs in one language, the two
+    target-vocabulary docs are kept and the junk is not. Target docs
+    never appear in the output."""
+    rows = [
+        # target domain (source='src0'): clean vocabulary
+        (1, "alpha beta gamma alpha beta", "en", "src0"),
+        (2, "alpha gamma beta beta alpha", "en", "src0"),
+        # raw pool
+        (10, "alpha beta gamma beta", "en", "web"),   # target-like
+        (11, "beta alpha alpha gamma", "en", "web"),  # target-like
+        (12, "zzz qqq xxx www", "en", "web"),         # junk
+        (13, "qqq zzz www xxx", "en", "web"),         # junk
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, lg, s) for i, t, lg, s in rows],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {r["doc_id"]: r for r in lm.dsir_select(docs, keep_frac=0.5).collect()}
+    assert set(got) == {10, 11, 12, 13}
+    assert got[10]["keep"] and got[11]["keep"]
+    assert not got[12]["keep"] and not got[13]["keep"]
+    assert got[10]["lambda_micro"] > got[12]["lambda_micro"]
+
+
+def test_dsir_empty_doc_and_tie_break(spark):
+    """Token-less raw docs score lambda 0 (not dropped); equal-lambda
+    ties keep the lower doc_id."""
+    rows = [
+        (1, "alpha beta", "en", "src0"),
+        (10, "", "en", "web"),
+        (11, "", "en", "web"),
+        (12, "", "en", "web"),
+        (13, "", "en", "web"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {r["doc_id"]: r for r in lm.dsir_select(docs, keep_frac=0.25).collect()}
+    assert all(got[d]["lambda_micro"] == 0 and got[d]["n_feat"] == 0
+               for d in (10, 11, 12, 13))
+    assert got[10]["keep"] and not any(got[d]["keep"] for d in (11, 12, 13))
