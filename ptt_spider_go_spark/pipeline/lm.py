@@ -189,9 +189,13 @@ def dsir_select(docs: DataFrame, target_col: str = "source",
 
     Scale shape: one explode; one groupBy(bucket) with map-side partial
     conditional sums (the feature table is n_buckets rows — broadcast);
-    one equi-join stream x lambda on bucket; one groupBy(doc); one
-    partitioned rank window. Target docs are the reference sample, not
-    candidates — they are excluded from the output."""
+    token totals via a scalar driver probe over a narrow
+    (is_t, size(tokens)) projection (the approved probe idiom — a
+    1-row crossJoin would funnel an Exchange SinglePartition into the
+    main plan); one equi-join stream x lambda on bucket; one
+    groupBy(doc); one partitioned rank window. Target docs are the
+    reference sample, not candidates — they are excluded from the
+    output."""
     is_target = F.col(target_col) == target_value
     feat = docs.select(
         "doc_id", "lang", is_target.alias("is_t"),
@@ -201,13 +205,23 @@ def dsir_select(docs: DataFrame, target_col: str = "source",
         F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
         F.sum(F.when(~F.col("is_t"), 1).otherwise(0)).alias("cr"),
     )
-    totals = counts.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
-    lam = counts.crossJoin(F.broadcast(totals)).select(
+    tot_rows = (
+        docs.select(
+            is_target.alias("is_t"),
+            F.size(tokens(F.col("text"))).alias("n_tok"),
+        )
+        .groupBy("is_t")
+        .agg(F.sum("n_tok").alias("n"))
+        .collect()
+    )
+    totals = {bool(r["is_t"]): int(r["n"] or 0) for r in tot_rows}
+    tt, tr = totals.get(True, 0), totals.get(False, 0)
+    lam = counts.select(
         "b",
         F.round(
             F.log(
-                ((F.col("ct") + 1) / (F.col("tt") + n_buckets))
-                / ((F.col("cr") + 1) / (F.col("tr") + n_buckets))
+                ((F.col("ct") + 1) / F.lit(tt + n_buckets))
+                / ((F.col("cr") + 1) / F.lit(tr + n_buckets))
             ) * 1_000_000,
             0,
         ).cast("long").alias("lam_micro"),

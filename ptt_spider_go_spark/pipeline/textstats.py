@@ -202,17 +202,19 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
 
     Plan shape: explode -> groupBy(doc, tok) tf [shuffle, map-side
     partial] -> groupBy(tok) df over the tf relation (no second text
-    pass) -> idf via a broadcast 1-row count -> equi-join tf x idf on
-    tok -> per-doc top-k via a PARTITIONED row_number window (never
+    pass) -> N via a scalar driver probe (narrow count, no text bytes;
+    the approved probe idiom — a 1-row crossJoin would funnel an
+    Exchange SinglePartition into the main plan) -> equi-join tf x idf
+    on tok -> per-doc top-k via a PARTITIONED row_number window (never
     partition-less). Ties break by token for determinism."""
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     dfr = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    n_docs = docs.agg(F.count("*").alias("n_docs"))
-    idf = dfr.crossJoin(F.broadcast(n_docs)).select(
+    n_docs = docs.count()
+    idf = dfr.select(
         "tok",
         F.round(
-            F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) * 1_000_000, 0
+            F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)) * 1_000_000, 0
         ).cast("long").alias("idf_micro"),
     )
     scored = tf.join(idf, "tok").withColumn(
