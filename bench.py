@@ -84,6 +84,7 @@ HEADLINE = [
     "link_rank",
     "tfidf_topk",
     "dsir_select",
+    "authority_budgets",
 ]
 
 

@@ -2193,6 +2193,43 @@ r{i} AS (
 SQL_LINK_RANK = _link_rank_sql()
 
 
+def q_authority_budgets(spark, sf_dir):
+    """Authority-proportional crawl-budget allocation: host_rank over
+    the documents link graph -> largest-remainder integer split of a
+    1000-fetch superstep budget (operators/linkrank.py
+    authority_budgets — the host_budgets override budget_gate takes)."""
+    from ptt_spider_go_spark.operators import linkrank
+
+    docs = _t(spark, sf_dir, "documents")
+    ranks = linkrank.host_rank(linkrank.host_edges_from_documents(docs))
+    return linkrank.authority_budgets(ranks, 1000)
+
+
+def _authority_budget_sql(total: int = 1000, iters: int = 3) -> str:
+    """Largest-remainder allocation CTEs appended to the link-rank
+    chain (oracle nesting by composition)."""
+    body = _link_rank_sql(iters).rsplit("\nSELECT", 1)[0]
+    return body + f""",
+alloc AS (
+  SELECT host,
+         ({total} * rank_micro) // t.rt AS base,
+         ({total} * rank_micro) % t.rt AS rem
+  FROM r{iters},
+       (SELECT CAST(sum(rank_micro) AS BIGINT) AS rt FROM r{iters}) t),
+lo AS (SELECT CAST({total} - sum(base) AS BIGINT) AS l FROM alloc),
+ranked AS (
+  SELECT host, base, row_number() OVER (ORDER BY rem DESC, host) AS rn
+  FROM alloc)
+SELECT host,
+       CAST(base + CASE WHEN rn <= lo.l THEN 1 ELSE 0 END AS BIGINT)
+         AS budget
+FROM ranked, lo
+"""
+
+
+SQL_AUTHORITY_BUDGETS = _authority_budget_sql()
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style bigram-LM document scoring: per-language add-one
     bigram LM trained over the corpus, each document scored with its
@@ -2730,6 +2767,7 @@ QUERIES = {
     "ngram_jaccard_bitset": (q_ngram_jaccard_bitset, SQL_NGRAM_JACCARD_PAIRS),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "link_rank": (q_link_rank, SQL_LINK_RANK),
+    "authority_budgets": (q_authority_budgets, SQL_AUTHORITY_BUDGETS),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "quality_sample": (q_quality_sample, SQL_QUALITY_SAMPLE),

@@ -123,3 +123,45 @@ def host_rank(edges: DataFrame, iters: int = 3) -> DataFrame:
             )
         )
     return ranks
+
+def authority_budgets(ranks: DataFrame, total_budget: int) -> DataFrame:
+    """(host, rank_micro) -> (host, budget): split a global per-superstep
+    fetch budget across hosts PROPORTIONALLY to link authority — the
+    composition point between host_rank and the politeness gate
+    (politeness.budget_gate's host_budgets override, the same hook the
+    robots Crawl-delay table uses). High-authority hosts get crawled
+    deeper each superstep; every host keeps >= its teleport-rank floor,
+    so no host starves.
+
+    Allocation is the largest-remainder (Hamilton) method in exact
+    BIGINT arithmetic: base = total * r DIV R, and the leftover
+    L = total - sum(base)  (0 <= L < n_hosts) goes to the L hosts with
+    the largest remainder (total * r) % R, ties broken by host asc —
+    deterministic, budgets sum EXACTLY to total_budget, oracle-exact.
+
+    Scale shape: `ranks` is a host-level dimension (tiny by
+    construction); the two scalar reductions are driver probes and the
+    top-L selection is an orderBy+limit (TakeOrdered) — no
+    partition-less window, nothing big ever sorts globally."""
+    r_total = ranks.agg(F.sum("rank_micro")).collect()[0][0]
+    if not r_total:
+        return ranks.select("host", F.lit(0).cast("long").alias("budget"))
+    alloc = ranks.select(
+        "host",
+        F.expr(f"{total_budget} * rank_micro DIV {r_total}").alias("base"),
+        F.expr(f"{total_budget} * rank_micro % {r_total}").alias("rem"),
+    )
+    leftover = total_budget - alloc.agg(F.sum("base")).collect()[0][0]
+    top_l = (
+        alloc.orderBy(F.col("rem").desc(), F.col("host").asc())
+        .limit(int(leftover))
+        .select("host", F.lit(1).cast("long").alias("bonus"))
+    )
+    return (
+        alloc.join(F.broadcast(top_l), "host", "left")
+        .select(
+            "host",
+            (F.col("base") + F.coalesce(F.col("bonus"), F.lit(0)))
+            .cast("long").alias("budget"),
+        )
+    )

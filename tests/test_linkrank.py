@@ -73,3 +73,59 @@ def test_document_edges_deterministic_no_self_loops(spark):
     assert all(s != d for s, d in e1)
     # 3 outlinks per doc minus the md5-collision self-loops
     assert len(e1) <= 600 and len(e1) > 550
+
+
+def test_authority_budgets_hand_case_and_exact_sum(spark):
+    """ranks {a:3, b:1}, total 10: base a=7 b=2, one leftover unit,
+    remainders tie (2 vs 2) -> host asc gives it to a."""
+    ranks = spark.createDataFrame(
+        [("a", 3), ("b", 1)], "host string, rank_micro long"
+    )
+    got = {r["host"]: r["budget"]
+           for r in linkrank.authority_budgets(ranks, 10).collect()}
+    assert got == {"a": 8, "b": 2}
+
+    ranks2 = spark.createDataFrame(
+        [(f"h{i}", 150000 + 37 * i * i) for i in range(23)],
+        "host string, rank_micro long",
+    )
+    budgets = {r["host"]: r["budget"]
+               for r in linkrank.authority_budgets(ranks2, 1000).collect()}
+    assert sum(budgets.values()) == 1000
+    # monotone in rank (largest-remainder never inverts order by > 1)
+    assert budgets["h22"] > budgets["h0"]
+
+
+def test_authority_budgets_compose_with_budget_gate(spark):
+    """The allocator output IS budget_gate's host_budgets override:
+    per-host admissions never exceed the allocated budget and deferred
+    rows complement exactly."""
+    from pyspark.sql import functions as F
+
+    from ptt_spider_go_spark.operators.politeness import budget_gate
+
+    urls = [
+        (f"https://{h}/p{i}", 1, i, 1700000000 + i)
+        for h in ("big.example", "small.example")
+        for i in range(50)
+    ]
+    frontier = spark.createDataFrame(
+        urls, "url string, kind_rank int, page_no int, ts long"
+    ).withColumn("warc_ts", F.timestamp_seconds(F.col("ts"))).drop("ts")
+    ranks = spark.createDataFrame(
+        [("big.example", 3_000_000), ("small.example", 1_000_000)],
+        "host string, rank_micro long",
+    )
+    budgets = linkrank.authority_budgets(ranks, 40)
+    bmap = {r["host"]: r["budget"] for r in budgets.collect()}
+    assert bmap == {"big.example": 30, "small.example": 10}
+    admitted, deferred = budget_gate(frontier, 0, salt=4,
+                                     host_budgets=budgets)
+    adm = {
+        r["h"]: r["n"]
+        for r in admitted.groupBy(
+            F.expr("parse_url(url, 'HOST')").alias("h")
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert adm["big.example"] <= 30 and adm["small.example"] <= 10
+    assert admitted.count() + deferred.count() == 100
