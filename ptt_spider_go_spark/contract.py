@@ -2880,11 +2880,13 @@ def entry(spark: SparkSession) -> DataFrame:
     sample membership, greedy pack bin) + the r4 signals (MassiveText-
     style duplicate-segment ratio, train/eval 13-gram contamination
     flag, Gopher rule-battery pass flag, hashed-linear classifier
-    score/keep, token-budget mixture membership, export shard id),
-    assembled into one curation table — the full per-document
-    record a 100 TB training-data pipeline materializes before
-    filtering/packing (VERDICT r03 next-round #6). All joins are
-    doc_id equi-joins over column-pruned single-purpose tables.
+    score/keep, token-budget mixture membership, export shard id) and
+    the r4c signals (bigram-LM avg NLL fluency, DSIR target-likeness
+    keep, top tf-idf term), assembled into one curation table — the
+    full per-document record a 100 TB training-data pipeline
+    materializes before filtering/packing (VERDICT r03 next-round #6).
+    All joins are doc_id equi-joins over column-pruned single-purpose
+    tables.
     """
     from ptt_spider_go_spark.pipeline import clusters
 
@@ -2933,6 +2935,19 @@ def entry(spark: SparkSession) -> DataFrame:
               "doc_id", "left")
         .join(shards.assign_shards(docs).select("doc_id", "shard_id"),
               "doc_id")
+        # r4c: bigram-LM fluency (NULL for <2-token docs — meaningful,
+        # not coalesced), DSIR target-likeness keep (NULL for the
+        # target-domain docs themselves: they are the reference sample,
+        # not selection candidates), and the top tf-idf term (NULL for
+        # token-less docs).
+        .join(lm.lm_scores(docs).select("doc_id", "avg_nll"),
+              "doc_id", "left")
+        .join(lm.dsir_select(docs)
+              .select("doc_id", F.col("keep").alias("dsir_keep")),
+              "doc_id", "left")
+        .join(textstats.tfidf_topk(docs, k=1)
+              .select("doc_id", F.col("tok").alias("top_term")),
+              "doc_id", "left")
         .withColumn("in_mixture", F.coalesce(F.col("in_mixture"), F.lit(False)))
         .withColumn("lang_guess", F.coalesce(F.col("lang_guess"), F.lit("unknown")))
         .withColumn("best_ratio", F.coalesce(F.col("best_ratio"), F.lit(0.0)))
