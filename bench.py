@@ -85,6 +85,7 @@ HEADLINE = [
     "tfidf_topk",
     "dsir_select",
     "authority_budgets",
+    "aimd_budgets",
 ]
 
 

@@ -2113,6 +2113,67 @@ FROM ranked
 """
 
 
+def q_aimd_budgets(spark, sf_dir):
+    """AIMD adaptive politeness: next-superstep per-host budgets from a
+    deterministic md5-derived fetch log (any 429 -> halve, clean ->
+    +1, idle -> hold, unknown host -> default 64 before the rule).
+    Exercises all four rungs: host h0 is dropped from prev_budgets
+    (default rung) and phantom host hx has a budget but no fetches
+    (hold rung)."""
+    from ptt_spider_go_spark.operators import politeness
+    from ptt_spider_go_spark.pipeline.common import md5_long
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("h"), F.pmod(F.col("doc_id"), F.lit(97)).cast("string")
+    )
+    log = docs.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/d"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.when(
+            F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(20)) == 0,
+            429,
+        ).otherwise(200).alias("status"),
+    )
+    prev = (
+        docs.select(host.alias("host")).distinct()
+        .filter(F.col("host") != "h0")
+        .select("host", F.lit(64).cast("long").alias("budget"))
+        .union(
+            spark.createDataFrame([("hx", 7)], "host string, budget long")
+        )
+    )
+    return politeness.aimd_budgets(prev, log)
+
+
+SQL_AIMD_BUDGETS = f"""
+WITH hosts AS (
+  SELECT DISTINCT concat('h', doc_id % 97) AS host FROM documents),
+log AS (
+  SELECT concat('h', doc_id % 97) AS host,
+         CASE WHEN {md5_long_sql("CAST(doc_id AS VARCHAR)")} % 20 = 0
+              THEN 429 ELSE 200 END AS status
+  FROM documents),
+prev AS (
+  SELECT host, CAST(64 AS BIGINT) AS budget FROM hosts WHERE host <> 'h0'
+  UNION ALL SELECT 'hx', CAST(7 AS BIGINT)),
+sig AS (
+  SELECT host, max(CASE WHEN status = 429 THEN 1 ELSE 0 END) AS congested
+  FROM log GROUP BY host),
+merged AS (
+  SELECT coalesce(p.host, s.host) AS host, p.budget, s.congested
+  FROM prev p FULL OUTER JOIN sig s ON p.host = s.host)
+SELECT host,
+       CAST(CASE WHEN congested = 1
+                 THEN greatest(1, coalesce(budget, 64) // 2)
+                 WHEN congested = 0 THEN coalesce(budget, 64) + 1
+                 ELSE budget END AS BIGINT) AS budget
+FROM merged
+"""
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Per-document top-5 terms by tf·idf; idf in integer micro-nats
     (rounded once at the distinct-token level) so the score arithmetic
@@ -2768,6 +2829,7 @@ QUERIES = {
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "link_rank": (q_link_rank, SQL_LINK_RANK),
     "authority_budgets": (q_authority_budgets, SQL_AUTHORITY_BUDGETS),
+    "aimd_budgets": (q_aimd_budgets, SQL_AIMD_BUDGETS),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "quality_sample": (q_quality_sample, SQL_QUALITY_SAMPLE),

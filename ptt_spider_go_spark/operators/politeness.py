@@ -126,3 +126,47 @@ def budget_gate(frontier: DataFrame, host_budget: int, salt: int,
         "_host", "_lane", "_rn", "_cap"
     )
     return admitted, deferred
+
+
+def aimd_budgets(prev_budgets: DataFrame, fetch_log: DataFrame,
+                 incr: int = 1, min_budget: int = 1,
+                 max_budget: int | None = None,
+                 default_budget: int = 64) -> DataFrame:
+    """(host, budget) for the NEXT superstep: the AIMD control loop
+    (TCP congestion avoidance; the adaptive-politeness rule production
+    crawlers like Heritrix apply) over this superstep's fetch statuses.
+
+    - multiplicative decrease: a host that returned ANY 429 this
+      superstep halves its budget (shiftright — exact integer, floored
+      at min_budget);
+    - additive increase: a host fetched cleanly gains +incr (capped at
+      max_budget when given);
+    - hold: a host with budget but no fetches this superstep carries
+      its budget unchanged (no congestion evidence either way);
+    - a host seen in the log but absent from prev_budgets starts from
+      default_budget before the rule applies.
+
+    Composes downstream exactly like authority_budgets / Crawl-delay:
+    the output IS budget_gate's host_budgets override. All arithmetic
+    is integer-exact (oracle-reproducible); the congestion signal is
+    one groupBy(host) max over a narrow (url, status) projection.
+    """
+    sig = (
+        fetch_log.withColumn("_h", url_host(F.col("url")))
+        .groupBy("_h")
+        .agg(F.max((F.col("status") == 429).cast("int")).alias("congested"))
+        .select(F.col("_h").alias("host"), "congested")
+    )
+    merged = prev_budgets.select("host", "budget").join(sig, "host", "outer")
+    b = F.coalesce(F.col("budget"), F.lit(default_budget).cast("long"))
+    nxt = (
+        F.when(
+            F.col("congested") == 1,
+            F.greatest(F.lit(min_budget).cast("long"), F.shiftright(b, 1)),
+        )
+        .when(F.col("congested") == 0, b + incr)
+        .otherwise(b)
+    )
+    if max_budget is not None:
+        nxt = F.least(nxt, F.lit(max_budget).cast("long"))
+    return merged.select("host", nxt.cast("long").alias("budget"))

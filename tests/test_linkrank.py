@@ -129,3 +129,65 @@ def test_authority_budgets_compose_with_budget_gate(spark):
     }
     assert adm["big.example"] <= 30 and adm["small.example"] <= 10
     assert admitted.count() + deferred.count() == 100
+
+
+def test_aimd_budgets_four_rungs(spark):
+    """Every AIMD rung: halve-on-429 (floored), +incr-on-clean
+    (capped), hold-on-idle, default-on-unknown-host."""
+    from pyspark.sql import functions as F
+
+    from ptt_spider_go_spark.operators.politeness import aimd_budgets
+
+    prev = spark.createDataFrame(
+        [("a.example", 10), ("b.example", 10), ("idle.example", 7),
+         ("floor.example", 1), ("cap.example", 100)],
+        "host string, budget long",
+    )
+    log = spark.createDataFrame(
+        [
+            ("https://a.example/1", 200),
+            ("https://a.example/2", 429),   # one 429 is enough: halve
+            ("https://b.example/1", 200),   # clean: +1
+            ("https://floor.example/1", 429),  # 1 // 2 = 0 -> floor 1
+            ("https://cap.example/1", 200),    # 100 + 1 -> cap 100
+            ("https://new.example/1", 200),    # unknown: 64 + 1
+        ],
+        "url string, status int",
+    )
+    got = {r["host"]: r["budget"]
+           for r in aimd_budgets(prev, log, max_budget=100).collect()}
+    assert got == {
+        "a.example": 5, "b.example": 11, "idle.example": 7,
+        "floor.example": 1, "cap.example": 100, "new.example": 65,
+    }
+
+
+def test_aimd_budgets_feed_budget_gate(spark):
+    """The AIMD output is budget_gate's host_budgets override — the
+    control loop closes: congested hosts admit half as much next
+    superstep."""
+    from pyspark.sql import functions as F
+
+    from ptt_spider_go_spark.operators.politeness import (
+        aimd_budgets,
+        budget_gate,
+    )
+
+    prev = spark.createDataFrame(
+        [("hot.example", 8), ("cool.example", 8)], "host string, budget long"
+    )
+    log = spark.createDataFrame(
+        [("https://hot.example/x", 429), ("https://cool.example/x", 200)],
+        "url string, status int",
+    )
+    budgets = aimd_budgets(prev, log)
+    frontier = spark.createDataFrame(
+        [(f"https://{h}/p{i}", 1, i, 1700000000 + i)
+         for h in ("hot.example", "cool.example") for i in range(20)],
+        "url string, kind_rank int, page_no int, ts long",
+    ).withColumn("warc_ts", F.timestamp_seconds(F.col("ts"))).drop("ts")
+    admitted, _ = budget_gate(frontier, 0, salt=2, host_budgets=budgets)
+    adm = {r["h"]: r["n"] for r in admitted.groupBy(
+        F.expr("parse_url(url, 'HOST')").alias("h")
+    ).agg(F.count("*").alias("n")).collect()}
+    assert adm == {"hot.example": 4, "cool.example": 9}
