@@ -86,6 +86,7 @@ HEADLINE = [
     "dsir_select",
     "authority_budgets",
     "aimd_budgets",
+    "bpe_phrases",
 ]
 
 

@@ -2113,6 +2113,79 @@ FROM ranked
 """
 
 
+def _bpe_sql(n_merges: int = 3, final: str = "applied") -> str:
+    """DuckDB twin of pipeline/bpe.py: per round, a pair-count CTE, a
+    deterministic argmax CTE (count desc, pair asc), and a fold-apply
+    CTE whose list_reduce lambda captures the round's merge pair from a
+    LEFT JOIN ON TRUE (empty argmax -> NULL pair -> identity fold).
+    final='applied' returns the merged corpus, 'table' the merge rows."""
+    sql = """
+WITH s0 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS syms
+  FROM documents)"""
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        sql += f""",
+p{k} AS (
+  SELECT syms[j] AS a, syms[j+1] AS b
+  FROM (SELECT syms,
+               unnest(generate_series(1, greatest(len(syms) - 1, 0))) AS j
+        FROM s{p}) t),
+m{k} AS (SELECT a, b, count(*) AS c FROM p{k}
+         GROUP BY a, b ORDER BY c DESC, a, b LIMIT 1),
+s{k} AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           CASE WHEN len(syms) = 0 THEN ''
+                ELSE list_reduce(syms, (acc, x) ->
+                  CASE WHEN (acc = m{k}.a OR
+                             ends_with(acc, ' ' || m{k}.a))
+                            AND x = m{k}.b
+                       THEN substr(acc, 1,
+                                   length(acc) - length(m{k}.a))
+                            || m{k}.a || '+' || m{k}.b
+                       ELSE acc || ' ' || x END) END, ' '),
+           y -> y <> '') AS syms
+  FROM s{p} LEFT JOIN m{k} ON TRUE)"""
+    if final == "applied":
+        return sql + (
+            f"\nSELECT doc_id, array_to_string(syms, ' ') AS merged_text"
+            f" FROM s{n_merges}"
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INT) AS step, a AS lhs, b AS rhs, "
+        f"CAST(c AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return sql + "\n" + unions
+
+
+SQL_BPE_PHRASES = _bpe_sql(final="applied")
+SQL_BPE_MERGE_TABLE = _bpe_sql(final="table")
+
+
+def q_bpe_phrases(spark, sf_dir):
+    """Corpus after 3 BPE merge rounds at token granularity (phrase
+    mining): the applied side of the training loop."""
+    from ptt_spider_go_spark.pipeline import bpe
+
+    _table, applied = bpe.phrase_merges(_t(spark, sf_dir, "documents"))
+    return applied.select(
+        "doc_id", F.array_join("syms", " ").alias("merged_text")
+    )
+
+
+def q_bpe_merge_table(spark, sf_dir):
+    """The trained BPE merge table (step, lhs, rhs, pair_count) — one
+    deterministic argmax row per round."""
+    from ptt_spider_go_spark.pipeline import bpe
+
+    table, _applied = bpe.phrase_merges(_t(spark, sf_dir, "documents"))
+    return table
+
+
 def q_aimd_budgets(spark, sf_dir):
     """AIMD adaptive politeness: next-superstep per-host budgets from a
     deterministic md5-derived fetch log (any 429 -> halve, clean ->
@@ -2830,6 +2903,8 @@ QUERIES = {
     "link_rank": (q_link_rank, SQL_LINK_RANK),
     "authority_budgets": (q_authority_budgets, SQL_AUTHORITY_BUDGETS),
     "aimd_budgets": (q_aimd_budgets, SQL_AIMD_BUDGETS),
+    "bpe_phrases": (q_bpe_phrases, SQL_BPE_PHRASES),
+    "bpe_merge_table": (q_bpe_merge_table, SQL_BPE_MERGE_TABLE),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "quality_sample": (q_quality_sample, SQL_QUALITY_SAMPLE),
