@@ -87,6 +87,7 @@ HEADLINE = [
     "authority_budgets",
     "aimd_budgets",
     "bpe_phrases",
+    "classifier_calibration",
 ]
 
 

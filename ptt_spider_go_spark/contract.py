@@ -2504,6 +2504,40 @@ FROM scored
 """
 
 
+def q_classifier_calibration(spark, sf_dir):
+    """Threshold-sweep calibration of the quality classifier against
+    the Gopher rule battery's pass flag (proxy labels): exact integer
+    confusion counts + 4dp precision/recall per candidate cutoff."""
+    return textstats.classifier_calibration(_t(spark, sf_dir, "documents"))
+
+
+SQL_CLASSIFIER_CALIBRATION = f"""
+WITH clf AS ({SQL_CLASSIFIER_SCORES}),
+gop AS ({SQL_GOPHER_RULES}),
+e AS (
+  SELECT clf.score, gop.passes_gopher AS label, t.threshold
+  FROM clf JOIN gop USING (doc_id),
+       unnest([-0.5, -0.25, 0.0, 0.25, 0.5]) t(threshold)),
+agg AS (
+  SELECT threshold,
+    CAST(sum(CASE WHEN score >= threshold AND label
+             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN score >= threshold AND NOT label
+             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN score < threshold AND label
+             THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(sum(CASE WHEN score < threshold AND NOT label
+             THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM e GROUP BY threshold)
+SELECT threshold, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp), 4) END
+         AS "precision",
+       CASE WHEN tp + fn > 0 THEN round(tp / (tp + fn), 4) END
+         AS recall
+FROM agg
+"""
+
+
 def q_quality_sample(spark, sf_dir):
     """Quality-proportional sampling (X45): deterministic md5-uniform
     draw vs classifier-score retention, pure BIGINT decision."""
@@ -2905,6 +2939,8 @@ QUERIES = {
     "aimd_budgets": (q_aimd_budgets, SQL_AIMD_BUDGETS),
     "bpe_phrases": (q_bpe_phrases, SQL_BPE_PHRASES),
     "bpe_merge_table": (q_bpe_merge_table, SQL_BPE_MERGE_TABLE),
+    "classifier_calibration": (q_classifier_calibration,
+                               SQL_CLASSIFIER_CALIBRATION),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "quality_sample": (q_quality_sample, SQL_QUALITY_SAMPLE),

@@ -1060,3 +1060,58 @@ def quality_sample(docs: DataFrame) -> DataFrame:
         ((n > 0)
          & (u * 2000 * n < (si + 1000 * n) * 10000)).alias("kept"),
     )
+
+
+def classifier_calibration(
+    docs: DataFrame,
+    thresholds: tuple = (-0.5, -0.25, 0.0, 0.25, 0.5),
+) -> DataFrame:
+    """(threshold, tp, fp, fn, tn, precision, recall): the calibration
+    sweep every model-based quality filter ships with — confusion
+    counts and precision/recall at each candidate keep-threshold, so
+    the cutoff is chosen from measured trade-offs instead of folklore.
+
+    Labels here are the Gopher rule battery's pass flag (a documented
+    proxy: the MECHANICS — score once, sweep thresholds in one pass,
+    aggregate exact integer confusion counts — are the deliverable;
+    a human-labeled sample table plugs into the same join). The
+    threshold sweep is a literal-array explode (|thresholds| rows per
+    doc, no second scoring pass); counts are exact BIGINTs and the
+    two ratios are single divisions of exact integers rounded to 4dp
+    (NULL when the denominator is 0), so the oracle is bit-exact.
+
+    Scale shape: classifier + gopher are each one narrow pass (their
+    own documented shapes); one doc_id equi-join; one small explode;
+    one groupBy(threshold) with map-side partial aggregation to
+    |thresholds| rows. No window, no sort.
+    """
+    scored = classifier_scores(docs).select("doc_id", "score")
+    labels = gopher_quality(docs).select(
+        "doc_id", F.col("passes_gopher").alias("label")
+    )
+    th = F.explode(
+        F.array(*[F.lit(float(t)) for t in thresholds])
+    ).alias("threshold")
+    e = scored.join(labels, "doc_id").select("score", "label", th)
+    pred = F.col("score") >= F.col("threshold")
+
+    def cnt(cond):
+        return F.sum(cond.cast("long"))
+
+    agg = e.groupBy("threshold").agg(
+        cnt(pred & F.col("label")).alias("tp"),
+        cnt(pred & ~F.col("label")).alias("fp"),
+        cnt(~pred & F.col("label")).alias("fn"),
+        cnt(~pred & ~F.col("label")).alias("tn"),
+    )
+    return agg.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 4),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 4),
+        ).alias("recall"),
+    )

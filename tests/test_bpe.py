@@ -58,3 +58,24 @@ def test_boundary_safety_of_fold(spark):
     assert rows == [(1, "b", "a", 3)]
     assert out[0] == ["b+a", "b+a"]
     assert out[1] == ["ba", "b+a", "b"]
+
+
+def test_classifier_calibration_counts(spark):
+    """Confusion counts partition the corpus at every threshold and
+    monotonicity holds: raising the threshold can only shrink tp+fp."""
+    from ptt_spider_go_spark.pipeline import textstats
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} " * (5 + i), "en") for i in range(12)],
+        "doc_id long, text string, lang string",
+    )
+    rows = textstats.classifier_calibration(docs).collect()
+    assert len(rows) == 5
+    kept = {}
+    for r in rows:
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == 12
+        kept[r["threshold"]] = r["tp"] + r["fp"]
+        if r["tp"] + r["fp"] > 0:
+            assert r["precision"] is not None
+    ths = sorted(kept)
+    assert all(kept[a] >= kept[b] for a, b in zip(ths, ths[1:]))
