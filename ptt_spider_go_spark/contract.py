@@ -2690,6 +2690,71 @@ SELECT doc_id, lang, source, text FROM documents
 """
 
 
+def q_recrawl_due(spark, sf_dir):
+    """Freshness recrawl scheduler over a fetch log derived from the
+    events table (ts = fetch time, views = index pages on a 7-day TTL,
+    everything else = articles on 30 days), evaluated at a fixed
+    now-instant; integer-microsecond ages so the oracle is exact."""
+    from ptt_spider_go_spark.operators import recrawl
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(
+            F.lit("https://h"),
+            F.pmod(F.col("user_id"), F.lit(31)).cast("string"),
+            F.lit("/e"), F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.col("ts").alias("fetched_at"),
+        F.when(F.col("event_type") == "view", 0).otherwise(1)
+        .alias("kind_rank"),
+    )
+    return recrawl.recrawl_due(log, "2024-02-01 00:00:00")
+
+
+SQL_RECRAWL_DUE = """
+WITH log AS (
+  SELECT concat('https://h', user_id % 31, '/e', event_id) AS url,
+         ts AS fetched_at,
+         CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind_rank
+  FROM events),
+x AS (
+  SELECT url, kind_rank,
+         epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+           - epoch_us(fetched_at) AS age_us,
+         CASE WHEN kind_rank = 0 THEN 604800000000
+              ELSE 2592000000000 END AS ttl_us
+  FROM log)
+SELECT url, kind_rank,
+       age_us // 1000000 AS age_s,
+       age_us // ttl_us AS overdue_periods
+FROM x WHERE age_us >= ttl_us
+"""
+
+
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL source/sink (sources/jsonl.py): documents rendered to
+    sharded JSON lines and read back schema-enforced with the
+    corrupt-record quarantine path; identity oracle — a green row
+    proves the byte-level round-trip (the quarantine leg is pinned by
+    pytest with injected corrupt lines)."""
+    from ptt_spider_go_spark.sources import jsonl
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/ptt_jsonl_{sf_tag}"
+    docs = _t(spark, sf_dir, "documents")
+    jsonl.write_jsonl(docs, path, n_files=8)
+    good, _quar = jsonl.read_jsonl(
+        spark, path,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return good
+
+
+SQL_JSONL_ROUNDTRIP = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-payload media table: typed metadata extraction."""
     m = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
@@ -2941,6 +3006,8 @@ QUERIES = {
     "bpe_merge_table": (q_bpe_merge_table, SQL_BPE_MERGE_TABLE),
     "classifier_calibration": (q_classifier_calibration,
                                SQL_CLASSIFIER_CALIBRATION),
+    "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
+    "recrawl_due": (q_recrawl_due, SQL_RECRAWL_DUE),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "quality_sample": (q_quality_sample, SQL_QUALITY_SAMPLE),

@@ -1,0 +1,65 @@
+"""JSONL source/sink (sources/jsonl.py): round-trip, quarantine of
+corrupt lines, and shard composability. (The identity round-trip at
+corpus scale is additionally enforced on `jsonl_roundtrip` by the
+driver contract / tools/check_contract.py.)
+"""
+
+import json
+import os
+
+from ptt_spider_go_spark.sources import jsonl
+
+SCHEMA = "doc_id long, text string, lang string"
+
+
+def test_roundtrip_exact(spark, tmp_path):
+    rows = [
+        (1, "hello world", "en"),
+        (2, 'quotes " and \\ backslashes \n newline', "en"),
+        (3, "中文字符 und ümlauts", "zh"),
+        (4, "", "de"),
+    ]
+    docs = spark.createDataFrame(rows, SCHEMA)
+    path = str(tmp_path / "shards")
+    jsonl.write_jsonl(docs, path, n_files=3)
+    good, quar = jsonl.read_jsonl(spark, path, SCHEMA)
+    assert quar.count() == 0
+    got = sorted(map(tuple, good.collect()))
+    assert got == sorted(rows)
+
+
+def test_corrupt_lines_quarantined_not_fatal(spark, tmp_path):
+    """Bad bytes in one shard must not kill the read or poison the
+    good rows — they land in the quarantine leg with the raw line."""
+    path = str(tmp_path / "mixed")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-0.txt"), "w") as fh:
+        fh.write(json.dumps(
+            {"doc_id": 1, "text": "fine", "lang": "en"}) + "\n")
+        fh.write("{not json at all\n")
+        fh.write(json.dumps(
+            {"doc_id": 2, "text": "also fine", "lang": "en"}) + "\n")
+        fh.write('["wrong", "shape"]\n')
+    good, quar = jsonl.read_jsonl(spark, path, SCHEMA)
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
+    q = quar.collect()
+    assert len(q) == 2
+    assert all(r["cause"] == "malformed_json" for r in q)
+    assert any("not json" in r["raw_line"] for r in q)
+
+
+def test_shards_compose_by_concatenation(spark, tmp_path):
+    """Every part file is a standalone JSONL shard: reading a single
+    part yields a subset, reading the dir yields the union."""
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "en") for i in range(20)], SCHEMA
+    )
+    path = str(tmp_path / "comp")
+    jsonl.write_jsonl(docs, path, n_files=4)
+    parts = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert len(parts) == 4
+    one, _ = jsonl.read_jsonl(spark, os.path.join(path, parts[0]), SCHEMA)
+    n_one = one.count()
+    assert 0 < n_one < 20
+    whole, _ = jsonl.read_jsonl(spark, path, SCHEMA)
+    assert whole.count() == 20

@@ -1,0 +1,53 @@
+"""Freshness recrawl scheduler (operators/recrawl.py). (Spark-vs-DuckDB
+parity additionally enforced on `recrawl_due` by the driver contract.)
+"""
+
+from ptt_spider_go_spark.operators import recrawl
+
+
+def _due(spark, rows, now, ttls=None):
+    log = spark.createDataFrame(
+        rows, "url string, fetched_at timestamp, kind_rank int"
+    )
+    return {
+        r["url"]: (r["age_s"], r["overdue_periods"])
+        for r in recrawl.recrawl_due(log, now, ttls).collect()
+    }
+
+
+def test_ttl_boundaries_exact(spark):
+    """Due-ness is an exact >= at microsecond resolution: one second
+    short of the TTL is not due, the exact TTL instant is."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("u_exact", base, 0),                                  # age == 7d
+        ("u_short", base + dt.timedelta(seconds=1), 0),        # 1s short
+        ("u_old", base - dt.timedelta(days=21), 0),            # 28d -> 4 periods
+        ("a_fresh", base, 1),                                  # 7d < 30d TTL
+        ("a_due", base - dt.timedelta(days=23), 1),            # 30d exactly
+    ]
+    got = _due(spark, rows, "2024-01-08 00:00:00")
+    assert got["u_exact"] == (7 * 86400, 1)
+    assert "u_short" not in got
+    assert got["u_old"] == (28 * 86400, 4)
+    assert "a_fresh" not in got
+    assert got["a_due"] == (30 * 86400, 1)
+
+
+def test_custom_ttls_and_no_shuffle_shape(spark):
+    import datetime as dt
+
+    rows = [("u1", dt.datetime(2024, 1, 1), 0),
+            ("u2", dt.datetime(2024, 1, 1), 1)]
+    got = _due(spark, rows, "2024-01-02 00:00:00", {0: 3600, 1: 7 * 86400})
+    assert got["u1"] == (86400, 24)
+    assert "u2" not in got
+    # narrow plan: no Exchange at all (pure projection + filter)
+    log = spark.createDataFrame(
+        rows, "url string, fetched_at timestamp, kind_rank int"
+    )
+    plan = recrawl.recrawl_due(log, "2024-01-02 00:00:00")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
