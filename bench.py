@@ -88,6 +88,8 @@ HEADLINE = [
     "aimd_budgets",
     "bpe_phrases",
     "classifier_calibration",
+    "jsonl_roundtrip",
+    "recrawl_due",
 ]
 
 

@@ -51,24 +51,32 @@ def read_jsonl(spark: SparkSession, path: str, schema: str
     - quarantine: (raw_line, cause) for lines that failed to parse —
       same role as the crawl's fetch quarantine (errors.py).
 
-    PERMISSIVE + columnNameOfCorruptRecord is the only mode that both
-    survives bad lines AND keeps them inspectable; FAILFAST kills the
-    job on one bad byte, DROPMALFORMED silently loses data — neither
-    is acceptable in a 100 TB ingest.
+    Implementation: text scan + `from_json` per line with the
+    expression-level corrupt-record column, NOT `spark.read.json`
+    with a source-level one — Spark disallows querying the
+    source-level corrupt column without caching the whole parse
+    ([UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN]), and a
+    100 TB ingest can't afford a cache barrier. from_json populates
+    the corrupt column for malformed bytes AND wrong-shape documents
+    (a top-level array against a struct schema), while a valid object
+    with missing fields keeps its row with NULL fields (standard
+    JSONL tolerance) — so the good/quarantine split is one stateless
+    projection. FAILFAST would kill the job on one bad byte,
+    DROPMALFORMED silently loses data — neither is acceptable.
     """
     full_schema = f"{schema}, {_CORRUPT} string"
-    raw = (
-        spark.read.schema(full_schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", _CORRUPT)
-        .json(path)
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.from_json(
+            F.col("value"), full_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
+        ).alias("rec"),
     )
-    # Spark requires caching/materializing a corrupt-record query that
-    # filters on the corrupt column alone when the referenced columns
-    # are pruned — selecting all columns avoids the pruning pitfall.
-    good = raw.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
-    quarantine = raw.filter(F.col(_CORRUPT).isNotNull()).select(
-        F.col(_CORRUPT).alias("raw_line"),
+    good = parsed.filter(
+        F.col(f"rec.{_CORRUPT}").isNull()
+    ).select("rec.*").drop(_CORRUPT)
+    quarantine = parsed.filter(F.col(f"rec.{_CORRUPT}").isNotNull()).select(
+        F.col(f"rec.{_CORRUPT}").alias("raw_line"),
         F.lit("malformed_json").alias("cause"),
     )
     return good, quarantine
