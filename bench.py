@@ -90,6 +90,7 @@ HEADLINE = [
     "classifier_calibration",
     "jsonl_roundtrip",
     "recrawl_due",
+    "ngram_counts",
 ]
 
 

@@ -2690,6 +2690,49 @@ SELECT doc_id, lang, source, text FROM documents
 """
 
 
+def q_ngram_counts(spark, sf_dir):
+    """Pruned n-gram count table (n=1..3, min_count 5, top 100 per n)
+    — the classic corpus export (Google-n-grams / KenLM input)."""
+    return textstats.ngram_counts(_t(spark, sf_dir, "documents"))
+
+
+def _ngram_counts_sql(ns=(1, 2, 3), min_count=5, top_k=100) -> str:
+    sql = """
+WITH toked AS (
+  SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents)"""
+    selects = []
+    for n in ns:
+        if n == 1:
+            gram_src = (
+                f"g{n} AS (SELECT unnest(toks) AS gram FROM toked)"
+            )
+        else:
+            cols = ", ".join(f"toks[j+{i}]" for i in range(1, n + 1))
+            gram_src = f"""g{n} AS (
+  SELECT concat_ws(' ', {cols}) AS gram
+  FROM (SELECT toks,
+               unnest(generate_series(0, greatest(len(toks) - {n}, 0)))
+                 AS j
+        FROM toked) t)"""
+        sql += f""",
+{gram_src},
+c{n} AS (
+  SELECT gram, count(*) AS cnt FROM g{n}
+  GROUP BY gram HAVING count(*) >= {min_count}
+  ORDER BY cnt DESC, gram LIMIT {top_k}),
+r{n} AS (
+  SELECT CAST({n} AS INT) AS n, gram, cnt,
+         row_number() OVER (ORDER BY cnt DESC, gram) AS rank
+  FROM c{n})"""
+        selects.append(f"SELECT n, gram, cnt, rank FROM r{n}")
+    return sql + "\n" + "\nUNION ALL\n".join(selects)
+
+
+SQL_NGRAM_COUNTS = _ngram_counts_sql()
+
+
 def q_recrawl_due(spark, sf_dir):
     """Freshness recrawl scheduler over a fetch log derived from the
     events table (ts = fetch time, views = index pages on a 7-day TTL,
@@ -3008,6 +3051,7 @@ QUERIES = {
                                SQL_CLASSIFIER_CALIBRATION),
     "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
     "recrawl_due": (q_recrawl_due, SQL_RECRAWL_DUE),
+    "ngram_counts": (q_ngram_counts, SQL_NGRAM_COUNTS),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "quality_sample": (q_quality_sample, SQL_QUALITY_SAMPLE),

@@ -1115,3 +1115,57 @@ def classifier_calibration(
             F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 4),
         ).alias("recall"),
     )
+
+
+def ngram_counts(docs: DataFrame, ns: tuple = (1, 2, 3),
+                 min_count: int = 5, top_k: int = 100) -> DataFrame:
+    """(n, gram, cnt, rank): the pruned n-gram count table — the
+    classic corpus artifact (Google Books n-grams, KenLM training
+    input, stop-list mining). For each n: word n-grams over the
+    whitespace token stream, counted, pruned at min_count (the
+    standard noise cut that keeps web-scale count tables from being
+    dominated by singleton garbage), top_k kept per n.
+
+    Scale shape: per n, one shingle projection from the SAME
+    materialized token array (no re-tokenization), one map-side-
+    combining groupBy, min_count pruning BEFORE ranking (the filter is
+    what makes 100 TB count tables tractable), then TakeOrdered(top_k)
+    + the collect_list/posexplode ranking idiom (vocab_stats) — no
+    partition-less window. The per-n results union into one table.
+    """
+    from ptt_spider_go_spark.pipeline.common import shingles_from_tokens
+
+    toked = docs.select(tokens(F.col("text")).alias("toks"))
+    out = None
+    for n in ns:
+        grams = toked.select(
+            F.explode(
+                shingles_from_tokens(F.col("toks"), n)
+                if n > 1
+                else F.col("toks")
+            ).alias("gram")
+        )
+        counted = (
+            grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= min_count)
+            .orderBy(F.col("cnt").desc(), F.col("gram").asc())
+            .limit(top_k)
+        )
+        ranked = (
+            counted.agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((-F.col("cnt")).alias("neg"), "gram", "cnt")
+                    )
+                ).alias("arr")
+            )
+            .select(F.posexplode("arr").alias("i", "s"))
+            .select(
+                F.lit(n).cast("int").alias("n"),
+                F.col("s.gram").alias("gram"),
+                F.col("s.cnt").alias("cnt"),
+                (F.col("i") + 1).cast("long").alias("rank"),
+            )
+        )
+        out = ranked if out is None else out.unionByName(ranked)
+    return out

@@ -51,3 +51,22 @@ def test_custom_ttls_and_no_shuffle_shape(spark):
     plan = recrawl.recrawl_due(log, "2024-01-02 00:00:00")._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_ngram_counts_hand_case(spark):
+    from ptt_spider_go_spark.pipeline import textstats
+
+    docs = spark.createDataFrame(
+        [(i, "a b a b", "en") for i in range(6)],
+        "doc_id long, text string, lang string",
+    )
+    rows = {(r["n"], r["gram"]): (r["cnt"], r["rank"])
+            for r in textstats.ngram_counts(docs, min_count=5).collect()}
+    # unigrams: a x12, b x12 -> tie ranks alphabetical
+    assert rows[(1, "a")] == (12, 1) and rows[(1, "b")] == (12, 2)
+    # bigrams: 'a b' x12, 'b a' x6
+    assert rows[(2, "a b")] == (12, 1) and rows[(2, "b a")] == (6, 2)
+    # trigrams: 'a b a' x6, 'b a b' x6 -> alphabetical tie
+    assert rows[(3, "a b a")] == (6, 1) and rows[(3, "b a b")] == (6, 2)
+    # min_count prunes: nothing below 5 appears
+    assert all(c >= 5 for c, _ in rows.values())
