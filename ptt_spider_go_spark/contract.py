@@ -3037,8 +3037,11 @@ QUERIES = {
     # registry is therefore ordered by verification debt: queries that have
     # never (or least recently) appeared in a driver CORRECTNESS file come
     # FIRST; the long-stable analogues (green since r1) rotate through the
-    # tail. r4 head = the 13 r3 additions the judge had to re-run by hand,
-    # plus this round's new operators.
+    # tail. r4 head = this round's 13 r4c additions (ngram_jaccard_bitset
+    # .. dsir_select), then the r4a/b operators and the 13 r3 additions
+    # the r3 judge had to re-run by hand. Queries displaced past position
+    # 50 this round (url_absolutize onward) were driver-green in r1-r3;
+    # rotate them back through the window in r5.
     # r4 additions (never driver-checked -> front of the window)
     "ngram_jaccard_bitset": (q_ngram_jaccard_bitset, SQL_NGRAM_JACCARD_PAIRS),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
