@@ -91,6 +91,7 @@ HEADLINE = [
     "jsonl_roundtrip",
     "recrawl_due",
     "ngram_counts",
+    "trap_suspects",
 ]
 
 

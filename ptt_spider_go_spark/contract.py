@@ -2690,6 +2690,75 @@ SELECT doc_id, lang, source, text FROM documents
 """
 
 
+def q_trap_suspects(spark, sf_dir):
+    """Crawler-trap heuristics over a deterministic synthetic frontier
+    derived from documents: doc_id drives path depth, a repeated
+    /loop segment, parameter count, and padding — every rule fires on
+    part of the corpus and clean rows pass through flagged false."""
+    from ptt_spider_go_spark.operators import politeness
+
+    docs = _t(spark, sf_dir, "documents")
+    frontier = docs.select(
+        F.concat(
+            F.lit("https://h"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".example"),
+            F.repeat(F.lit("/seg"), F.pmod(F.col("doc_id"), F.lit(20)).cast("int")),
+            F.repeat(F.lit("/loop"), F.pmod(F.col("doc_id"), F.lit(5)).cast("int")),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(11)) > 0,
+                F.concat(
+                    F.lit("?"),
+                    F.repeat(F.lit("a=1&"),
+                             (F.pmod(F.col("doc_id"), F.lit(11)) - 1).cast("int")),
+                    F.lit("z=9"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("url")
+    )
+    return politeness.trap_suspects(frontier)
+
+
+SQL_TRAP_SUSPECTS = """
+WITH frontier AS (
+  SELECT concat(
+           'https://h', doc_id % 7, '.example',
+           repeat('/seg', CAST(doc_id % 20 AS INT)),
+           repeat('/loop', CAST(doc_id % 5 AS INT)),
+           CASE WHEN doc_id % 11 > 0
+                THEN concat('?', repeat('a=1&',
+                                        CAST(doc_id % 11 - 1 AS INT)), 'z=9')
+                ELSE '' END) AS url
+  FROM documents),
+p AS (
+  SELECT url,
+         list_filter(string_split(
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1), '/'),
+           s -> s <> '') AS segs,
+         regexp_extract(url, '\\?([^#]*)', 1) AS q,
+         length(url) AS url_len
+  FROM frontier),
+x AS (
+  SELECT url,
+         len(segs) AS path_depth,
+         len(segs) - len(list_distinct(segs)) AS dup_segs,
+         CASE WHEN q = '' THEN 0
+              ELSE len(string_split(q, '&')) END AS n_params,
+         url_len
+  FROM p)
+SELECT url, path_depth, dup_segs, n_params, url_len,
+       CASE WHEN path_depth > 12 THEN 'path_depth'
+            WHEN dup_segs >= 3 THEN 'repeated_segments'
+            WHEN n_params > 8 THEN 'param_explosion'
+            WHEN url_len > 512 THEN 'url_length' END IS NOT NULL AS is_trap,
+       CASE WHEN path_depth > 12 THEN 'path_depth'
+            WHEN dup_segs >= 3 THEN 'repeated_segments'
+            WHEN n_params > 8 THEN 'param_explosion'
+            WHEN url_len > 512 THEN 'url_length' END AS reason
+FROM x
+"""
+
+
 def q_ngram_counts(spark, sf_dir):
     """Pruned n-gram count table (n=1..3, min_count 5, top 100 per n)
     — the classic corpus export (Google-n-grams / KenLM input)."""
@@ -3055,6 +3124,7 @@ QUERIES = {
     "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
     "recrawl_due": (q_recrawl_due, SQL_RECRAWL_DUE),
     "ngram_counts": (q_ngram_counts, SQL_NGRAM_COUNTS),
+    "trap_suspects": (q_trap_suspects, SQL_TRAP_SUSPECTS),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "quality_sample": (q_quality_sample, SQL_QUALITY_SAMPLE),

@@ -170,3 +170,62 @@ def aimd_budgets(prev_budgets: DataFrame, fetch_log: DataFrame,
     if max_budget is not None:
         nxt = F.least(nxt, F.lit(max_budget).cast("long"))
     return merged.select("host", nxt.cast("long").alias("budget"))
+
+
+#: crawler-trap thresholds (Heritrix-style defaults, scaled to web
+#: practice): calendars/faceted search/session loops show up as deep
+#: paths, repeated path segments, parameter explosions, or absurd URL
+#: lengths long before robots.txt catches them.
+TRAP_MAX_DEPTH = 12
+TRAP_DUP_SEGMENTS = 3
+TRAP_MAX_PARAMS = 8
+TRAP_MAX_URL_LEN = 512
+
+
+def trap_suspects(frontier: DataFrame,
+                  max_depth: int = TRAP_MAX_DEPTH,
+                  dup_segments: int = TRAP_DUP_SEGMENTS,
+                  max_params: int = TRAP_MAX_PARAMS,
+                  max_url_len: int = TRAP_MAX_URL_LEN) -> DataFrame:
+    """(url, path_depth, dup_segs, n_params, url_len, is_trap, reason):
+    crawler-trap heuristics over frontier URLs — the hygiene gate that
+    keeps a 10^10-URL frontier from sinking into calendar loops,
+    faceted-search cross products, and session-id echo chambers
+    (Heritrix's TooManyHopsDecideRule / PathologicalPathDecideRule
+    family). A URL is flagged, never silently dropped: the crawl plan
+    routes is_trap rows to quarantine accounting like robots denials.
+
+    All four rules are pure column expressions over regex-extracted
+    path/query parts (the SAME regexes the DuckDB oracle runs, so the
+    split is engine-agnostic): path depth, repeated path segments
+    (size - size(array_distinct) — the /a/b/a/b calendar shape),
+    query-parameter count, and total URL length. `reason` is the
+    FIRST matching rule in that fixed order (deterministic). Zero
+    shuffles — a stateless projection, same class as recrawl_due."""
+    path = F.regexp_extract(F.col("url"), "^[a-z]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(F.col("url"), "\\?([^#]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda x: x != "")
+    depth = F.size(segs)
+    dups = F.size(segs) - F.size(F.array_distinct(segs))
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))
+    )
+    url_len = F.length(F.col("url"))
+    x = frontier.select(
+        "url",
+        depth.alias("path_depth"),
+        dups.alias("dup_segs"),
+        n_params.alias("n_params"),
+        url_len.alias("url_len"),
+    )
+    reason = (
+        F.when(F.col("path_depth") > max_depth, "path_depth")
+        .when(F.col("dup_segs") >= dup_segments, "repeated_segments")
+        .when(F.col("n_params") > max_params, "param_explosion")
+        .when(F.col("url_len") > max_url_len, "url_length")
+    )
+    return x.select(
+        "*",
+        reason.isNotNull().alias("is_trap"),
+        reason.alias("reason"),
+    )

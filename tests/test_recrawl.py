@@ -70,3 +70,26 @@ def test_ngram_counts_hand_case(spark):
     assert rows[(3, "a b a")] == (6, 1) and rows[(3, "b a b")] == (6, 2)
     # min_count prunes: nothing below 5 appears
     assert all(c >= 5 for c, _ in rows.values())
+
+
+def test_trap_suspects_rules_and_order(spark):
+    from ptt_spider_go_spark.operators.politeness import trap_suspects
+
+    urls = [
+        ("https://a.example/x/y",),                           # clean
+        ("https://a.example/" + "/".join(f"d{i}" for i in range(13)),),
+        ("https://a.example/a/b/a/b/a/b",),                   # repeats
+        ("https://a.example/p?" + "&".join(f"k{i}=1" for i in range(9)),),
+        ("https://a.example/p?x=" + "z" * 520,),              # long
+        # depth AND repeats both fire -> reason = first rule
+        ("https://a.example/" + "/".join(["r"] * 14),),
+    ]
+    f = spark.createDataFrame(urls, "url string")
+    got = {r["url"]: (r["is_trap"], r["reason"])
+           for r in trap_suspects(f).collect()}
+    assert got[urls[0][0]] == (False, None)
+    assert got[urls[1][0]] == (True, "path_depth")
+    assert got[urls[2][0]] == (True, "repeated_segments")
+    assert got[urls[3][0]] == (True, "param_explosion")
+    assert got[urls[4][0]] == (True, "url_length")
+    assert got[urls[5][0]] == (True, "path_depth")  # fixed rule order
