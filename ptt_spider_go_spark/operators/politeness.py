@@ -182,6 +182,39 @@ TRAP_MAX_PARAMS = 8
 TRAP_MAX_URL_LEN = 512
 
 
+def with_trap_flags(df: DataFrame,
+                    max_depth: int = TRAP_MAX_DEPTH,
+                    dup_segments: int = TRAP_DUP_SEGMENTS,
+                    max_params: int = TRAP_MAX_PARAMS,
+                    max_url_len: int = TRAP_MAX_URL_LEN) -> DataFrame:
+    """Append (path_depth, dup_segs, n_params, url_len, is_trap,
+    trap_reason) to any url-bearing frame — the column-only form the
+    crawl loop composes with (no join, no shuffle; the flags are a
+    stateless projection over the frontier it already holds)."""
+    path = F.regexp_extract(F.col("url"), "^[a-z]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(F.col("url"), "\\?([^#]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda x: x != "")
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))
+    )
+    x = df.withColumns({
+        "path_depth": F.size(segs),
+        "dup_segs": F.size(segs) - F.size(F.array_distinct(segs)),
+        "n_params": n_params,
+        "url_len": F.length(F.col("url")),
+    })
+    reason = (
+        F.when(F.col("path_depth") > max_depth, "path_depth")
+        .when(F.col("dup_segs") >= dup_segments, "repeated_segments")
+        .when(F.col("n_params") > max_params, "param_explosion")
+        .when(F.col("url_len") > max_url_len, "url_length")
+    )
+    return x.withColumns({
+        "is_trap": reason.isNotNull(),
+        "trap_reason": reason,
+    })
+
+
 def trap_suspects(frontier: DataFrame,
                   max_depth: int = TRAP_MAX_DEPTH,
                   dup_segments: int = TRAP_DUP_SEGMENTS,
@@ -192,8 +225,9 @@ def trap_suspects(frontier: DataFrame,
     keeps a 10^10-URL frontier from sinking into calendar loops,
     faceted-search cross products, and session-id echo chambers
     (Heritrix's TooManyHopsDecideRule / PathologicalPathDecideRule
-    family). A URL is flagged, never silently dropped: the crawl plan
-    routes is_trap rows to quarantine accounting like robots denials.
+    family). A URL is flagged, never silently dropped: run_crawl's
+    trap_filter mode routes is_trap rows to the `trapped` result table
+    (quarantine-style accounting).
 
     All four rules are pure column expressions over regex-extracted
     path/query parts (the SAME regexes the DuckDB oracle runs, so the
@@ -202,30 +236,7 @@ def trap_suspects(frontier: DataFrame,
     query-parameter count, and total URL length. `reason` is the
     FIRST matching rule in that fixed order (deterministic). Zero
     shuffles — a stateless projection, same class as recrawl_due."""
-    path = F.regexp_extract(F.col("url"), "^[a-z]+://[^/?#]+([^?#]*)", 1)
-    query = F.regexp_extract(F.col("url"), "\\?([^#]*)", 1)
-    segs = F.filter(F.split(path, "/"), lambda x: x != "")
-    depth = F.size(segs)
-    dups = F.size(segs) - F.size(F.array_distinct(segs))
-    n_params = F.when(query == "", F.lit(0)).otherwise(
-        F.size(F.split(query, "&"))
-    )
-    url_len = F.length(F.col("url"))
-    x = frontier.select(
-        "url",
-        depth.alias("path_depth"),
-        dups.alias("dup_segs"),
-        n_params.alias("n_params"),
-        url_len.alias("url_len"),
-    )
-    reason = (
-        F.when(F.col("path_depth") > max_depth, "path_depth")
-        .when(F.col("dup_segs") >= dup_segments, "repeated_segments")
-        .when(F.col("n_params") > max_params, "param_explosion")
-        .when(F.col("url_len") > max_url_len, "url_length")
-    )
-    return x.select(
-        "*",
-        reason.isNotNull().alias("is_trap"),
-        reason.alias("reason"),
-    )
+    return with_trap_flags(
+        frontier.select("url"), max_depth, dup_segments, max_params,
+        max_url_len,
+    ).withColumnRenamed("trap_reason", "reason")

@@ -26,6 +26,7 @@ what makes kill-and-resume byte-identical.
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from contextlib import contextmanager
@@ -47,7 +48,11 @@ from ptt_spider_go_spark.operators.dedup import (
     CuckooShardSet,
     dedup_against_seen,
 )
-from ptt_spider_go_spark.operators.politeness import apply_robots, budget_gate
+from ptt_spider_go_spark.operators.politeness import (
+    apply_robots,
+    budget_gate,
+    with_trap_flags,
+)
 from ptt_spider_go_spark.operators.progress import (
     progress_events,
     progress_metrics,
@@ -74,6 +79,7 @@ class CrawlResult:
     metrics: DataFrame
     progress_events: DataFrame | None = None
     quarantine: DataFrame | None = None
+    trapped: DataFrame | None = None
     supersteps: int = 0
     wall_secs: float = 0.0
     counters: dict = field(default_factory=dict)
@@ -127,6 +133,7 @@ def run_crawl(
     broadcast_frontier: bool | str = "auto",
     broadcast_max_rows: int = 200_000,
     probe_strategy: str = "html",
+    trap_filter: bool = False,
 ) -> CrawlResult:
     """Run the crawl to fixpoint (or cfg.max_supersteps) and assemble
     outputs. `checkpoint_dir` enables snapshot/resume; with
@@ -235,6 +242,7 @@ def run_crawl(
     pages_fetch = pages.select("url", "warc_ts", "html", "text")
 
     mem_steps: list[dict] = []
+    trapped_parts: list[DataFrame] = []
     step = start_step
     while step < cfg.max_supersteps:
         # Lineage truncation: an iterative loop's logical plan otherwise
@@ -246,6 +254,21 @@ def run_crawl(
         with _timed(f"step{step}.is_empty"):
             if frontier.isEmpty():
                 break
+
+        # 0. crawler-trap gate (opt-in, default off so the pinned
+        # reference-parity outputs are untouched): flag-and-divert,
+        # never silently drop — trapped rows land in the `trapped`
+        # result table with their rule, mirroring the quarantine
+        # pattern. Stateless projection, zero extra shuffles.
+        if trap_filter:
+            fl = with_trap_flags(frontier)
+            trapped_parts.append(
+                fl.filter(F.col("is_trap")).select(
+                    "url", F.col("trap_reason").alias("reason"),
+                    F.lit(step).alias("superstep"),
+                )
+            )
+            frontier = fl.filter(~F.col("is_trap")).select(FRONTIER_COLS)
 
         # 1. robots + 2. politeness budget
         allowed = apply_robots(frontier, robots)
@@ -523,6 +546,13 @@ def run_crawl(
         metrics=metrics,
         progress_events=events,
         quarantine=quarantine_from_fetch_log(fetch_log),
+        trapped=(
+            functools.reduce(DataFrame.unionByName, trapped_parts)
+            if trapped_parts
+            else _empty(spark, "url string, reason string, superstep int")
+        )
+        if trap_filter
+        else None,
         supersteps=step - start_step,
         wall_secs=time.time() - t0,
     )

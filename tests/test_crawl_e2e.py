@@ -187,3 +187,30 @@ def test_crawl_identical_with_cuckoo_engaged(spark, dataset, result):
     assert key(res2.articles) == key(result.articles)
     assert sorted(r["url"] for r in res2.seen.collect()) == \
         sorted(r["url"] for r in result.seen.collect())
+
+
+def test_trap_filter_diverts_without_dropping_silently(spark, dataset, tmp_path):
+    """Opt-in crawler-trap gate: a calendar-loop URL in the seed file is
+    diverted to the `trapped` table with its rule, never fetched; the
+    clean URLs crawl exactly as without the gate; default-off leaves
+    `trapped` as None (pinned outputs untouched)."""
+    golden_all = golden_crawl(dataset, BOARD, PAGES, 0)
+    urls = [c["url"] for c in golden_all["contents"]][:4]
+    trap = "https://www.ptt.cc/bbs" + "/cal/2024" * 4 + "/M.1.A.html"
+    f = tmp_path / "urls.txt"
+    f.write_text("\n".join(urls + [trap]))
+
+    cfg = CrawlConfig(board=BOARD, pages=1, push_rate=0, max_supersteps=4)
+    res = run_crawl(spark, spark.createDataFrame(dataset), cfg,
+                    file_urls_path=str(f), trap_filter=True)
+    trapped = {(r["url"], r["reason"]) for r in res.trapped.collect()}
+    assert trapped == {(trap, "repeated_segments")}
+    fetched = {r["url"] for r in res.fetch_log.collect()}
+    assert trap not in fetched
+    assert set(urls) <= fetched
+
+    res_off = run_crawl(spark, spark.createDataFrame(dataset), cfg,
+                        file_urls_path=str(f))
+    assert res_off.trapped is None
+    # without the gate the trap URL IS attempted (missing page -> 404)
+    assert trap in {r["url"] for r in res_off.fetch_log.collect()}
