@@ -92,6 +92,7 @@ HEADLINE = [
     "recrawl_due",
     "ngram_counts",
     "trap_suspects",
+    "sitemap_entries",
 ]
 
 

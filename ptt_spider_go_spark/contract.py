@@ -2690,6 +2690,49 @@ SELECT doc_id, lang, source, text FROM documents
 """
 
 
+def q_sitemap_entries(spark, sf_dir):
+    """Sitemap source: per-source sitemap XML documents are BUILT from
+    the documents table (one <url> entry per doc with a deterministic
+    lastmod, plus one nested <sitemap> index entry per source), then
+    PARSED back by the source; the oracle computes the expected entry
+    set directly from documents — a green row proves parse inverts
+    build."""
+    from ptt_spider_go_spark.sources import sitemap
+
+    docs = _t(spark, sf_dir, "documents")
+    entry = F.concat(
+        F.lit("<url><loc> https://"), F.col("source"),
+        F.lit(".example/d"), F.col("doc_id").cast("string"),
+        F.lit(" </loc><lastmod>2024-01-"),
+        F.lpad((F.pmod(F.col("doc_id"), F.lit(28)) + 1).cast("string"),
+               2, "0"),
+        F.lit("</lastmod></url>"),
+    )
+    xml = docs.groupBy("source").agg(
+        F.concat(
+            F.lit('<urlset>'),
+            F.array_join(F.array_sort(F.collect_list(entry)), ""),
+            F.lit("<sitemap><loc>https://"), F.col("source"),
+            F.lit(".example/sitemap2.xml</loc></sitemap></urlset>"),
+        ).alias("xml")
+    )
+    return sitemap.sitemap_entries(xml)
+
+
+SQL_SITEMAP_ENTRIES = """
+SELECT 'page' AS kind,
+       concat('https://', source, '.example/d', doc_id) AS url,
+       concat('2024-01-', lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0'))
+         AS lastmod
+FROM documents
+UNION ALL
+SELECT 'sitemap' AS kind,
+       concat('https://', source, '.example/sitemap2.xml') AS url,
+       NULL AS lastmod
+FROM (SELECT DISTINCT source FROM documents)
+"""
+
+
 def q_trap_suspects(spark, sf_dir):
     """Crawler-trap heuristics over a deterministic synthetic frontier
     derived from documents: doc_id drives path depth, a repeated
@@ -3125,6 +3168,7 @@ QUERIES = {
     "recrawl_due": (q_recrawl_due, SQL_RECRAWL_DUE),
     "ngram_counts": (q_ngram_counts, SQL_NGRAM_COUNTS),
     "trap_suspects": (q_trap_suspects, SQL_TRAP_SUSPECTS),
+    "sitemap_entries": (q_sitemap_entries, SQL_SITEMAP_ENTRIES),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "quality_sample": (q_quality_sample, SQL_QUALITY_SAMPLE),

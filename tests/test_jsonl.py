@@ -63,3 +63,34 @@ def test_shards_compose_by_concatenation(spark, tmp_path):
     assert 0 < n_one < 20
     whole, _ = jsonl.read_jsonl(spark, path, SCHEMA)
     assert whole.count() == 20
+
+
+def test_sitemap_entries_both_shapes(spark):
+    """urlset pages + sitemapindex references in one pass: whitespace
+    inside <loc> is trimmed, absent <lastmod> is NULL, and the <urlset>
+    wrapper never false-matches the <url> block regex."""
+    from ptt_spider_go_spark.sources import sitemap
+
+    urlset = (
+        "<urlset>"
+        "<url><loc> https://a.example/p1 </loc>"
+        "<lastmod>2024-02-03</lastmod></url>"
+        "<url><loc>https://a.example/p2</loc></url>"
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://a.example/s1.xml</loc>"
+        "<lastmod>2024-01-01</lastmod></sitemap>"
+        "<sitemap><loc>\nhttps://a.example/s2.xml\n</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame([(urlset,), (index,)], "xml string")
+    got = {(r["kind"], r["url"]): r["lastmod"]
+           for r in sitemap.sitemap_entries(df).collect()}
+    assert got == {
+        ("page", "https://a.example/p1"): "2024-02-03",
+        ("page", "https://a.example/p2"): None,
+        ("sitemap", "https://a.example/s1.xml"): "2024-01-01",
+        ("sitemap", "https://a.example/s2.xml"): None,
+    }
