@@ -93,6 +93,7 @@ HEADLINE = [
     "ngram_counts",
     "trap_suspects",
     "sitemap_entries",
+    "robots_sitemaps",
 ]
 
 

@@ -2690,6 +2690,44 @@ SELECT doc_id, lang, source, text FROM documents
 """
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap: directive extraction from synthesized robots.txt bodies
+    (one per source; mixed-case field names, a user-agent group, a
+    comment, and two directives per host exercise the RFC 9309 §2.3
+    global/case-insensitive rules)."""
+    from ptt_spider_go_spark.sources.robots import sitemap_directives
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select(
+        F.concat(F.col("source"), F.lit(".example")).alias("host")
+    ).distinct()
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"
+              "# Sitemap: https://commented.example/no.xml\n"
+              "Sitemap: https://"),
+        F.col("host"), F.lit("/sitemap.xml\nsiteMAP:   https://"),
+        F.col("host"), F.lit("/s2.xml\n"),
+    )
+    return sitemap_directives(hosts.select("host", body.alias("body")))
+
+
+SQL_ROBOTS_SITEMAPS = """
+WITH hosts AS (
+  SELECT DISTINCT concat(source, '.example') AS host FROM documents),
+b AS (
+  SELECT host,
+         concat('User-agent: *', chr(10), 'Disallow: /private', chr(10),
+                '# Sitemap: https://commented.example/no.xml', chr(10),
+                'Sitemap: https://', host, '/sitemap.xml', chr(10),
+                'siteMAP:   https://', host, '/s2.xml', chr(10)) AS body
+  FROM hosts)
+SELECT host,
+       unnest(regexp_extract_all(
+         body, '(?im)^\\s*sitemap\\s*:\\s*(\\S+)', 1)) AS sitemap_url
+FROM b
+"""
+
+
 def q_sitemap_entries(spark, sf_dir):
     """Sitemap source: per-source sitemap XML documents are BUILT from
     the documents table (one <url> entry per doc with a deterministic
@@ -3169,6 +3207,7 @@ QUERIES = {
     "ngram_counts": (q_ngram_counts, SQL_NGRAM_COUNTS),
     "trap_suspects": (q_trap_suspects, SQL_TRAP_SUSPECTS),
     "sitemap_entries": (q_sitemap_entries, SQL_SITEMAP_ENTRIES),
+    "robots_sitemaps": (q_robots_sitemaps, SQL_ROBOTS_SITEMAPS),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "quality_sample": (q_quality_sample, SQL_QUALITY_SAMPLE),

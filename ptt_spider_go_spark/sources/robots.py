@@ -168,3 +168,26 @@ def robots_rules_from_pages(pages: DataFrame, agent: str = "*") -> DataFrame:
             yield pd.DataFrame(out)
 
     return robots.mapInPandas(run, RULES_SCHEMA)
+
+
+def sitemap_directives(robots_pages: DataFrame) -> DataFrame:
+    """(host, sitemap_url): the `Sitemap:` directives of each host's
+    robots.txt — the discovery link between the robots source (R1) and
+    the sitemap seed source (X59): fetch robots -> collect these URLs
+    -> fetch them -> sitemap_entries() flattens pages into the
+    frontier.
+
+    Per RFC 9309 §2.3 / sitemaps.org, Sitemap lines are GLOBAL (not
+    part of any user-agent group) and the field name is
+    case-insensitive, so extraction is one (?im) multiline regex over
+    the body — a stateless column projection (`robots_pages` needs
+    (host, body)), no mapInPandas required, and the DuckDB oracle runs
+    the SAME regex."""
+    urls = F.regexp_extract_all(
+        F.col("body"),
+        F.lit("(?im)^\\s*sitemap\\s*:\\s*(\\S+)"),
+        F.lit(1),
+    )
+    return robots_pages.select(
+        "host", F.explode(urls).alias("sitemap_url")
+    )

@@ -94,3 +94,30 @@ def test_sitemap_entries_both_shapes(spark):
         ("sitemap", "https://a.example/s1.xml"): "2024-01-01",
         ("sitemap", "https://a.example/s2.xml"): None,
     }
+
+
+def test_robots_sitemap_directives_compose_with_sitemap_source(spark):
+    """The discovery chain closes: robots.txt Sitemap: lines (global,
+    case-insensitive, comments excluded) name sitemap files whose
+    entries the sitemap source then flattens into frontier seeds."""
+    from ptt_spider_go_spark.sources import sitemap
+    from ptt_spider_go_spark.sources.robots import sitemap_directives
+
+    robots = spark.createDataFrame(
+        [("a.example",
+          "User-agent: *\nDisallow: /x\n"
+          "# Sitemap: https://a.example/commented.xml\n"
+          "SITEMAP: https://a.example/s.xml\n")],
+        "host string, body string",
+    )
+    directives = {(r["host"], r["sitemap_url"])
+                  for r in sitemap_directives(robots).collect()}
+    assert directives == {("a.example", "https://a.example/s.xml")}
+
+    fetched = spark.createDataFrame(
+        [("<urlset><url><loc>https://a.example/p1</loc></url></urlset>",)],
+        "xml string",
+    )
+    seeds = {(r["kind"], r["url"])
+             for r in sitemap.sitemap_entries(fetched).collect()}
+    assert seeds == {("page", "https://a.example/p1")}
