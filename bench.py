@@ -94,6 +94,7 @@ HEADLINE = [
     "trap_suspects",
     "sitemap_entries",
     "robots_sitemaps",
+    "normalize_text",
 ]
 
 

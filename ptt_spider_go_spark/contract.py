@@ -2690,6 +2690,41 @@ SELECT doc_id, lang, source, text FROM documents
 """
 
 
+def q_normalize_text(spark, sf_dir):
+    """Unicode NFC + control-strip + whitespace-collapse normalization,
+    exercised for real: every document gets a decomposed combining
+    acute ('caf' + 'e' + U+0301), a C0 control byte, and doubled
+    spaces appended — NFC must compose the accent and the cleanups
+    must fire on every row (changed = true everywhere)."""
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("  caf"), F.lit("e\u0301"),
+            F.lit("\x07"), F.lit("  x "),
+        ).alias("text"),
+    )
+    return textstats.normalize_text(dirty)
+
+
+SQL_NORMALIZE_TEXT = """
+WITH dirty AS (
+  SELECT doc_id,
+         text || '  caf' || chr(101) || chr(769) || chr(7) || '  x '
+           AS text
+  FROM documents),
+n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(
+           nfc_normalize(text),
+           '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+           '\\s+', ' ', 'g')) AS norm_text
+  FROM dirty)
+SELECT doc_id, norm_text, norm_text <> text AS changed FROM n
+"""
+
+
 def q_robots_sitemaps(spark, sf_dir):
     """Sitemap: directive extraction from synthesized robots.txt bodies
     (one per source; mixed-case field names, a user-agent group, a
@@ -3208,6 +3243,7 @@ QUERIES = {
     "trap_suspects": (q_trap_suspects, SQL_TRAP_SUSPECTS),
     "sitemap_entries": (q_sitemap_entries, SQL_SITEMAP_ENTRIES),
     "robots_sitemaps": (q_robots_sitemaps, SQL_ROBOTS_SITEMAPS),
+    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "quality_sample": (q_quality_sample, SQL_QUALITY_SAMPLE),

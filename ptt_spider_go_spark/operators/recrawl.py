@@ -38,7 +38,11 @@ def recrawl_due(fetch_log: DataFrame, now_ts: str,
     age at `now_ts` (a fixed 'YYYY-MM-DD HH:MM:SS' UTC string — the
     scheduler never reads the wall clock, so runs are replayable) has
     passed their kind's TTL. `fetch_log` needs (url, fetched_at,
-    kind_rank)."""
+    kind_rank). A kind_rank absent from `ttls_s` has NO TTL and is
+    deliberately never due (its ttl_us is NULL, the >= comparison is
+    NULL, the filter drops it) — recrawl is opt-in per kind, matching
+    how crawlers treat one-shot resources (robots files, media
+    bytes)."""
     ttls_s = ttls_s or DEFAULT_TTLS_S
     t_us = F.unix_micros(F.col("fetched_at").cast("timestamp"))
     now_us = F.unix_micros(F.lit(now_ts).cast("timestamp"))

@@ -1169,3 +1169,45 @@ def ngram_counts(docs: DataFrame, ns: tuple = (1, 2, 3),
         )
         out = ranked if out is None else out.unionByName(ranked)
     return out
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """(doc_id, norm_text, changed): canonical text normalization —
+    Unicode NFC composition, C0/DEL control-character strip, and
+    whitespace collapse+trim — the first stage of every multilingual
+    pipeline (mojibake-adjacent dup pairs like 'cafe\\u0301' vs
+    'caf\\u00e9' unify BEFORE hashing/dedup, so exact-dedup keys and
+    shingles stop splitting on encoding accidents).
+
+    NFC runs in an Arrow-batched scalar pandas_udf (the 10-100x-over-
+    row-UDF path; Spark has no built-in Unicode normalizer) — the ONE
+    Python hop; the control strip and whitespace collapse stay
+    JVM-side regexps. Python's unicodedata and DuckDB's nfc_normalize
+    agree on NFC (probed over combining marks, ligatures, fullwidth
+    forms, halfwidth katakana + dakuten), so the oracle is exact.
+    """
+    import unicodedata
+
+    def _nfc(s):  # pd.Series -> pd.Series (module has deferred
+        # annotations, so the hint form can't resolve a local import)
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x)
+            if x is not None else None
+        )
+
+    nfc = F.pandas_udf(_nfc, returnType="string")
+
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                nfc(F.col("text")),
+                "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "",
+            ),
+            "\\s+", " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        cleaned.alias("norm_text"),
+        (cleaned != F.col("text")).alias("changed"),
+    )

@@ -121,3 +121,21 @@ def test_robots_sitemap_directives_compose_with_sitemap_source(spark):
     seeds = {(r["kind"], r["url"])
              for r in sitemap.sitemap_entries(fetched).collect()}
     assert seeds == {("page", "https://a.example/p1")}
+
+
+def test_normalize_text_unicode_cases(spark):
+    from ptt_spider_go_spark.pipeline import textstats
+
+    rows = [
+        (1, "café und  doppel\tspace"),   # NFC + ws collapse
+        (2, "ctrl\x07byte\x1fhere"),            # C0 strip
+        (3, "  already clean  "),               # trim only
+        (4, "nothing to do"),                   # unchanged
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["norm_text"], r["changed"])
+           for r in textstats.normalize_text(docs).collect()}
+    assert got[1] == ("café und doppel space", True)
+    assert got[2] == ("ctrlbytehere", True)
+    assert got[3] == ("already clean", True)
+    assert got[4] == ("nothing to do", False)
