@@ -309,15 +309,24 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.4,
     )
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     prefixes = sized.filter(F.col("pos") <= prefix_len).select(
-        "bucket", "tok", "doc_id"
+        "bucket", "tok", "doc_id", "sz"
     )
 
     a = prefixes.alias("a")
     b = prefixes.alias("b")
+    t = float(threshold)
     cand = (
         a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"),
                       F.col("a.tok") == F.col("b.tok"),
-                      F.col("a.doc_id") < F.col("b.doc_id")])
+                      F.col("a.doc_id") < F.col("b.doc_id"),
+                      # PPJoin length filter: J >= t implies
+                      # t*max(|A|,|B|) <= min(|A|,|B|) — a necessary
+                      # condition evaluated inside the join, before the
+                      # distinct and the array-intersection verify ever
+                      # see the pair (prunes length-mismatched pairs
+                      # that share a rare prefix token).
+                      F.col("a.sz") * t <= F.col("b.sz"),
+                      F.col("b.sz") * t <= F.col("a.sz")])
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
