@@ -1718,22 +1718,29 @@ GROUP BY g.doc_id
 
 def q_url_canonicalize(spark, sf_dir):
     """RFC 3986 syntax-based URL canonicalization (frontier-key
-    normalization): fragment strip, scheme/authority lowercase,
-    default-port drop, empty-path -> '/'. Input spellings are
-    synthesized deterministically from orders (6 variants)."""
+    normalization): fragment strip, scheme/HOST lowercase (userinfo
+    case preserved — distinct credentials stay distinct keys),
+    default-port drop (userinfo- and IPv6-safe), empty-path -> '/'.
+    Input spellings are synthesized deterministically from orders
+    (8 variants)."""
     o = _t(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     ks = k.cast("string")
     url = (
-        F.when(k % 6 == 0, F.concat(F.lit("HTTP://WWW.PTT.CC:80/bbs/B/M."),
+        F.when(k % 8 == 0, F.concat(F.lit("HTTP://WWW.PTT.CC:80/bbs/B/M."),
                                     ks, F.lit(".A.html#push")))
-        .when(k % 6 == 1, F.concat(F.lit("https://Example.COM:443/x/"),
+        .when(k % 8 == 1, F.concat(F.lit("https://Example.COM:443/x/"),
                                    ks, F.lit("?q=1#frag")))
-        .when(k % 6 == 2, F.concat(F.lit("https://cdn"), ks,
+        .when(k % 8 == 2, F.concat(F.lit("https://cdn"), ks,
                                    F.lit(".Example.com")))
-        .when(k % 6 == 3, F.concat(F.lit("http://example.com:8080/p/"), ks))
-        .when(k % 6 == 4, F.concat(F.lit("http://Example.com:80/"), ks,
+        .when(k % 8 == 3, F.concat(F.lit("http://example.com:8080/p/"), ks))
+        .when(k % 8 == 4, F.concat(F.lit("http://Example.com:80/"), ks,
                                    F.lit("/#a#b")))
+        .when(k % 8 == 5, F.concat(F.lit("http://ToKen"), ks,
+                                   F.lit("@Example.COM:80/priv")))
+        .when(k % 8 == 6, F.concat(F.lit("HTTPS://[2001:DB8::"),
+                                   (k % 10).cast("string"),
+                                   F.lit("]:443/v6/"), ks))
         .otherwise(F.concat(F.lit("https://example.com/a%2Fb/"), ks))
     )
     return o.select(
@@ -1745,12 +1752,15 @@ def q_url_canonicalize(spark, sf_dir):
 SQL_URL_CANONICALIZE = """
 WITH raw AS (
   SELECT o_orderkey,
-    CASE o_orderkey % 6
+    CASE o_orderkey % 8
       WHEN 0 THEN 'HTTP://WWW.PTT.CC:80/bbs/B/M.' || o_orderkey || '.A.html#push'
       WHEN 1 THEN 'https://Example.COM:443/x/' || o_orderkey || '?q=1#frag'
       WHEN 2 THEN 'https://cdn' || o_orderkey || '.Example.com'
       WHEN 3 THEN 'http://example.com:8080/p/' || o_orderkey
       WHEN 4 THEN 'http://Example.com:80/' || o_orderkey || '/#a#b'
+      WHEN 5 THEN 'http://ToKen' || o_orderkey || '@Example.COM:80/priv'
+      WHEN 6 THEN 'HTTPS://[2001:DB8::' || (o_orderkey % 10) || ']:443/v6/'
+                  || o_orderkey
       ELSE 'https://example.com/a%2Fb/' || o_orderkey
     END AS url
   FROM orders),
@@ -1760,13 +1770,30 @@ parts AS (
          regexp_extract(regexp_replace(url, '#.*$', '', 's'),
                         '^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*)', 1) AS auth
   FROM raw),
-canon0 AS (
+split AS (
   SELECT o_orderkey, url, auth,
          substr(no_frag, length(auth) + 1) AS rest,
-         regexp_replace(
-           regexp_replace(lower(auth), '^(http://[^/:]*):80$', '\\1'),
-           '^(https://[^/:]*):443$', '\\1') AS low
-  FROM parts)
+         lower(regexp_extract(auth, '^([a-zA-Z][a-zA-Z0-9+.\\-]*)://', 1))
+           AS scheme,
+         regexp_replace(auth, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://', '')
+           AS authority
+  FROM parts),
+comp AS (
+  SELECT o_orderkey, url, auth, rest, scheme,
+         regexp_extract(authority, '^(.*@)', 1) AS userinfo,
+         lower(regexp_replace(authority, '^.*@', '')) AS hostport
+  FROM split),
+canon0 AS (
+  SELECT o_orderkey, url, auth, rest,
+         CASE WHEN auth = '' THEN ''
+              ELSE scheme || '://' || userinfo ||
+                   CASE WHEN scheme = 'http'
+                          THEN regexp_replace(hostport, ':80$', '')
+                        WHEN scheme = 'https'
+                          THEN regexp_replace(hostport, ':443$', '')
+                        ELSE hostport END
+         END AS low
+  FROM comp)
 SELECT o_orderkey, url,
        CASE WHEN auth <> '' AND rest = '' THEN low || '/'
             ELSE low || rest END AS canon_url

@@ -239,8 +239,14 @@ def canonicalize_url(url: Column) -> Column:
     semantics-preserving):
 
       1. fragment stripped ('#...' never reaches the server);
-      2. scheme + authority lowercased (case-insensitive per RFC);
-      3. default port dropped (:80 for http, :443 for https);
+      2. scheme + HOST lowercased (the only case-insensitive parts per
+         RFC 3986 §3.1/§3.2.2 — userinfo keeps its case: http://TOKEN@h/
+         and http://token@h/ are different credentials and must stay
+         distinct frontier keys);
+      3. default port dropped (:80 for http, :443 for https), with
+         userinfo and bracketed IPv6 hosts handled (':80$' on the
+         host:port tail is unambiguous — reg-names cannot contain ':'
+         and an IPv6 literal's colons sit inside '[...]');
       4. empty path normalized to '/' (http://h and http://h/ are the
          same request target).
 
@@ -249,15 +255,29 @@ def canonicalize_url(url: Column) -> Column:
     rule choice follows RFC 3986; path dot-segment and percent-encoding
     normalization are deliberately omitted (they require a parser, not
     a projection — and percent-case folding can change keys for servers
-    that treat %2F specially). Pure JVM-side regex projection; every
-    regex is in the Java/RE2-shared subset, so the DuckDB oracle is
-    value-exact."""
+    that treat %2F specially). IPv6 zone-id ('%25eth0') literals keep
+    the zone's case (lowercased along with the host hex — harmless:
+    zone ids are local-interface names, never sent on the wire). Pure
+    JVM-side regex projection; every regex is in the Java/RE2-shared
+    subset, so the DuckDB oracle is value-exact."""
     no_frag = F.regexp_replace(url, "#.*$", "")
     auth = F.regexp_extract(no_frag, "^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*)", 1)
     rest = F.substring(no_frag, F.length(auth) + 1, F.lit(1_000_000))
-    low = F.lower(auth)
-    low = F.regexp_replace(low, "^(http://[^/:]*):80$", "$1")
-    low = F.regexp_replace(low, "^(https://[^/:]*):443$", "$1")
+    # scheme://[userinfo@]hostport — lowercase scheme and hostport only.
+    scheme = F.lower(
+        F.regexp_extract(auth, "^([a-zA-Z][a-zA-Z0-9+.\\-]*)://", 1))
+    authority = F.regexp_replace(auth, "^[a-zA-Z][a-zA-Z0-9+.\\-]*://", "")
+    # greedy '.*@' -> userinfo runs to the LAST '@' (hosts cannot
+    # contain '@'); '' when absent on both engines.
+    userinfo = F.regexp_extract(authority, "^(.*@)", 1)
+    hostport = F.lower(F.regexp_replace(authority, "^.*@", ""))
+    hostport = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    low = F.when(auth == "", F.lit("")).otherwise(
+        F.concat(scheme, F.lit("://"), userinfo, hostport))
     canon = F.concat(low, rest)
     # empty path -> '/' (only when there IS an authority and no path/query)
     return F.when(

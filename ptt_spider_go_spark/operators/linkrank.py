@@ -142,7 +142,12 @@ def authority_budgets(ranks: DataFrame, total_budget: int) -> DataFrame:
     Scale shape: `ranks` is a host-level dimension (tiny by
     construction); the two scalar reductions are driver probes and the
     top-L selection is an orderBy+limit (TakeOrdered) — no
-    partition-less window, nothing big ever sorts globally."""
+    partition-less window, nothing big ever sorts globally. `ranks` is
+    localCheckpoint-ed up front: it usually arrives as the 3-iteration
+    host_rank join chain, and without materialization each of the two
+    scalar probes plus the final plan would re-run that whole chain
+    (ADVICE r04)."""
+    ranks = ranks.localCheckpoint(eager=True)
     r_total = ranks.agg(F.sum("rank_micro")).collect()[0][0]
     if not r_total:
         return ranks.select("host", F.lit(0).cast("long").alias("budget"))

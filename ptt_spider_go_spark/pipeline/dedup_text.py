@@ -141,6 +141,18 @@ BITSET_MAX_VOCAB = 4096
 BITSET_MIN_DENSITY = 0.05
 
 
+#: All exact-Jaccard paths emit pairs by round(jaccard, 4) >= t, so a
+#: pair whose TRUE J sits within 5e-5 below t still rounds up and must
+#: be emitted. Candidate-pruning inequalities (PPJoin length filter,
+#: prefix length) therefore cannot use t itself — they must be
+#: necessary conditions for the ROUNDED comparison. round(J,4) >= t
+#: implies J > t - 5e-5 - ulp; 1e-4 absorbs the half-up boundary plus
+#: float slop with a 2x margin. Only reachable once documents have
+#: >= ~20k distinct tokens (smaller sets cannot land J inside the
+#: 5e-5 window below t while passing the unslackened bound).
+JACCARD_ROUND_SLACK = 1e-4
+
+
 def jaccard_probe(docs: DataFrame, sample_fraction: float | None = None,
                   seed: int = 42) -> dict:
     """One-pass corpus-shape probe for the Jaccard algorithm selector:
@@ -307,24 +319,30 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.4,
     sized = ranked.withColumn("pos", F.row_number().over(w_doc)).withColumn(
         "sz", F.count("*").over(Window.partitionBy("doc_id"))
     )
-    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    # Slackened threshold: the emit condition is round(J,4) >= t, so
+    # every pruning inequality must hold for J down to t - 5e-5 (see
+    # JACCARD_ROUND_SLACK) — otherwise a pair the naive path emits at
+    # the rounding boundary would be pruned here and path equivalence
+    # breaks.
+    t = float(threshold) - JACCARD_ROUND_SLACK
+    prefix_len = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
     prefixes = sized.filter(F.col("pos") <= prefix_len).select(
         "bucket", "tok", "doc_id", "sz"
     )
 
     a = prefixes.alias("a")
     b = prefixes.alias("b")
-    t = float(threshold)
     cand = (
         a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"),
                       F.col("a.tok") == F.col("b.tok"),
                       F.col("a.doc_id") < F.col("b.doc_id"),
-                      # PPJoin length filter: J >= t implies
-                      # t*max(|A|,|B|) <= min(|A|,|B|) — a necessary
-                      # condition evaluated inside the join, before the
-                      # distinct and the array-intersection verify ever
-                      # see the pair (prunes length-mismatched pairs
-                      # that share a rare prefix token).
+                      # PPJoin length filter: round(J,4) >= t implies
+                      # (t-slack)*max(|A|,|B|) <= min(|A|,|B|) — a
+                      # necessary condition evaluated inside the join,
+                      # before the distinct and the array-intersection
+                      # verify ever see the pair (prunes
+                      # length-mismatched pairs that share a rare
+                      # prefix token).
                       F.col("a.sz") * t <= F.col("b.sz"),
                       F.col("b.sz") * t <= F.col("a.sz")])
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -432,7 +450,8 @@ def ngram_jaccard_pairs_bitset(docs: DataFrame, threshold: float = 0.4,
     )
     a = doc_masks.repartition(nparts, "doc_id").alias("a")
     b = F.broadcast(doc_masks.alias("b"))
-    t = float(threshold)
+    # Slackened for the round(J,4) emit boundary — see JACCARD_ROUND_SLACK.
+    t = float(threshold) - JACCARD_ROUND_SLACK
     inter = F.aggregate(
         F.zip_with(
             F.col("a.masks"), F.col("b.masks"),

@@ -6,6 +6,8 @@ All column-expression only (JVM-side); every one has a DuckDB oracle.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -781,7 +783,14 @@ def mixture_sample(docs: DataFrame,
     ).collect()[0]
     if not tot["t"]:  # empty corpus
         return proj.withColumn("cum_tokens", F.lit(0).cast("long")).limit(0)
-    alloc = int(int(tot["t"]) * budget_frac) // int(tot["s"])
+    # Integer-exact global budget: Fraction(budget_frac) is the EXACT
+    # binary value of the float argument (0.5 -> 1/2), so
+    # B = t * num // den never touches float arithmetic — exact past
+    # 2^53 total tokens, the 100 TB regime (ADVICE r04: the previous
+    # int(t * frac) float multiply lost exactness exactly there).
+    frac = Fraction(budget_frac)
+    alloc = (int(tot["t"]) * frac.numerator
+             // frac.denominator) // int(tot["s"])
     w = (
         Window.partitionBy("source")
         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")

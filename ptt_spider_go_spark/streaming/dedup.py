@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ptt_spider_go_spark.streaming.source import read_table_stream
+
 DEDUP_OUT_SCHEMA = "fingerprint string, doc_id long"
 _STATE_SCHEMA = "seen boolean"
 
@@ -72,14 +74,10 @@ def dedup_stream(docs: DataFrame) -> DataFrame:
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the driver's documents.parquet (schema
-    from a batch footer peek, as read_events_stream does)."""
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    return (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    """File-source stream over the driver's documents.parquet — layout
+    dispatch (single file vs Spark-written part directory) lives in
+    streaming.source.read_table_stream (ADVICE r04)."""
+    return read_table_stream(spark, sf_dir, "documents")
 
 
 def run_dedup_bounded(docs_stream: DataFrame, spark: SparkSession) -> DataFrame:

@@ -23,19 +23,16 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ptt_spider_go_spark.streaming.source import read_table_stream
+
 _MEM_SINK_SEQ = itertools.count()
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the driver's events.parquet. The file
-    source needs an explicit schema (no inference mid-stream); we take
-    it from a batch peek, which reads footer metadata only."""
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    """File-source stream over the driver's events.parquet — layout
+    dispatch (single file vs Spark-written part directory) lives in
+    streaming.source.read_table_stream (ADVICE r04)."""
+    return read_table_stream(spark, sf_dir, "events")
 
 
 def windowed_event_counts(

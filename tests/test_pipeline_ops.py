@@ -234,6 +234,28 @@ def test_ngram_jaccard_bitset_multichunk(spark):
     assert bits == naive and len(bits) > 0
 
 
+def test_ngram_jaccard_rounding_boundary_equivalence(spark):
+    """ADVICE r04: all paths emit by round(J,4) >= t, so a pair whose
+    TRUE J sits just below t (only reachable with >= ~20k distinct
+    tokens) still rounds up — and the PPJoin length filter must not
+    prune it. B ⊂ A with |A|=20000, |B|=7999 gives J = 0.39995 < 0.4,
+    round(J,4) = 0.4: the unslackened bound t*|A| = 8000 > 7999 would
+    drop the pair on the prefix and bitset paths while naive emits it."""
+    a_text = " ".join(f"w{j}" for j in range(20000))
+    b_text = " ".join(f"w{j}" for j in range(7999))
+    docs = spark.createDataFrame(
+        [(1, a_text, "en"), (2, b_text, "en")],
+        "doc_id long, text string, lang string",
+    )
+    want = [(1, 2, 0.4)]
+    for fn in (dedup_text.ngram_jaccard_pairs,
+               dedup_text.ngram_jaccard_pairs_prefix,
+               dedup_text.ngram_jaccard_pairs_bitset):
+        got = [(r["doc_a"], r["doc_b"], r["jaccard"])
+               for r in fn(docs, threshold=0.4).collect()]
+        assert got == want, (fn.__name__, got)
+
+
 def test_bitset_selector_dense_small_vocab(spark):
     """Dense small-vocab corpora route to the bitset kernel; the probe
     reports the shape that justifies it."""
@@ -599,6 +621,15 @@ def test_canonicalize_url_rules(spark):
         ("http://h#a#b", "http://h/"),                       # multi-# stripped, empty path
         ("/bbs/B/index.html#x", "/bbs/B/index.html"),        # schemeless: frag strip only
         ("HTTPS://H/Path/Case", "https://h/Path/Case"),      # path case preserved
+        # userinfo keeps its case (credentials are case-sensitive);
+        # host after the '@' still lowercases, default port still drops
+        ("http://ToKeN@Example.COM:80/p", "http://ToKeN@example.com/p"),
+        ("HTTPS://User:PW@H:443", "https://User:PW@h/"),
+        # bracketed IPv6: ':443$' strips only a real port, never the
+        # address's own colons; hex lowercases with the host
+        ("HTTPS://[2001:DB8::1]:443/v6", "https://[2001:db8::1]/v6"),
+        ("http://[2001:DB8::80]/x", "http://[2001:db8::80]/x"),
+        ("http://[::1]:8080/x", "http://[::1]:8080/x"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = {r["url"]: r["c"] for r in

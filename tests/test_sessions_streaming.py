@@ -213,6 +213,41 @@ def test_stream_dedup_first_occurrence(spark, tmp_path):
     assert got == {0, 2}
 
 
+def test_stream_source_both_parquet_layouts(spark, tmp_path):
+    """read_documents_stream must read the SAME rows whether
+    documents.parquet is a single file or a Spark-written part-file
+    directory (ADVICE r04: the old unconditional pathGlobFilter matched
+    zero files in the directory layout and streamed zero rows)."""
+    import shutil
+
+    from ptt_spider_go_spark.streaming import (
+        read_documents_stream,
+        run_dedup_bounded,
+    )
+
+    rows = [(0, "alpha beta"), (1, "gamma delta"), (2, "alpha beta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # directory layout: sf_dir/documents.parquet/part-*.parquet
+    dir_sf = tmp_path / "dir_layout"
+    df.repartition(2).write.parquet(str(dir_sf / "documents.parquet"))
+
+    # single-file layout: sf_dir/documents.parquet (one leaf file)
+    file_sf = tmp_path / "file_layout"
+    staging = tmp_path / "staging"
+    df.coalesce(1).write.parquet(str(staging))
+    file_sf.mkdir()
+    part = next(staging.glob("part-*.parquet"))
+    shutil.copy(part, file_sf / "documents.parquet")
+
+    want = {0, 1}  # doc 2 is an exact dup of 0
+    for sf in (dir_sf, file_sf):
+        stream = read_documents_stream(spark, str(sf))
+        got = {r["doc_id"]
+               for r in run_dedup_bounded(stream, spark).collect()}
+        assert got == want, (str(sf), got)
+
+
 def test_stream_near_dup_any_band_rule(spark, tmp_path):
     """Streaming LSH near-dup flagging: exact dups collide in BOTH
     bands (keeper = min doc_id, flagged twice); a distinct doc is
