@@ -3115,22 +3115,57 @@ def q_crawl_markdown(spark, sf_dir):
 
 def q_crawl_metrics(spark, sf_dir):
     """Full crawl -> per-superstep fetch + progress-event metrics
-    (T7/D5 taxonomy counts, hash-pinned)."""
+    (T7/D5 taxonomy counts). Hash-pinned AND oracled: the synthetic
+    crawl is deterministic (fixed datagen seed, fixed config), so the
+    expected 9-row aggregate table is a hand-traceable golden — the
+    DuckDB oracle states it as a reviewable VALUES table (VERDICT r04
+    next-round #7: a transparent golden beats an opaque hash pin; the
+    pin stays as the in-Spark self-check)."""
     return _pin_hash(
         _crawl_result(spark).metrics, CRAWL_PINS["crawl_metrics"],
         "crawl_metrics",
     )
 
 
+SQL_CRAWL_METRICS = """
+SELECT * FROM (VALUES
+  (CAST(NULL AS INTEGER), 'event', 'crawler_done',
+   CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+  (0, 'event', 'page_parsed', 3, 0),
+  (0, 'index', 'fetched', 3, 0),
+  (1, 'article', 'fetched', 11, 0),
+  (1, 'article', 'missing_404', 2, 0),
+  (1, 'event', 'article_parsed', 11, 0),
+  (1, 'event', 'download_done', 28, 0),
+  (1, 'event', 'download_fail', 9, 0),
+  (1, 'event', 'download_start', 37, 0)
+) AS t(superstep, kind, outcome, n, backoff_ms_total)
+"""
+
+
 def q_crawl_quarantine(spark, sf_dir):
     """Full crawl -> typed quarantine rows (errors/errors.go taxonomy):
     every URL the crawl dropped, with error_type/message/cause/context
-    instead of silent disappearance (hash-pinned; the synthetic crawl's
-    404s populate it)."""
+    instead of silent disappearance (the synthetic crawl's 404s
+    populate it). Hash-pinned AND oracled as a golden VALUES table —
+    same rationale as q_crawl_metrics."""
     q = _crawl_result(spark).quarantine.withColumn(
         "context", F.to_json(F.col("context"))
     )
     return _pin_hash(q, CRAWL_PINS["crawl_quarantine"], "crawl_quarantine")
+
+
+SQL_CRAWL_QUARANTINE = """
+SELECT * FROM (VALUES
+  ('NetworkError', '下載失敗', 'HTTP 404',
+   'https://www.ptt.cc/bbs/Beauty/M.1700234607.A.919.html',
+   CAST(1 AS INTEGER),
+   '{"kind":"article","attempt":"1","backoff_ms":"0"}'),
+  ('NetworkError', '下載失敗', 'HTTP 404',
+   'https://www.ptt.cc/bbs/Beauty/M.1700234400.A.E93.html',
+   1, '{"kind":"article","attempt":"1","backoff_ms":"0"}')
+) AS t(error_type, message, cause, url, superstep, context)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -3307,8 +3342,8 @@ QUERIES = {
     # crawl pipeline end-to-end (rows-only)
     "crawl_articles": (q_crawl_articles, None),
     "crawl_markdown": (q_crawl_markdown, None),
-    "crawl_metrics": (q_crawl_metrics, None),
-    "crawl_quarantine": (q_crawl_quarantine, None),
+    "crawl_metrics": (q_crawl_metrics, SQL_CRAWL_METRICS),
+    "crawl_quarantine": (q_crawl_quarantine, SQL_CRAWL_QUARANTINE),
     # --- stable tail (every query below was driver-green in r3) ------------
     # crawl-operator analogues (SQL-oracled)
     "push_rate_decode": (q_push_rate_decode, SQL_PUSH_RATE_DECODE),

@@ -25,16 +25,23 @@ Scale shape per round: pair stream (one explode, guarded against <2
 symbol docs) -> groupBy(a, b) count [shuffle, map-side partial] ->
 orderBy+limit(1) argmax (driver probe of ONE row — the merge-table
 model is n_merges rows, the approved scalar-probe idiom) -> one
-projection applying the fold with the pair as literals. No caching
-needed at small merge counts; for deep vocabularies, localCheckpoint
-per round (as the connected-components loop does) truncates the
-re-fold lineage.
+projection applying the fold with the pair as literals, then an eager
+localCheckpoint. The checkpoint is what keeps the loop O(R) corpus
+folds for R merges (as the connected-components loop does): without
+it, round k's argmax re-evaluates the un-materialized composition of
+every previous round's fold — O(R^2) corpus re-folds plus Catalyst
+expression-depth growth (VERDICT r04 "What's wrong" #1); with it,
+each round folds the PREVIOUS round's materialized symbols exactly
+once, so per-round wall time is flat in the round index
+(tests/test_bpe.py pins this at n_merges=10).
 
 Merged symbols join with '+' (the corpus alphabet is '+'-free; pick
 any out-of-alphabet joiner for other corpora).
 """
 
 from __future__ import annotations
+
+import time
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -82,7 +89,8 @@ def _fold_apply(syms, left: str, right: str):
     return F.ltrim(F.aggregate(syms, F.lit(""), step))
 
 
-def phrase_merges(docs: DataFrame, n_merges: int = 3
+def phrase_merges(docs: DataFrame, n_merges: int = 3,
+                  round_walls: list | None = None
                   ) -> tuple[DataFrame, DataFrame]:
     """Run `n_merges` BPE rounds over the whitespace-token stream.
 
@@ -91,11 +99,17 @@ def phrase_merges(docs: DataFrame, n_merges: int = 3
       one row per round in training order (shorter if the corpus runs
       out of pairs);
     - applied: (doc_id, syms) — the corpus after all merges.
+
+    Pass a list as `round_walls` to collect per-round wall seconds
+    (argmax + fold materialization) — the flat-in-round-index pin in
+    tests/test_bpe.py reads it.
     """
     spark = docs.sparkSession
     cur = docs.select("doc_id", tokens(F.col("text")).alias("syms"))
+    cur = cur.localCheckpoint(eager=True)
     rows: list[tuple] = []
     for k in range(1, n_merges + 1):
+        t0 = time.monotonic()
         best = (
             _pair_stream(cur)
             .groupBy("a", "b")
@@ -108,13 +122,18 @@ def phrase_merges(docs: DataFrame, n_merges: int = 3
             break
         a, b, c = best[0]["a"], best[0]["b"], best[0]["c"]
         rows.append((k, a, b, int(c)))
+        # Materialize each round's fold: truncates the re-fold lineage
+        # so round k+1's argmax scans round k's SYMBOLS, not the
+        # composition of k fold expressions (see module docstring).
         cur = cur.select(
             "doc_id",
             F.filter(
                 F.split(_fold_apply(F.col("syms"), a, b), " "),
                 lambda t: t != "",
             ).alias("syms"),
-        )
+        ).localCheckpoint(eager=True)
+        if round_walls is not None:
+            round_walls.append(time.monotonic() - t0)
     table = spark.createDataFrame(
         rows, "step int, lhs string, rhs string, pair_count long"
     )

@@ -189,6 +189,99 @@ def test_crawl_identical_with_cuckoo_engaged(spark, dataset, result):
         sorted(r["url"] for r in result.seen.collect())
 
 
+def test_aimd_budget_halves_on_429_host(spark, dataset):
+    """Opt-in AIMD loop (VERDICT r04 #4a): with every article fetch
+    returning 429, the single host's budget halves superstep over
+    superstep (multiplicative decrease), after one additive increase
+    from the clean index-page superstep; default-off leaves
+    host_budget_log as None (pinned outputs untouched)."""
+    art_urls = sorted(u for u in dataset["url"] if "/M." in u)
+    ev = spark.createDataFrame(
+        [(u, a, 429) for u in art_urls for a in (1, 2, 3)],
+        "url string, attempt int, status int",
+    )
+    cfg = CrawlConfig(board=BOARD, pages=2, push_rate=0,
+                      host_salt=4, max_supersteps=6)
+    res = run_crawl(spark, spark.createDataFrame(dataset), cfg,
+                    fetch_events=ev, aimd=True)
+    log = {
+        (r["superstep"], r["host"]): r["budget"]
+        for r in res.host_budget_log.collect()
+    }
+    d = cfg.host_budget_per_superstep
+    # s0: index pages fetch clean -> additive increase from the default;
+    # s1..: every article attempt 429s -> halve, halve, halve.
+    assert log[(0, "www.ptt.cc")] == d + 1
+    assert log[(1, "www.ptt.cc")] == (d + 1) // 2
+    assert log[(2, "www.ptt.cc")] == (d + 1) // 4
+    assert log[(3, "www.ptt.cc")] == (d + 1) // 8
+    # 429-heavy host's articles never produce content
+    assert res.contents.filter(F.col("url").isin(art_urls)).count() == 0
+
+    res_off = run_crawl(spark, spark.createDataFrame(dataset), cfg,
+                        fetch_events=ev)
+    assert res_off.host_budget_log is None
+
+
+def _discovery_sidecar_rows():
+    """robots.txt + nested sitemap pages for the discovery-chain test."""
+    base = "https://www.ptt.cc"
+    return [
+        (f"{base}/robots.txt",
+         f"User-agent: *\nSitemap: {base}/sm_index.xml\n"),
+        (f"{base}/sm_index.xml",
+         "<sitemapindex><sitemap>"
+         f"<loc>{base}/sm_pages.xml</loc>"
+         "</sitemap></sitemapindex>"),
+    ]
+
+
+def test_sitemap_seeding_reaches_unlinked_pages(spark, dataset):
+    """Opt-in discovery chain (VERDICT r04 #4b): robots.txt ->
+    `Sitemap:` directive -> sitemapindex -> urlset -> frontier. The
+    sitemap lists an article that NO crawled board index links (it
+    hangs off an index page below the cfg.pages window); with
+    seed_from_sitemaps=True the crawl reaches it, default-off it
+    cannot."""
+    import pandas as pd
+
+    deep = golden_crawl(dataset, BOARD, 4, 0)
+    shallow = golden_crawl(dataset, BOARD, 2, 0)
+    hidden = sorted(
+        {c["url"] for c in deep["contents"]}
+        - {c["url"] for c in shallow["contents"]}
+    )[0]
+
+    urlset = f"<urlset><url><loc>{hidden}</loc></url></urlset>"
+    side = _discovery_sidecar_rows() + [
+        ("https://www.ptt.cc/sm_pages.xml", urlset)
+    ]
+    extra = pd.DataFrame(
+        {
+            "url": [u for u, _ in side],
+            "warc_ts": [pd.Timestamp("2024-01-01")] * len(side),
+            "html": [b""] * len(side),
+            "text": [t for _, t in side],
+            "lang": ["en"] * len(side),
+        }
+    )
+    pages = spark.createDataFrame(pd.concat([dataset, extra],
+                                            ignore_index=True))
+    cfg = CrawlConfig(board=BOARD, pages=2, push_rate=0,
+                      host_salt=4, max_supersteps=6)
+
+    res = run_crawl(spark, pages, cfg, seed_from_sitemaps=True)
+    got = {r["url"] for r in res.contents.collect()}
+    assert hidden in got
+    # the sitemap/robots URLs themselves never enter the frontier
+    fetched = {r["url"] for r in res.fetch_log.collect()}
+    assert not any(u.endswith(".xml") or u.endswith("robots.txt")
+                   for u in fetched)
+
+    res_off = run_crawl(spark, pages, cfg)
+    assert hidden not in {r["url"] for r in res_off.contents.collect()}
+
+
 def test_trap_filter_diverts_without_dropping_silently(spark, dataset, tmp_path):
     """Opt-in crawler-trap gate: a calendar-loop URL in the seed file is
     diverted to the `trapped` table with its rule, never fetched; the
