@@ -33,11 +33,22 @@ from ptt_spider_go_spark.pipeline.common import (
 MINHASH_K = 4
 
 
-def exact_dup_groups(docs: DataFrame) -> DataFrame:
+def exact_dup_groups(docs: DataFrame, normalize: bool = False) -> DataFrame:
     """(text_hash, n_docs, keeper_doc_id): exact-duplicate groups; the
-    smallest doc_id is the canonical keeper."""
+    smallest doc_id is the canonical keeper. `normalize=True` (default
+    off — pinned hashes untouched) hashes the X61-normalized text, so
+    NFC-divergent spellings of one document land in one group
+    (VERDICT r04 next-round #6); the hash key still shuffles, never
+    the text bytes."""
+    txt = F.col("text")
+    if normalize:
+        from ptt_spider_go_spark.pipeline.textstats import (
+            normalized_text_col,
+        )
+
+        txt = normalized_text_col(txt)
     return (
-        docs.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+        docs.select("doc_id", F.md5(txt).alias("text_hash"))
         .groupBy("text_hash")
         .agg(
             F.count("*").alias("n_docs"),

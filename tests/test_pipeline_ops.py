@@ -638,6 +638,55 @@ def test_canonicalize_url_rules(spark):
         assert got[u] == want, (u, got[u], want)
 
 
+def test_nfc_normalize_unifies_dedup_and_funnel(spark):
+    """VERDICT r04 #6: composed 'caf\u00e9' and decomposed
+    'cafe'+U+0301 are byte-distinct spellings of one document. Without
+    normalization they split exact-dedup groups and both survive the
+    funnel's dedup gate; with normalize=True they share a group /
+    fingerprint and only the min-doc_id keeper survives."""
+    from ptt_spider_go_spark.pipeline import curation
+
+    # docs must PASS the funnel's rule gates (>=50 words, stopwords,
+    # terminal punctuation, no repeated n-grams) so the dedup stage is
+    # the one that differentiates.
+    tail = " the fox and a dog ran! it is fine. ends here."
+    base = " ".join(f"word{i}" for i in range(55))
+    other = " ".join(f"term{i}" for i in range(55))
+    rows = [
+        (1, base + " caf\u00e9" + tail, "en"),
+        (2, base + " cafe\u0301" + tail, "en"),   # NFC-equal to doc 1
+        (3, other + tail, "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    plain = dedup_text.exact_dup_groups(docs).collect()
+    assert all(r["n_docs"] == 1 for r in plain) and len(plain) == 3
+
+    norm = {r["keeper_doc_id"]: r["n_docs"]
+            for r in dedup_text.exact_dup_groups(docs, normalize=True).collect()}
+    assert norm == {1: 2, 3: 1}
+
+    fps = textstats.fingerprints(docs, normalize=True).collect()
+    by_fp: dict = {}
+    for r in fps:
+        by_fp.setdefault(r["fingerprint"], []).append(r["doc_id"])
+    assert sorted(map(sorted, by_fp.values())) == [[1, 2], [3]]
+
+    # funnel: all 3 docs pass the rule gates; the dedup stage keeps 2
+    # of 3 with normalization (keeper of the caf\u00e9 pair + doc 3),
+    # 3 of 3 without
+    def stage_docs(**kw):
+        rows = curation.corpus_funnel(docs, **kw).collect()
+        return {r["stage"]: r["n_docs"] for r in rows}
+
+    off = stage_docs()
+    assert off["repetition"] == 3, off
+    assert off["exact_dedup"] == 3
+    on = stage_docs(normalize=True)
+    assert on["repetition"] == 3, on
+    assert on["exact_dedup"] == 2
+
+
 def test_domain_stats_crafted(spark):
     """srcA: 3 docs, two of them exact dups -> dup_doc_ratio 1/3;
     srcB: 1 doc. Token sums and language spread are exact."""
