@@ -327,6 +327,7 @@ def main():
         host_salt=cpus, max_supersteps=8, superstep_ms=600_000,
     )
     crawl_dt = None
+    crawl_phases: dict = {}
     for _ in range(2):  # best-of-2 (same window-noise rationale)
         t0 = time.time()
         res = run_crawl(spark, pages, cfg, boards=list(scale["boards"]),
@@ -335,9 +336,53 @@ def main():
         _force(res.markdown_docs)
         fetched = res.fetch_log.count()
         dt = time.time() - t0
-        crawl_dt = dt if crawl_dt is None else min(crawl_dt, dt)
+        if crawl_dt is None or dt < crawl_dt:
+            crawl_dt = dt
+            crawl_phases = {
+                k.split(".", 1)[1]: round(v, 2)
+                for k, v in res.timings.items() if k.startswith("phase.")
+            }
     times["crawl_pipeline"] = round(crawl_dt, 3)
     total += crawl_dt
+
+    # --- checkpoint/filter-state A/B (VERDICT r04 what's-wrong #3 /
+    # next-round #5): the SAME crawl back-to-back with checkpoint_dir
+    # on (epoch-versioned parquet filter-state tables + per-superstep
+    # frontier/seen snapshots) vs the in-memory path timed above, with
+    # per-phase walls from both, to locate whether the r4 crawl-wall
+    # regression was the externalization (expected: no — the bench
+    # path bypasses the tables entirely) or window noise.
+    import shutil
+    import tempfile
+
+    ck_root = tempfile.mkdtemp(prefix="ptt_bench_ckpt_")
+    ck_dt = None
+    ck_phases: dict = {}
+    for _ in range(2):
+        ck_dir = os.path.join(ck_root, "run")
+        shutil.rmtree(ck_dir, ignore_errors=True)
+        t0 = time.time()
+        res_ck = run_crawl(spark, pages, cfg, boards=list(scale["boards"]),
+                           verify_text=False, checkpoint_dir=ck_dir)
+        _force(res_ck.articles)
+        _force(res_ck.markdown_docs)
+        fetched_ck = res_ck.fetch_log.count()
+        dt = time.time() - t0
+        if ck_dt is None or dt < ck_dt:
+            ck_dt = dt
+            ck_phases = {
+                k.split(".", 1)[1]: round(v, 2)
+                for k, v in res_ck.timings.items() if k.startswith("phase.")
+            }
+    shutil.rmtree(ck_root, ignore_errors=True)
+    ckpt_ab = {
+        "in_memory_sec": round(crawl_dt, 3),
+        "checkpointed_sec": round(ck_dt, 3),
+        "overhead_pct": round((ck_dt / crawl_dt - 1) * 100, 1),
+        "same_fetch_set": fetched_ck == fetched,
+        "in_memory_phases_sec": crawl_phases,
+        "checkpointed_phases_sec": ck_phases,
+    }
 
     # --- config A/B exhibit (twin of the reference's only published
     # benchmark, benchmark.sh:24-63: same workload, default vs optimized
@@ -494,6 +539,8 @@ def main():
             "log) — min-of-2 estimates engine cost, not the window"
         ),
         "config_ab": config_ab,
+        "ckpt_ab": ckpt_ab,
+        "crawl_phase_walls_sec": crawl_phases,
         "jaccard_zipf_ab": jaccard_zipf_ab,
         "cuckoo_ab": cuckoo_ab,
         "salt_ab": salt_ab,
@@ -533,6 +580,9 @@ def main():
         "config_ab_sec": {"workers3": config_ab["workers3_sec"],
                           "workers10": config_ab["workers10_sec"],
                           "same_fetch_set": config_ab["same_fetch_set"]},
+        "ckpt_ab_sec": {"mem": ckpt_ab["in_memory_sec"],
+                        "ckpt": ckpt_ab["checkpointed_sec"],
+                        "overhead_pct": ckpt_ab["overhead_pct"]},
         "zipf_ab_sec": {"prefix": jaccard_zipf_ab["adaptive_prefix_sec"],
                         "naive": jaccard_zipf_ab["naive_sec"]},
         "cuckoo_ab": {"bloom_fp_rows": cuckoo_ab["bloom_fp_rows"],
@@ -549,9 +599,9 @@ def main():
     if len(line) > 1990:  # driver tail cap; shed in fixed order, never crash
         # the A/B exhibits go first (they live in BENCH_FULL.json too);
         # the cross-round comparison and per-query map go last
-        for k in ("salt_ab_sec", "zipf_ab_sec", "config_ab_sec",
-                  "cuckoo_ab", "calib_tasks_per_sec", "shared_with_prev",
-                  "queries"):
+        for k in ("ckpt_ab_sec", "salt_ab_sec", "zipf_ab_sec",
+                  "config_ab_sec", "cuckoo_ab", "calib_tasks_per_sec",
+                  "shared_with_prev", "queries"):
             compact.pop(k, None)
             line = json.dumps(compact)
             if len(line) <= 1990:

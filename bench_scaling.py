@@ -108,7 +108,9 @@ def _crawl(spark, pages, boards, ppb, salt, strategy):
                     probe_strategy="urls", broadcast_frontier=bf)
     res.articles.write.format("noop").mode("overwrite").save()
     res.download_tasks.write.format("noop").mode("overwrite").save()
-    return res.fetch_log.count(), res.supersteps
+    phases = {k.split(".", 1)[1]: v for k, v in res.timings.items()
+              if k.startswith("phase.")}
+    return res.fetch_log.count(), res.supersteps, phases
 
 
 def _dir_bytes(path: str) -> int:
@@ -144,12 +146,18 @@ def run_once(cpus: int, pages_path: str, boards: list[str], ppb: int,
 
     # Best of 2 timed runs: single-machine wall clocks are ~±10% noisy
     # (page cache, turbo states); min is the standard steady-state
-    # estimator for identical deterministic work.
+    # estimator for identical deterministic work. Phase walls ride
+    # along from the winning run (VERDICT r04 #1: the per-stage
+    # scaling, especially fetch_parse, is the number under repair).
     wall = float("inf")
+    phases: dict = {}
     for _ in range(2):
         t0 = time.time()
-        fetched, supersteps = _crawl(spark, pages, boards, ppb, cpus, strategy)
-        wall = min(wall, time.time() - t0)
+        fetched, supersteps, ph = _crawl(
+            spark, pages, boards, ppb, cpus, strategy)
+        w = time.time() - t0
+        if w < wall:
+            wall, phases = w, ph
     spark.stop()
     return {
         "cpus": cpus,
@@ -157,6 +165,7 @@ def run_once(cpus: int, pages_path: str, boards: list[str], ppb: int,
         "urls_fetched": fetched,
         "urls_per_sec": round(fetched / wall, 1),
         "supersteps": supersteps,
+        "phase_walls_sec": {k: round(v, 2) for k, v in sorted(phases.items())},
         "calib_tasks_per_sec": round(cal, 2),
         "calib_stream_gbs": round(cal_stream, 2),
     }
@@ -197,6 +206,13 @@ def main():
     lo = run_once(args.n, pages_path, boards, args.ppb, args.strategy)
     hi = run_once(args.n * 4, pages_path, boards, args.ppb, args.strategy)
     eff = hi["urls_per_sec"] / (4 * lo["urls_per_sec"])
+    # Per-phase N->4N speedups (ideal 4.0); fetch_parse is the stage the
+    # r4 round measured pinned at ~2.0x and this round's repair target.
+    phase_scaling = {
+        k: round(lo["phase_walls_sec"][k] / v, 2)
+        for k, v in hi["phase_walls_sec"].items()
+        if k in lo["phase_walls_sec"] and v > 0.5  # skip sub-second noise
+    }
     # Hardware ceiling: what a PERFECTLY parallel job achieves N->4N on
     # this box (turbo clocks sag as occupancy rises; a real cluster
     # adds machines at constant clocks, so its ceiling is ~1.0).
@@ -209,6 +225,7 @@ def main():
         "low": lo,
         "high": hi,
         "scaling_efficiency": round(eff, 3),
+        "phase_scaling_x": phase_scaling,
         "hw_ceiling_efficiency": round(eff_ceiling, 3),
         "hw_stream_ceiling_efficiency": round(eff_stream, 3),
         "clock_normalized_efficiency": round(eff / eff_ceiling, 3),

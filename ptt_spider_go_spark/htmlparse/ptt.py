@@ -78,15 +78,15 @@ def parse_articles(html: str | bytes) -> list[dict]:
     doc = parse_html(html)
     rows: list[dict] = []
     for rent in doc.find(".r-ent"):
-        title_nodes = rent.find(".title a")
+        title_nodes, author_nodes, push_nodes = _rent_fields(rent)
         if not title_nodes:
             continue
         href = title_nodes[0].attrs.get("href", "")
         title = trim_space("".join(n.text() for n in title_nodes))
         if "公告" in title:
             continue
-        author = trim_space("".join(n.text() for n in rent.find(".meta .author")))
-        push_str = trim_space("".join(n.text() for n in rent.find(".nrec span")))
+        author = trim_space("".join(n.text() for n in author_nodes))
+        push_str = trim_space("".join(n.text() for n in push_nodes))
         rows.append(
             {
                 "title": title,
@@ -97,6 +97,42 @@ def parse_articles(html: str | bytes) -> list[dict]:
             }
         )
     return rows
+
+
+def _rent_fields(rent: Node):
+    """One-walk twin of the three per-row selector calls
+    (rent.find('.title a') / ('.meta .author') / ('.nrec span')):
+    a single DFS over the .r-ent subtree carrying ancestor-context
+    flags — identical match sets and document order (descendant
+    semantics via the parent's context; nested scopes resolve to plain
+    document order exactly as Node.find's scope-then-dedup does), at a
+    third of the walks. This is the crawl kernel's per-row hot loop
+    (60 rows per index page at the bench shape)."""
+    title_as: list[Node] = []
+    authors: list[Node] = []
+    pushes: list[Node] = []
+    stack = [(c, 0) for c in reversed(rent.children) if c.__class__ is Node]
+    while stack:
+        el, ctx = stack.pop()
+        cl = el.classes
+        if ctx:
+            if ctx & 1 and el.tag == "a":
+                title_as.append(el)
+            if ctx & 2 and "author" in cl:
+                authors.append(el)
+            if ctx & 4 and el.tag == "span":
+                pushes.append(el)
+        nctx = ctx
+        if cl:
+            if "title" in cl:
+                nctx |= 1
+            if "meta" in cl:
+                nctx |= 2
+            if "nrec" in cl:
+                nctx |= 4
+        stack.extend([(c, nctx) for c in reversed(el.children)
+                      if c.__class__ is Node])
+    return title_as, authors, pushes
 
 
 def normalize_img_href(href: str) -> str | None:

@@ -83,6 +83,7 @@ class CrawlResult:
     quarantine: DataFrame | None = None
     trapped: DataFrame | None = None
     host_budget_log: DataFrame | None = None
+    timings: dict = field(default_factory=dict)
     supersteps: int = 0
     wall_secs: float = 0.0
     counters: dict = field(default_factory=dict)
@@ -96,13 +97,22 @@ _TIMING = os.environ.get("PTT_CRAWL_TIMING", "") not in ("", "0")
 
 
 @contextmanager
-def _timed(label: str):
-    if not _TIMING:
-        yield
-        return
+def _timed(label: str, timings: dict | None = None):
+    """Wall-clock a materialization block. Always records into
+    `timings` (two keys: the step-qualified label, and a cross-step
+    'phase.<name>' accumulator the scaling bench reads); prints only
+    under PTT_CRAWL_TIMING=1. The time.time() pair is nanoseconds of
+    overhead against multi-second Spark jobs."""
     t = time.time()
     yield
-    print(f"[crawl-timing] {label}: {time.time() - t:.2f}s", flush=True)
+    dt = time.time() - t
+    if timings is not None:
+        timings[label] = round(timings.get(label, 0.0) + dt, 4)
+        phase = label.split(".", 1)[-1]
+        key = f"phase.{phase}"
+        timings[key] = round(timings.get(key, 0.0) + dt, 4)
+    if _TIMING:
+        print(f"[crawl-timing] {label}: {dt:.2f}s", flush=True)
 
 
 _FRONTIER_SCHEMA = (
@@ -166,6 +176,7 @@ def run_crawl(
       outputs are unaffected).
     """
     t0 = time.time()
+    timings: dict = {}
     file_mode = file_urls_path is not None
     ckpt = CheckpointManager(checkpoint_dir, spark) if checkpoint_dir else None
 
@@ -239,7 +250,7 @@ def run_crawl(
             frontier = file_frontier(spark, file_urls_path)
         else:
             boards = boards or [cfg.board]
-            with _timed("init.probe_max_pages"):
+            with _timed("init.probe_max_pages", timings):
                 # S2: landing-page parse (reference parity) or the
                 # url-only aggregate (column-pruned; never reads html).
                 if probe_strategy == "urls":
@@ -251,7 +262,7 @@ def run_crawl(
                 # robots -> Sitemap: -> entries; the seed dedup window
                 # below collapses any URL the board frontier already
                 # holds (kind_rank/page_no priority picks one row).
-                with _timed("init.sitemap_frontier"):
+                with _timed("init.sitemap_frontier", timings):
                     frontier = frontier.unionByName(sitemap_frontier(pages))
         # Seen-set semantics: a URL is "seen" the moment it is ENQUEUED
         # (reference parity: each URL is produced once per run,
@@ -267,7 +278,7 @@ def run_crawl(
             .drop("_r")
         )
         seen = frontier.select("url")
-        with _timed("init.bloom_seed"):
+        with _timed("init.bloom_seed", timings):
             blooms.add_df(seen)  # bloom must stay a superset of seen
         n_seen_est = frontier.count()  # seed frontier is small by construction
 
@@ -282,10 +293,10 @@ def run_crawl(
         # Lineage truncation: an iterative loop's logical plan otherwise
         # grows superlinearly. Checkpointed runs cut lineage via the
         # snapshot re-read below; both modes cut the frontier here.
-        with _timed(f"step{step}.frontier_ckpt"):
+        with _timed(f"step{step}.frontier_ckpt", timings):
             frontier = frontier.select(FRONTIER_COLS).localCheckpoint(eager=True)
 
-        with _timed(f"step{step}.is_empty"):
+        with _timed(f"step{step}.is_empty", timings):
             if frontier.isEmpty():
                 break
 
@@ -348,7 +359,7 @@ def run_crawl(
             "push_rate", "attempt", "backoff_ms", "warc_ts", "html",
             *(["text"] if verify_text else []),
         )
-        with _timed(f"step{step}.fetch_parse"):
+        with _timed(f"step{step}.fetch_parse", timings):
             parsed_all = kernel_in.mapInPandas(
                 make_parse_page_kernel(verify_text, cfg.push_rate),
                 PARSED_ALL_SCHEMA,
@@ -409,7 +420,7 @@ def run_crawl(
             .filter(F.col("_r") == 1)
             .drop("_r")
         )
-        with _timed(f"step{step}.dedup_fresh"):
+        with _timed(f"step{step}.dedup_fresh", timings):
             fresh = (
                 dedup_against_seen(candidates, seen, blooms,
                                    _cuckoo_for_step(seen))
@@ -459,7 +470,7 @@ def run_crawl(
                 cur_budgets if cur_budgets is not None
                 else _empty(spark, "host string, budget long")
             )
-            with _timed(f"step{step}.aimd_budgets"):
+            with _timed(f"step{step}.aimd_budgets", timings):
                 cur_budgets = aimd_budgets(
                     prev_b, log_rows,
                     default_budget=cfg.host_budget_per_superstep,
@@ -482,7 +493,7 @@ def run_crawl(
         # no re-materialization of its own.
         new_seen = fresh.select("url")
         seen = seen.unionByName(new_seen)
-        with _timed(f"step{step}.bloom_add"):
+        with _timed(f"step{step}.bloom_add", timings):
             blooms.add_df(new_seen)
             if cuckoo_active:
                 cuckoos.add_df(new_seen)  # incremental once engaged
@@ -618,6 +629,7 @@ def run_crawl(
         else None,
         supersteps=step - start_step,
         wall_secs=time.time() - t0,
+        timings=timings,
     )
 
 

@@ -197,3 +197,83 @@ def test_extract_text_roundtrip_stability():
 
 def test_extract_text_entities_decoded():
     assert extract_text("<p>a &amp; b &lt;c&gt;</p>") == "a & b <c>"
+
+
+# --- fast tokenizer == html.parser equivalence (dom.py) -------------------
+
+def _tree(n):
+    from ptt_spider_go_spark.htmlparse.dom import Node
+    if not isinstance(n, Node):
+        return ("#text", n)
+    return (n.tag, sorted(n.attrs.items()), [_tree(c) for c in n.children])
+
+
+def test_fast_tokenizer_matches_htmlparser_on_fixtures_and_datagen():
+    """The strict fast tokenizer must build the IDENTICAL tree (tags,
+    attrs, text nodes, nesting) as the html.parser fallback on every
+    golden fixture and on a spread of datagen pages — and it must
+    actually ENGAGE there (no silent fallback on the hot path)."""
+    from ptt_spider_go_spark.datagen import _spec_to_row
+    from ptt_spider_go_spark.htmlparse.dom import _fast_parse, parse_html_slow
+
+    docs = [BOARD_HTML, ARTICLE_HTML]
+    for kind, b, p, slot in [
+        ("landing", "Beauty", 40, -1), ("index", "Beauty", 40, -1),
+        ("index", "Gossiping", 39, -1), ("article", "Beauty", 40, 1),
+        ("article", "Gossiping", 39, 3), ("article", "Beauty", 38, 5),
+    ]:
+        r = _spec_to_row(kind, b, p, slot, 42, 6, 8)
+        if r is not None:
+            docs.append(r["html"].decode("utf-8"))
+    for h in docs:
+        fast = _fast_parse(h)
+        assert fast is not None, "fast path fell back on clean input"
+        assert _tree(fast) == _tree(parse_html_slow(h))
+
+
+@pytest.mark.parametrize(
+    "snippet",
+    [
+        # entity refs in text AND attribute values
+        '<div class="a&amp;b" title=unquoted>x &lt;3 &amp; y &#33;</div>',
+        # comments, doctype, PI, self-closing + void elements
+        '<!DOCTYPE html><!-- c --><?pi junk?><div><br><img src="u"/></div>tail',
+        # stray end tags, implicit closes, nested same-class divs
+        '<div class="r-ent"><div class="r-ent"><span>a</span></div></div></b>',
+        # attribute without value / empty value / single quotes / dupes
+        "<a href='' download data-x=1 href='b'>t</a>",
+        # unicode + whitespace shapes
+        '<div class="title">\n  [公告] 標題 　 tail\n</div>',
+    ],
+)
+def test_fast_tokenizer_equivalence_snippets(snippet):
+    from ptt_spider_go_spark.htmlparse.dom import _fast_parse, parse_html_slow
+
+    fast = _fast_parse(snippet)
+    assert fast is not None
+    assert _tree(fast) == _tree(parse_html_slow(snippet))
+
+
+@pytest.mark.parametrize(
+    "snippet",
+    [
+        "<script>if (a<b) {}</script><div>x</div>",   # rawtext mode
+        "<style>a>b{}</style>ok",
+        "invalid < alone",                             # bare '<' as text
+        "<![CDATA[ x ]]><div>y</div>",                 # marked section
+        "<div foo=`bar`>odd</div>",                    # backtick junk
+        "<div",                                        # unterminated
+    ],
+)
+def test_fast_tokenizer_falls_back_and_parse_html_still_works(snippet):
+    """Constructs outside the strict grammar must return None from the
+    fast path (never a wrong tree) and parse_html must transparently
+    produce the html.parser result."""
+    from ptt_spider_go_spark.htmlparse.dom import (
+        _fast_parse,
+        parse_html,
+        parse_html_slow,
+    )
+
+    assert _fast_parse(snippet) is None
+    assert _tree(parse_html(snippet)) == _tree(parse_html_slow(snippet))

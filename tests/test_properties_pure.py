@@ -84,3 +84,40 @@ def test_parse_robots_never_crashes_and_rules_well_formed(lines):
     # gb group with rules, gb falls back to exactly the * rules
     if "User-agent: gb" not in lines:
         assert parse_robots_txt(body, "gb") == parse_robots_txt(body, "*")
+
+
+# --- fast tokenizer safety property (htmlparse/dom.py) --------------------
+
+_HTML_BITS = st.lists(
+    st.one_of(
+        st.sampled_from([
+            "<div>", "</div>", '<div class="r-ent">', "<a href='x.jpg'>",
+            "</a>", "<br>", "<img src=u/>", "<!-- c -->", "<!DOCTYPE html>",
+            "<?pi?>", "<span>", "</span>", "<script>", "</script>",
+            "<![CDATA[x]]>", "<", ">", "&amp;", "&lt;", "text 標題 ",
+            "a&b", '<a href="&quot;q">', "<a href=>", "< div>", "<a b=`x`>",
+        ]),
+        st.text(max_size=8),
+    ),
+    max_size=12,
+).map("".join)
+
+
+@given(_HTML_BITS)
+@settings(max_examples=300, deadline=None)
+def test_fast_tokenizer_never_diverges(html):
+    """On ANY input the fast tokenizer either declines (None -> the
+    html.parser fallback runs) or produces the byte-identical tree.
+    There is no third outcome — the strict grammar guarantees the fast
+    path never silently mis-parses what it accepts."""
+    from ptt_spider_go_spark.htmlparse.dom import _fast_parse, parse_html_slow
+
+    def tree(n):
+        if isinstance(n, str):
+            return ("#text", n)
+        return (n.tag, sorted(n.attrs.items()),
+                [tree(c) for c in n.children])
+
+    fast = _fast_parse(html)
+    if fast is not None:
+        assert tree(fast) == tree(parse_html_slow(html))
