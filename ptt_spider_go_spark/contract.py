@@ -3311,6 +3311,70 @@ FROM st GROUP BY stage_id, stage
 """
 
 
+def q_hits_scores(spark, sf_dir):
+    """HITS hubs-and-authorities (X63): 2-iteration integer HITS
+    (L1-renormalized micro-unit BIGINT arithmetic, exact in both
+    engines) over the same deterministic md5-derived host link graph
+    link_rank ranks — hubs = directory-like hosts worth crawling for
+    outlinks, authorities = content hosts worth crawling deep."""
+    from ptt_spider_go_spark.operators import linkrank
+
+    docs = _t(spark, sf_dir, "documents")
+    return linkrank.hits_scores(linkrank.host_edges_from_documents(docs))
+
+
+def _hits_sql(iters: int = 2, n_hosts: int = 97, outlinks: int = 3,
+              scale: int = 1_000_000) -> str:
+    """DuckDB twin of host_edges_from_documents + hits_scores: the
+    fixed-iteration loop unrolled into chained CTEs (auth half-step,
+    L1 renormalize, hub half-step, L1 renormalize — per iteration),
+    all-BIGINT arithmetic; `//` matches Spark DIV on the non-negative
+    scores."""
+    parts = []
+    for j in range(outlinks):
+        h = md5_long_sql(f"concat(doc_id, ':', {j})")
+        parts.append(f"concat('h', {h} % {n_hosts})")
+    dsts = ", ".join(parts)
+    sql = f"""
+WITH raw_e AS (
+  SELECT concat('h', doc_id % {n_hosts}) AS src,
+         unnest([{dsts}]) AS dst
+  FROM documents),
+edges AS (SELECT src, dst FROM raw_e WHERE src <> dst),
+e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+      FROM edges GROUP BY src, dst),
+nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT host, CAST({scale} AS BIGINT) AS score FROM nodes)"""
+    for i in range(1, iters + 1):
+        for half, key, prev in (("a", "dst", f"h{i - 1}"),
+                                ("h", "src", f"a{i}")):
+            cte = f"{half}{i}"
+            joink = "src" if key == "dst" else "dst"
+            sql += f""",
+{cte}r AS (
+  SELECT e.{key} AS host, CAST(sum(w * score) AS BIGINT) AS score
+  FROM e JOIN {prev} ON {prev}.host = e.{joink}
+  GROUP BY e.{key}),
+{cte}z AS (
+  SELECT nodes.host, CAST(coalesce({cte}r.score, 0) AS BIGINT) AS score
+  FROM nodes LEFT JOIN {cte}r ON {cte}r.host = nodes.host),
+{cte}t AS (SELECT CAST(sum(score) AS BIGINT) AS t FROM {cte}z),
+{cte} AS (
+  SELECT host,
+         CAST(CASE WHEN t = 0 THEN score
+              ELSE (score * {scale}) // t END AS BIGINT) AS score
+  FROM {cte}z, {cte}t)"""
+    return sql + f"""
+SELECT nodes.host AS host, h{iters}.score AS hub_micro,
+       a{iters}.score AS auth_micro
+FROM nodes
+JOIN h{iters} ON h{iters}.host = nodes.host
+JOIN a{iters} ON a{iters}.host = nodes.host"""
+
+
+SQL_HITS_SCORES = _hits_sql()
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -3430,6 +3494,7 @@ QUERIES = {
     "crawl_articles": (q_crawl_articles, None),
     "crawl_markdown": (q_crawl_markdown, None),
     "crawl_metrics": (q_crawl_metrics, SQL_CRAWL_METRICS),
+    "hits_scores": (q_hits_scores, SQL_HITS_SCORES),
 }
 
 

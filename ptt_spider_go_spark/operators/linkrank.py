@@ -170,3 +170,110 @@ def authority_budgets(ranks: DataFrame, total_budget: int) -> DataFrame:
             .cast("long").alias("budget"),
         )
     )
+
+
+#: HITS score scale: each vector is renormalized to ~this L1 mass per
+#: step, so two-iteration raw sums stay far under BIGINT even on
+#: dense graphs (raw <= total_edge_weight * HITS_SCALE; the integer
+#: cross-multiply needs raw * HITS_SCALE < 2^63, i.e. edge weight
+#: < ~9.2e6 at this scale — a 100 TB host graph pre-aggregates to
+#: host-level weights first, exactly as hits_scores' groupBy does).
+HITS_SCALE = 1_000_000
+
+
+def hits_scores(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """(host, hub_micro, auth_micro) after `iters` HITS rounds
+    (Kleinberg hubs-and-authorities) over (src, dst) edges — the
+    complement of host_rank for frontier scheduling: PageRank finds
+    globally endorsed hosts, HITS separates DIRECTORY hosts (hubs:
+    link out to good content — crawl their index pages deep) from
+    CONTENT hosts (authorities: linked to by good directories —
+    crawl their article pages deep). The reference's board-vs-article
+    page split (spider.go board index pages feed article fetches) is
+    exactly a two-level hub→authority graph; this generalizes it to
+    an arbitrary host graph.
+
+    Determinism: the same integer strategy as host_rank. Duplicate
+    edges first collapse to host-level weights (one groupBy), then
+
+        auth' = sum_in(w * hub);   hub' = sum_out(w * auth')
+
+    with each vector L1-renormalized to HITS_SCALE via the exact
+    integer cross-multiply (score * HITS_SCALE) DIV total — all
+    BIGINT, so aggregation order cannot change a bit and the DuckDB
+    oracle reproduces it exactly. (Classic HITS normalizes by the L2
+    norm; any per-step positive rescaling preserves the ranking and
+    the fixpoint direction, and L1 keeps the arithmetic exact.)
+
+    Scale shape: the weighted edge relation is built once (one
+    groupBy with map-side combine) and localCheckpoint-ed; each
+    half-step is one broadcast join of the tiny host-level score
+    vector onto it plus one groupBy. The per-step total is a scalar
+    driver probe on a host-level relation (the authority_budgets
+    idiom), never a 1-row crossJoin into the big plan.
+    """
+    e = (
+        edges.groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def norm(raw: DataFrame) -> DataFrame:
+        """L1-renormalize a total (host, score) vector to HITS_SCALE
+        mass; exact integer cross-multiply, zero-mass passthrough."""
+        raw = raw.localCheckpoint(eager=True)
+        total = raw.agg(F.sum("score")).collect()[0][0] or 0
+        if total == 0:
+            return raw
+        return raw.select(
+            "host",
+            F.expr(f"score * {HITS_SCALE} DIV {total}")
+            .cast("long").alias("score"),
+        )
+
+    def totalize(half: DataFrame, key: str) -> DataFrame:
+        """Re-key a half-step aggregate to (host, score) over ALL
+        nodes (hosts with no in/out edges score 0, not missing)."""
+        return nodes.join(
+            half.select(F.col(key).alias("host"), "score"), "host", "left"
+        ).select("host", F.coalesce("score", F.lit(0)).cast("long")
+                 .alias("score"))
+
+    hubs = nodes.select(
+        "host", F.lit(HITS_SCALE).cast("long").alias("score")
+    )
+    auth = hubs
+    for _ in range(iters):
+        auth = norm(totalize(
+            e.join(
+                F.broadcast(hubs.select(F.col("host").alias("src"),
+                                        F.col("score").alias("hub"))),
+                "src",
+            )
+            .select("dst", (F.col("w") * F.col("hub")).alias("c"))
+            .groupBy("dst").agg(F.sum("c").alias("score")),
+            "dst",
+        ))
+        hubs = norm(totalize(
+            e.join(
+                F.broadcast(auth.select(F.col("host").alias("dst"),
+                                        F.col("score").alias("a"))),
+                "dst",
+            )
+            .select("src", (F.col("w") * F.col("a")).alias("c"))
+            .groupBy("src").agg(F.sum("c").alias("score")),
+            "src",
+        ))
+    return (
+        nodes
+        .join(hubs.select("host", F.col("score").alias("hub_micro")),
+              "host")
+        .join(auth.select("host", F.col("score").alias("auth_micro")),
+              "host")
+    )

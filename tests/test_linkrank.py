@@ -191,3 +191,74 @@ def test_aimd_budgets_feed_budget_gate(spark):
         F.expr("parse_url(url, 'HOST')").alias("h")
     ).agg(F.count("*").alias("n")).collect()}
     assert adm == {"hot.example": 4, "cool.example": 9}
+
+
+# --- HITS hubs-and-authorities (r5) ----------------------------------------
+
+
+def _hits_mirror(edges, iters):
+    """The exact integer HITS recurrence, driver-side: weighted edges,
+    auth from hubs then hubs from the new auth, L1-renormalize to
+    HITS_SCALE after each half-step (zero-mass passthrough)."""
+    w = defaultdict(int)
+    for e in edges:
+        w[e] += 1
+    nodes = {h for e in edges for h in e}
+
+    def norm(v):
+        t = sum(v.values())
+        if t == 0:
+            return v
+        return {h: s * linkrank.HITS_SCALE // t for h, s in v.items()}
+
+    hub = {h: linkrank.HITS_SCALE for h in nodes}
+    auth = dict(hub)
+    for _ in range(iters):
+        auth = norm({
+            h: sum(ww * hub[s] for (s, d), ww in w.items() if d == h)
+            for h in nodes
+        })
+        hub = norm({
+            h: sum(ww * auth[d] for (s, d), ww in w.items() if s == h)
+            for h in nodes
+        })
+    return {h: (hub[h], auth[h]) for h in nodes}
+
+
+def _hits(spark, edges, iters):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {
+        r["host"]: (r["hub_micro"], r["auth_micro"])
+        for r in linkrank.hits_scores(df, iters=iters).collect()
+    }
+
+
+def test_hits_matches_mirror_bipartite(spark):
+    """Directory pages d1/d2 point at content pages; content never
+    links back — hubs and authorities must separate cleanly."""
+    edges = [("d1", "c1"), ("d1", "c2"), ("d2", "c2"), ("d2", "c3")]
+    for iters in (1, 2):
+        got = _hits(spark, edges, iters)
+        assert got == _hits_mirror(edges, iters)
+    hub, auth = got["d1"]
+    assert hub > 0 and auth == 0          # pure hub
+    hub, auth = got["c2"]
+    assert hub == 0 and auth > 0          # pure authority
+    # c2 has two inlinks, c1/c3 one each: strictly more authoritative
+    assert got["c2"][1] > got["c1"][1] == got["c3"][1]
+
+
+def test_hits_duplicate_edges_weigh(spark):
+    """Edge multiplicity raises the target's authority share."""
+    edges = [("s", "heavy"), ("s", "heavy"), ("s", "light")]
+    got = _hits(spark, edges, 2)
+    assert got == _hits_mirror(edges, 2)
+    assert got["heavy"][1] > got["light"][1]
+
+
+def test_hits_cycle_and_isolated_direction(spark):
+    """A 2-cycle plus a one-way appendix: every node is both hub and
+    authority on the cycle; the mirror pins the exact integers."""
+    edges = [("a", "b"), ("b", "a"), ("b", "z")]
+    for iters in (1, 2, 3):
+        assert _hits(spark, edges, iters) == _hits_mirror(edges, iters)
