@@ -3375,6 +3375,61 @@ JOIN a{iters} ON a{iters}.host = nodes.host"""
 SQL_HITS_SCORES = _hits_sql()
 
 
+def q_anchor_texts(spark, sf_dir):
+    """Anchor-text aggregation (X64): the per-target anchor profile
+    (inlink count, distinct source hosts, top-3 anchors by count) of
+    the deterministic md5-derived link relation — the board-index
+    link/title extraction of the reference generalized to an anchor
+    corpus."""
+    from ptt_spider_go_spark.pipeline import anchors
+
+    docs = _t(spark, sf_dir, "documents")
+    return anchors.anchor_summary(anchors.anchor_edges_from_documents(docs))
+
+
+def _anchor_sql(n_hosts: int = 97, outlinks: int = 3, k: int = 3) -> str:
+    """DuckDB twin of anchor_edges_from_documents + anchor_summary:
+    the per-outlink fan-out as a UNION ALL, then the same two
+    aggregations and per-URL top-k window."""
+    from ptt_spider_go_spark.pipeline.anchors import ANCHOR_VOCAB
+
+    vocab = ", ".join(f"'{a}'" for a in ANCHOR_VOCAB)
+    arms = []
+    for j in range(outlinks):
+        key = f"concat(doc_id, ':', {j})"
+        h = md5_long_sql(key)
+        hp = md5_long_sql(f"concat({key}, ':p')")
+        ha = md5_long_sql(f"concat({key}, ':a')")
+        arms.append(f"""
+  SELECT concat('h', doc_id % {n_hosts}) AS src_host,
+         concat('http://h', CAST({h} % {n_hosts} AS VARCHAR),
+                '.example/p', CAST({hp} % 41 AS VARCHAR)) AS dst_url,
+         list_element([{vocab}],
+                      CAST({ha} % {len(ANCHOR_VOCAB)} AS INT) + 1)
+           AS anchor
+  FROM documents""")
+    return f"""
+WITH links AS ({" UNION ALL ".join(arms)}),
+pa AS (
+  SELECT dst_url, anchor, CAST(count(*) AS BIGINT) AS anchor_cnt
+  FROM links GROUP BY dst_url, anchor),
+tk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY dst_url ORDER BY anchor_cnt DESC, anchor ASC) AS rnk
+  FROM pa),
+tot AS (
+  SELECT dst_url, CAST(count(*) AS BIGINT) AS n_inlinks,
+         CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+  FROM links GROUP BY dst_url)
+SELECT tot.dst_url AS dst_url, n_inlinks, n_src_hosts, rnk, anchor,
+       anchor_cnt
+FROM tot JOIN tk ON tk.dst_url = tot.dst_url
+WHERE rnk <= {k}"""
+
+
+SQL_ANCHOR_TEXTS = _anchor_sql()
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -3495,6 +3550,7 @@ QUERIES = {
     "crawl_markdown": (q_crawl_markdown, None),
     "crawl_metrics": (q_crawl_metrics, SQL_CRAWL_METRICS),
     "hits_scores": (q_hits_scores, SQL_HITS_SCORES),
+    "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
 }
 
 

@@ -1139,3 +1139,60 @@ def test_quality_sample_integer_decision(spark, docs):
     again = {r["doc_id"]: r["kept"]
              for r in textstats.quality_sample(docs).collect()}
     assert again == {d: r["kept"] for d, r in got.items()}
+
+
+# --- anchor-text aggregation (r5) -------------------------------------------
+
+
+def test_anchor_summary_profile(spark):
+    """Hand link relation: counts, distinct source hosts, top-k order
+    (count desc, anchor asc) and the k cut are all exact."""
+    from ptt_spider_go_spark.pipeline import anchors
+
+    rows = [
+        # u1: 5 inlinks from 2 hosts; anchors: 'b' x2, 'a' x2, 'c' x1
+        ("h1", "u1", "b"), ("h1", "u1", "b"), ("h1", "u1", "a"),
+        ("h2", "u1", "a"), ("h2", "u1", "c"),
+        # u2: one inlink
+        ("h9", "u2", "z"),
+    ]
+    links = spark.createDataFrame(
+        rows, "src_host string, dst_url string, anchor string"
+    )
+    got = {
+        (r["dst_url"], r["rnk"]): (
+            r["anchor"], r["anchor_cnt"], r["n_inlinks"], r["n_src_hosts"]
+        )
+        for r in anchors.anchor_summary(links, k=2).collect()
+    }
+    # tie a/b at cnt 2 -> anchor asc puts 'a' first; 'c' cut by k=2
+    assert got == {
+        ("u1", 1): ("a", 2, 5, 2),
+        ("u1", 2): ("b", 2, 5, 2),
+        ("u2", 1): ("z", 1, 1, 1),
+    }
+
+
+def test_anchor_edges_coherent_with_linkrank(spark, docs):
+    """The anchor relation's (src_host, dst_host) projection equals
+    linkrank's edge synthesis WITH self-loops kept (linkrank drops
+    them; anchors keep them — a host linking itself still has anchor
+    text), so the two graph views agree on every cross-host edge."""
+    from ptt_spider_go_spark.operators import linkrank
+    from ptt_spider_go_spark.pipeline import anchors
+
+    a = (
+        anchors.anchor_edges_from_documents(docs)
+        .select(
+            "src_host",
+            F.regexp_extract("dst_url", r"http://(h\d+)\.example", 1)
+            .alias("dst"),
+        )
+        .filter(F.col("src_host") != F.col("dst"))
+        .groupBy("src_host", "dst").count()
+    )
+    b = (
+        linkrank.host_edges_from_documents(docs)
+        .groupBy(F.col("src").alias("src_host"), "dst").count()
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
