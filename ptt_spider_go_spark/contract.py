@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ptt_spider_go_spark.functions import columns as C
-from ptt_spider_go_spark.pipeline.common import md5_long_sql
+from ptt_spider_go_spark.pipeline.common import md5_long, md5_long_sql
 from ptt_spider_go_spark.pipeline import (
     dedup_text,
     lm,
@@ -3430,6 +3430,80 @@ WHERE rnk <= {k}"""
 SQL_ANCHOR_TEXTS = _anchor_sql()
 
 
+#: blocklist for the X65 contract query: a suffix pattern (blocks all
+#: subdomains), two exact hosts, a bare TLD (must match NOTHING), and
+#: a 3-label pattern that out-specifies 'ads.example' where both hit.
+BLOCKLIST_PATTERNS = (
+    "ads.example", "h7.example", "h13.test", "example", "h7.ads.example",
+)
+
+
+def q_blocklist_filter(spark, sf_dir):
+    """Domain-blocklist frontier gate (X65): registrable-domain
+    suffix match of a deterministic synthetic frontier (hosts on
+    .example / .test / .ads.example by md5) against a fixed pattern
+    list — longest match attributed, bare-TLD patterns inert."""
+    from ptt_spider_go_spark.operators import blocklist
+
+    docs = _t(spark, sf_dir, "documents")
+    tld = F.element_at(
+        F.array(F.lit(".example"), F.lit(".test"), F.lit(".ads.example")),
+        (F.pmod(md5_long(F.concat(F.col("doc_id").cast("string"),
+                                  F.lit(":t"))), F.lit(3)) + 1).cast("int"),
+    )
+    host = F.concat(F.lit("h"),
+                    F.pmod(F.col("doc_id"), F.lit(97)).cast("string"), tld)
+    urls = docs.select(
+        F.concat(F.lit("http://"), host, F.lit("/d"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        host.alias("host"),
+    )
+    bl = spark.createDataFrame(
+        [(p,) for p in BLOCKLIST_PATTERNS], "pattern string"
+    )
+    return blocklist.blocklist_filter(urls, bl)
+
+
+def _blocklist_sql() -> str:
+    h = md5_long_sql("concat(doc_id, ':t')")
+    vals = ", ".join(f"('{p}')" for p in BLOCKLIST_PATTERNS)
+    return f"""
+WITH urls AS (
+  SELECT concat('http://h', doc_id % 97, sfx, '/d', doc_id) AS url,
+         concat('h', doc_id % 97, sfx) AS host
+  FROM (SELECT doc_id,
+               list_element(['.example', '.test', '.ads.example'],
+                            CAST({h} % 3 AS INT) + 1) AS sfx
+        FROM documents)),
+bl(pattern) AS (VALUES {vals}),
+hosts AS (SELECT DISTINCT host FROM urls),
+sfx AS (
+  SELECT host,
+         unnest(CASE WHEN len(string_split(host, '.')) >= 2
+                THEN list_transform(
+                  generate_series(0, len(string_split(host, '.')) - 2),
+                  i -> array_to_string(
+                    string_split(host, '.')[i + 1 :
+                                            len(string_split(host, '.'))],
+                    '.'))
+                ELSE [host] END) AS s
+  FROM hosts),
+m AS (
+  SELECT sfx.host,
+         max(CASE WHEN bl.pattern IS NOT NULL
+             THEN lpad(CAST(length(bl.pattern) AS VARCHAR), 4, '0')
+                  || bl.pattern END) AS _m
+  FROM sfx LEFT JOIN bl ON bl.pattern = sfx.s
+  GROUP BY sfx.host)
+SELECT url, urls.host AS host, _m IS NOT NULL AS blocked,
+       CASE WHEN _m IS NOT NULL THEN substring(_m, 5) END
+         AS matched_pattern
+FROM urls JOIN m ON m.host = urls.host"""
+
+
+SQL_BLOCKLIST_FILTER = _blocklist_sql()
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -3551,6 +3625,7 @@ QUERIES = {
     "crawl_metrics": (q_crawl_metrics, SQL_CRAWL_METRICS),
     "hits_scores": (q_hits_scores, SQL_HITS_SCORES),
     "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
+    "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
 }
 
 

@@ -539,3 +539,62 @@ def test_dedup_exactness_with_cuckoo_layer(spark):
     out = {r["url"]
            for r in dedup_against_seen(cand, seen, blooms, cuckoos).collect()}
     assert out == {f"https://s.test/{i}" for i in range(500, 900)}
+
+
+# --- domain blocklist filter (r5) -------------------------------------------
+
+
+def test_blocklist_suffix_semantics(spark):
+    """Registrable-domain suffix match: exact host, subdomain, and
+    deep-subdomain hits; sibling domains and bare-TLD patterns never
+    match; longest pattern wins attribution."""
+    from ptt_spider_go_spark.operators import blocklist
+
+    rows = spark.createDataFrame(
+        [
+            ("u1", "ads.example"),          # exact pattern hit
+            ("u2", "x.ads.example"),        # subdomain hit
+            ("u3", "a.b.ads.example"),      # deep subdomain hit
+            ("u4", "example"),              # single-label host: exact match
+            ("u5", "clean.test"),           # no match
+            ("u6", "badsads.example"),      # label boundary: 'badsads' != 'ads'
+            ("u7", "h7.ads.example"),       # both patterns match: longest wins
+            ("u8", "plain.example"),        # bare-TLD pattern inert on
+                                            # multi-label hosts
+        ],
+        "url string, host string",
+    )
+    bl = spark.createDataFrame(
+        [("ads.example",), ("example",), ("h7.ads.example",)],
+        "pattern string",
+    )
+    got = {
+        r["url"]: (r["blocked"], r["matched_pattern"])
+        for r in blocklist.blocklist_filter(rows, bl).collect()
+    }
+    assert got == {
+        "u1": (True, "ads.example"),
+        "u2": (True, "ads.example"),
+        "u3": (True, "ads.example"),
+        "u4": (True, "example"),
+        "u5": (False, None),
+        "u6": (False, None),
+        "u7": (True, "h7.ads.example"),
+        "u8": (False, None),
+    }
+
+
+def test_blocklist_preserves_row_multiplicity(spark):
+    """Many URLs on one host all get the host's verdict — the
+    per-distinct-host match must not dedup or drop frontier rows."""
+    from ptt_spider_go_spark.operators import blocklist
+
+    rows = spark.createDataFrame(
+        [(f"u{i}", "ads.example") for i in range(5)]
+        + [(f"v{i}", "ok.example") for i in range(5)],
+        "url string, host string",
+    )
+    bl = spark.createDataFrame([("ads.example",)], "pattern string")
+    out = blocklist.blocklist_filter(rows, bl)
+    assert out.count() == 10
+    assert out.filter("blocked").count() == 5
