@@ -3504,6 +3504,54 @@ FROM urls JOIN m ON m.host = urls.host"""
 SQL_BLOCKLIST_FILTER = _blocklist_sql()
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC response-record source (X62): documents wrapped in full
+    WARC/1.1 + embedded-HTTP framing (CRLF, case-insensitive headers,
+    double octet-exact Content-Length, multi-word reason phrases),
+    written as sharded WARC files and read back via the file-per-task
+    binaryFile + mapInPandas reader — the oracle recomputes the
+    synthetic envelope directly over documents, so a green row proves
+    the byte-exact format round-trip including the 404 reason path."""
+    from ptt_spider_go_spark.sources import warc
+
+    docs = _t(spark, sf_dir, "documents")
+    status = F.when(
+        F.pmod(md5_long(F.concat(F.col("doc_id").cast("string"),
+                                 F.lit(":s"))), F.lit(5)) == 0,
+        F.lit(404),
+    ).otherwise(F.lit(200)).cast("int")
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://h"),
+                 F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
+                 F.lit(".example/d"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("2026-08-"),
+                 F.lpad((F.pmod(F.col("doc_id"), F.lit(28)) + 1)
+                        .cast("string"), 2, "0"),
+                 F.lit("T12:00:00Z")).alias("warc_date"),
+        status.alias("status"),
+        F.col("text").alias("payload"),
+    )
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/ptt_warc_{sf_tag}"
+    warc.write_warc(pages, path, n_files=8)
+    return warc.read_warc(spark, path)
+
+
+SQL_WARC_ROUNDTRIP = f"""
+SELECT doc_id,
+       concat('http://h', doc_id % 97, '.example/d', doc_id) AS url,
+       concat('2026-08-', lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0'),
+              'T12:00:00Z') AS warc_date,
+       CAST(CASE WHEN {md5_long_sql("concat(doc_id, ':s')")} % 5 = 0
+            THEN 404 ELSE 200 END AS INT) AS status,
+       'text/html; charset=UTF-8' AS mime,
+       text AS payload
+FROM documents
+"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -3626,6 +3674,7 @@ QUERIES = {
     "hits_scores": (q_hits_scores, SQL_HITS_SCORES),
     "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
     "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
+    "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
 }
 
 
