@@ -78,8 +78,11 @@ def blocklist_filter(rows: DataFrame, blocklist: DataFrame,
         .agg(F.max(F.when(F.col("pattern").isNotNull(), tagged))
              .alias("_m"))
     )
+    # left join: a null host (unparseable URL) can never equi-match its
+    # verdict row, and a frontier gate must annotate, not drop, such
+    # rows — they surface as blocked=false and fail later at fetch.
     return (
-        rows.join(verdicts, host_col)
+        rows.join(verdicts, host_col, "left")
         .withColumn("blocked", F.col("_m").isNotNull())
         .withColumn("matched_pattern", F.expr("substring(_m, 5)"))
         .drop("_m")

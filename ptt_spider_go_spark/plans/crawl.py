@@ -42,6 +42,8 @@ from ptt_spider_go_spark.functions.udfs import (
     PARSED_ALL_SCHEMA,
     make_parse_page_kernel,
 )
+from ptt_spider_go_spark.functions.columns import url_host
+from ptt_spider_go_spark.operators.blocklist import blocklist_filter
 from ptt_spider_go_spark.operators.collision import with_unique_dir
 from ptt_spider_go_spark.operators.dedup import (
     BloomShardSet,
@@ -82,6 +84,7 @@ class CrawlResult:
     progress_events: DataFrame | None = None
     quarantine: DataFrame | None = None
     trapped: DataFrame | None = None
+    blocked: DataFrame | None = None
     host_budget_log: DataFrame | None = None
     timings: dict = field(default_factory=dict)
     supersteps: int = 0
@@ -147,6 +150,7 @@ def run_crawl(
     broadcast_max_rows: int = 200_000,
     probe_strategy: str = "html",
     trap_filter: bool = False,
+    blocklist: DataFrame | None = None,
     seed_from_sitemaps: bool = False,
     aimd: bool = False,
 ) -> CrawlResult:
@@ -158,6 +162,10 @@ def run_crawl(
     outputs are untouched — the trap_filter pattern; VERDICT r04
     next-round #4):
 
+    - `blocklist`: a (pattern) DataFrame of registrable-domain
+      blocklist entries (operators/blocklist.py) gates the frontier
+      each superstep; blocked rows divert to CrawlResult.blocked with
+      their winning pattern (flag-and-divert, like the trap gate).
     - `seed_from_sitemaps`: union the initial frontier with the
       robots->`Sitemap:`->sitemap-entries discovery chain
       (sources.seeds.sitemap_frontier) — board-mode only; reaches pages
@@ -286,6 +294,7 @@ def run_crawl(
 
     mem_steps: list[dict] = []
     trapped_parts: list[DataFrame] = []
+    blocked_parts: list[DataFrame] = []
     budget_log_parts: list[DataFrame] = []
     cur_budgets = host_budgets
     step = start_step
@@ -314,6 +323,24 @@ def run_crawl(
                 )
             )
             frontier = fl.filter(~F.col("is_trap")).select(FRONTIER_COLS)
+
+        # 0b. domain-blocklist gate (opt-in, same flag-and-divert
+        # contract as the trap gate): registrable-domain suffix match
+        # per DISTINCT host against the broadcast pattern list
+        # (operators/blocklist.py); blocked rows land in the `blocked`
+        # result table with their winning pattern, never silently drop.
+        if blocklist is not None:
+            bl = blocklist_filter(
+                frontier.withColumn("_bhost", url_host(F.col("url"))),
+                blocklist, host_col="_bhost",
+            )
+            blocked_parts.append(
+                bl.filter(F.col("blocked")).select(
+                    "url", F.col("matched_pattern").alias("pattern"),
+                    F.lit(step).alias("superstep"),
+                )
+            )
+            frontier = bl.filter(~F.col("blocked")).select(FRONTIER_COLS)
 
         # 1. robots + 2. politeness budget
         allowed = apply_robots(frontier, robots)
@@ -619,6 +646,13 @@ def run_crawl(
             else _empty(spark, "url string, reason string, superstep int")
         )
         if trap_filter
+        else None,
+        blocked=(
+            functools.reduce(DataFrame.unionByName, blocked_parts)
+            if blocked_parts
+            else _empty(spark, "url string, pattern string, superstep int")
+        )
+        if blocklist is not None
         else None,
         host_budget_log=(
             functools.reduce(DataFrame.unionByName, budget_log_parts)

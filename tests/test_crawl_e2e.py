@@ -307,3 +307,40 @@ def test_trap_filter_diverts_without_dropping_silently(spark, dataset, tmp_path)
     assert res_off.trapped is None
     # without the gate the trap URL IS attempted (missing page -> 404)
     assert trap in {r["url"] for r in res_off.fetch_log.collect()}
+
+
+def test_blocklist_gate_inert_list_is_output_parity(spark, dataset):
+    """Opt-in domain-blocklist gate with patterns matching no crawled
+    host: the `blocked` table exists and is empty, and articles equal
+    the gate-off run exactly (the gate annotates, never perturbs);
+    default-off leaves `blocked` None. A bare-TLD 'cc' pattern must
+    NOT block www.ptt.cc (registrable-domain semantics)."""
+    bl = spark.createDataFrame([("ads.example",), ("cc",)],
+                               "pattern string")
+    cfg = CrawlConfig(board=BOARD, pages=PAGES, push_rate=PUSH,
+                      host_salt=4, max_supersteps=6)
+    res = run_crawl(spark, spark.createDataFrame(dataset), cfg,
+                    blocklist=bl)
+    assert res.blocked.count() == 0
+    res_off = run_crawl(spark, spark.createDataFrame(dataset), cfg)
+    assert res_off.blocked is None
+    def key(r):
+        return (r["board"], r["page_no"], r["pos"])
+
+    assert [tuple(r) for r in sorted(res.articles.collect(), key=key)] == \
+        [tuple(r) for r in sorted(res_off.articles.collect(), key=key)]
+
+
+def test_blocklist_gate_blocking_crawl_host_empties_crawl(spark, dataset):
+    """Blocking ptt.cc itself starves the whole board crawl: nothing
+    fetched, every frontier row accounted for in `blocked`."""
+    bl = spark.createDataFrame([("ptt.cc",)], "pattern string")
+    cfg = CrawlConfig(board=BOARD, pages=PAGES, push_rate=PUSH,
+                      max_supersteps=4)
+    res = run_crawl(spark, spark.createDataFrame(dataset), cfg,
+                    blocklist=bl)
+    assert res.fetch_log.count() == 0
+    assert res.articles.count() == 0
+    rows = res.blocked.collect()
+    assert len(rows) > 0
+    assert {r["pattern"] for r in rows} == {"ptt.cc"}
