@@ -95,6 +95,11 @@ HEADLINE = [
     "sitemap_entries",
     "robots_sitemaps",
     "normalize_text",
+    # r5 link-graph/ingest quartet
+    "warc_roundtrip",
+    "hits_scores",
+    "anchor_texts",
+    "blocklist_filter",
 ]
 
 
