@@ -100,6 +100,7 @@ HEADLINE = [
     "hits_scores",
     "anchor_texts",
     "blocklist_filter",
+    "extract_outlinks",
 ]
 
 

@@ -3552,6 +3552,92 @@ FROM documents
 """
 
 
+def q_extract_outlinks(spark, sf_dir):
+    """Outlink extraction from HTML (X66): a deterministic synthetic
+    page per document — an absolute link, an href-less anchor (not a
+    link), a single-quoted root-relative link with nested markup in
+    its anchor text, a directory-relative link, and an <img> — parsed
+    by the same DOM the reference-parity kernels use; the oracle
+    recomputes the expected (pos, href, resolved url, anchor) rows
+    directly, so a green row proves extraction order, href-presence
+    skipping, RFC 3986 resolution, and nested-markup text recovery."""
+    from ptt_spider_go_spark.pipeline import anchors
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = F.array(*[F.lit(a) for a in anchors.ANCHOR_VOCAB])
+    d = F.col("doc_id").cast("string")
+
+    def pick(tag):
+        return F.element_at(
+            vocab,
+            (F.pmod(md5_long(F.concat(d, F.lit(tag))),
+                    F.lit(len(anchors.ANCHOR_VOCAB))) + 1).cast("int"),
+        )
+
+    def num(tag, m):
+        return F.pmod(md5_long(F.concat(d, F.lit(tag))),
+                      F.lit(m)).cast("string")
+
+    src_url = F.concat(
+        F.lit("http://s"), F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
+        F.lit(".example/d"), d, F.lit("/page.html"),
+    )
+    html = F.concat(
+        F.lit('<html><body><div><a href="http://h'), num(":0", 97),
+        F.lit(".example/p"), num(":0p", 41), F.lit('">'), pick(":0a"),
+        F.lit("</a></div>"),
+        F.lit('<a name="x">not a link</a>'),
+        F.lit("<a class='c' href='/r"), num(":1p", 41), F.lit("'><b>"),
+        pick(":1a"), F.lit("</b> more</a>"),
+        F.lit('<a href="rel'), num(":2p", 41), F.lit('.html">'),
+        pick(":2a"), F.lit("</a>"),
+        F.lit('<img src="http://x.example/i.png"></body></html>'),
+    )
+    pages = docs.select(src_url.alias("url"), html.alias("html"))
+    return anchors.outlinks_from_pages(pages)
+
+
+def _extract_outlinks_sql() -> str:
+    from ptt_spider_go_spark.pipeline.anchors import ANCHOR_VOCAB
+
+    vocab = ", ".join(f"'{a}'" for a in ANCHOR_VOCAB)
+
+    def pick(tag):
+        h = md5_long_sql(f"concat(doc_id, '{tag}')")
+        return (f"list_element([{vocab}], "
+                f"CAST({h} % {len(ANCHOR_VOCAB)} AS INT) + 1)")
+
+    def num(tag, m):
+        h = md5_long_sql(f"concat(doc_id, '{tag}')")
+        return f"CAST({h} % {m} AS VARCHAR)"
+
+    src = "concat('http://s', doc_id % 97, '.example/d', doc_id, '/page.html')"
+    return f"""
+SELECT {src} AS src_url, CAST(0 AS INT) AS pos,
+       concat('http://h', {num(':0', 97)}, '.example/p', {num(':0p', 41)})
+         AS href,
+       concat('http://h', {num(':0', 97)}, '.example/p', {num(':0p', 41)})
+         AS url,
+       {pick(':0a')} AS anchor
+FROM documents
+UNION ALL
+SELECT {src}, CAST(1 AS INT),
+       concat('/r', {num(':1p', 41)}),
+       concat('http://s', doc_id % 97, '.example/r', {num(':1p', 41)}),
+       concat({pick(':1a')}, ' more')
+FROM documents
+UNION ALL
+SELECT {src}, CAST(2 AS INT),
+       concat('rel', {num(':2p', 41)}, '.html'),
+       concat('http://s', doc_id % 97, '.example/d', doc_id,
+              '/rel', {num(':2p', 41)}, '.html'),
+       {pick(':2a')}
+FROM documents"""
+
+
+SQL_EXTRACT_OUTLINKS = _extract_outlinks_sql()
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -3675,6 +3761,7 @@ QUERIES = {
     "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
     "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
+    "extract_outlinks": (q_extract_outlinks, SQL_EXTRACT_OUTLINKS),
 }
 
 

@@ -38,8 +38,15 @@ cut bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ptt_spider_go_spark.pipeline.common import md5_long
 
@@ -114,3 +121,77 @@ def anchor_summary(links: DataFrame, k: int = 3) -> DataFrame:
         "dst_url", "n_inlinks", "n_src_hosts", "rnk", "anchor",
         "anchor_cnt",
     )
+
+
+# --- real edges: outlink extraction from crawled HTML (X66) -----------------
+
+OUTLINK_SCHEMA = StructType([
+    StructField("src_url", StringType()),
+    StructField("pos", IntegerType()),
+    StructField("href", StringType()),
+    StructField("url", StringType()),
+    StructField("anchor", StringType()),
+])
+
+
+def outlinks_from_pages(pages: DataFrame, url_col: str = "url",
+                        html_col: str = "html") -> DataFrame:
+    """pages(url, html) -> (src_url, pos, href, url, anchor): every
+    a[href!=''] per page in document order, href resolved to an
+    absolute URL (RFC 3986 urljoin, dot-segments included) and anchor
+    text extracted on the same DOM the reference-parity kernels use
+    (htmlparse/links.py).
+
+    Scale shape: ONE projection of the pages scan (url + html only —
+    Parquet column pruning keeps everything else on disk) through one
+    Arrow-batched mapInPandas pass; html crosses Arrow exactly once
+    and the output relation is narrow strings. No shuffle at all —
+    downstream consumers (host_rank / hits_scores / anchor_summary)
+    do their own keyed aggregation."""
+    sel = pages.select(F.col(url_col).alias("src_url"),
+                       F.col(html_col).alias("_html"))
+
+    def run(batches):
+        from ptt_spider_go_spark.htmlparse.links import extract_outlinks
+
+        for pdf in batches:
+            rows = []
+            for src, blob in zip(pdf["src_url"], pdf["_html"]):
+                if blob is None or src is None:
+                    continue
+                for r in extract_outlinks(blob, src):
+                    rows.append((src, r["pos"], r["href"], r["url"],
+                                 r["anchor"]))
+            yield pd.DataFrame(
+                rows, columns=["src_url", "pos", "href", "url", "anchor"]
+            )
+
+    return sel.mapInPandas(run, schema=OUTLINK_SCHEMA)
+
+
+def host_edges_from_outlinks(outlinks: DataFrame) -> DataFrame:
+    """(src_url, url) outlinks -> (src, dst) host edges with
+    self-loops dropped — the REAL-graph drop-in for
+    linkrank.host_edges_from_documents, so host_rank / hits_scores /
+    authority_budgets run off crawled HTML unchanged. Duplicate edges
+    are kept (multiplicity = endorsement weight, same contract)."""
+    from ptt_spider_go_spark.functions.columns import url_host
+
+    e = outlinks.select(
+        url_host(F.col("src_url")).alias("src"),
+        url_host(F.col("url")).alias("dst"),
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    return e.filter(F.col("src") != F.col("dst"))
+
+
+def anchor_links_from_outlinks(outlinks: DataFrame) -> DataFrame:
+    """(src_url, url, anchor) outlinks -> the (src_host, dst_url,
+    anchor) relation anchor_summary aggregates — the real-graph
+    drop-in for anchor_edges_from_documents."""
+    from ptt_spider_go_spark.functions.columns import url_host
+
+    return outlinks.select(
+        url_host(F.col("src_url")).alias("src_host"),
+        F.col("url").alias("dst_url"),
+        "anchor",
+    ).filter(F.col("src_host").isNotNull())

@@ -1,0 +1,127 @@
+"""Outlink extraction (htmlparse/links.py + pipeline/anchors.py):
+RFC 3986 resolution corners, DOM robustness (both parse paths), and
+the composition into the link-graph operators. (Spark-vs-DuckDB
+parity on the synthetic envelope is additionally enforced by the
+`extract_outlinks` contract query.)
+"""
+
+from pyspark.sql import functions as F
+
+from ptt_spider_go_spark.htmlparse.links import extract_outlinks
+from ptt_spider_go_spark.pipeline import anchors
+
+BASE = "http://h.example/a/b/page.html"
+
+
+def _links(html, base=BASE):
+    return [(r["pos"], r["href"], r["url"], r["anchor"])
+            for r in extract_outlinks(html, base)]
+
+
+def test_resolution_corners():
+    html = (
+        '<a href="http://x.example/abs">abs</a>'
+        '<a href="//y.example/pr">proto-rel</a>'
+        '<a href="/root">root</a>'
+        '<a href="sib.html">sibling</a>'
+        '<a href="../up.html">up</a>'
+        '<a href="?q=1">query-only</a>'
+        '<a href="#frag">frag-only</a>'
+    )
+    assert _links(html) == [
+        (0, "http://x.example/abs", "http://x.example/abs", "abs"),
+        (1, "//y.example/pr", "http://y.example/pr", "proto-rel"),
+        (2, "/root", "http://h.example/root", "root"),
+        (3, "sib.html", "http://h.example/a/b/sib.html", "sibling"),
+        (4, "../up.html", "http://h.example/a/up.html", "up"),
+        (5, "?q=1", "http://h.example/a/b/page.html?q=1", "query-only"),
+        (6, "#frag", "http://h.example/a/b/page.html#frag", "frag-only"),
+    ]
+
+
+def test_skips_and_pos_numbering():
+    """href-less and empty-href anchors are not links; pos numbers
+    EMITTED links only, in document order across nesting."""
+    html = (
+        '<a name="x">no href</a>'
+        '<div><a href="/one">one</a>'
+        '<span><a href="">empty</a></span></div>'
+        '<a href="/two">two</a>'
+    )
+    assert _links(html) == [
+        (0, "/one", "http://h.example/one", "one"),
+        (1, "/two", "http://h.example/two", "two"),
+    ]
+
+
+def test_markup_robustness():
+    """Nested tags inside anchors, entities, single quotes, attribute
+    order, and uppercase names all extract identically."""
+    html = (
+        "<A CLASS='c' HREF='/up'><b>bold</b> &amp; tail</A>"
+        '<a data-x="1" href="/attr">attr order</a>'
+    )
+    assert _links(html) == [
+        (0, "/up", "http://h.example/up", "bold & tail"),
+        (1, "/attr", "http://h.example/attr", "attr order"),
+    ]
+
+
+def test_fallback_path_identical():
+    """A <script> block forces the html.parser fallback; the link set
+    must be identical to the same document without it."""
+    core = '<a href="/x">x</a><a href="/y"><i>y</i></a>'
+    fast = _links(core)
+    slow = _links("<script>var a = '<a href=/fake>';</script>" + core)
+    assert fast == slow
+    assert fast == [(0, "/x", "http://h.example/x", "x"),
+                    (1, "/y", "http://h.example/y", "y")]
+
+
+def test_outlinks_from_pages_and_graph_composition(spark):
+    """pages -> outlinks -> host edges (self-loops dropped) + anchor
+    relation -> anchor_summary / hits_scores all compose."""
+    from ptt_spider_go_spark.operators import linkrank
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.example/i",
+             '<a href="http://b.example/p">go b</a>'
+             '<a href="/self">self</a>'
+             '<a href="http://c.example/p">go c</a>'),
+            ("http://b.example/i",
+             '<a href="http://c.example/p">go c</a>'),
+        ],
+        "url string, html string",
+    )
+    out = anchors.outlinks_from_pages(pages)
+    assert out.count() == 4
+
+    edges = anchors.host_edges_from_outlinks(out)
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert got == {("a.example", "b.example"), ("a.example", "c.example"),
+                   ("b.example", "c.example")}  # /self loop dropped
+
+    prof = {
+        (r["dst_url"], r["rnk"]): (r["anchor"], r["n_inlinks"],
+                                   r["n_src_hosts"])
+        for r in anchors.anchor_summary(
+            anchors.anchor_links_from_outlinks(out)).collect()
+    }
+    assert prof[("http://c.example/p", 1)] == ("go c", 2, 2)
+
+    hits = {r["host"]: (r["hub_micro"], r["auth_micro"])
+            for r in linkrank.hits_scores(edges).collect()}
+    assert hits["c.example"][1] > hits["b.example"][1]  # 2 inlinks > 1
+    assert hits["a.example"][0] > 0 and hits["a.example"][1] == 0
+
+
+def test_binary_html_column(spark):
+    """pages.html as BINARY (the input_hint shape) parses the same."""
+    pages = spark.createDataFrame(
+        [("http://a.example/i",
+          bytearray('<a href="/x">café 饕餮</a>'.encode()))],
+        "url string, html binary",
+    )
+    [r] = anchors.outlinks_from_pages(pages).collect()
+    assert (r["url"], r["anchor"]) == ("http://a.example/x", "café 饕餮")
