@@ -101,6 +101,7 @@ HEADLINE = [
     "anchor_texts",
     "blocklist_filter",
     "extract_outlinks",
+    "discover_frontier",
 ]
 
 

@@ -3638,6 +3638,83 @@ FROM documents"""
 SQL_EXTRACT_OUTLINKS = _extract_outlinks_sql()
 
 
+def q_discover_frontier(spark, sf_dir):
+    """Composed frontier discovery (plans/discover.py): synthetic
+    pages whose outlinks carry fragments, uppercase scheme+host
+    spellings, and blocklisted ad-hosts; the pipeline must extract
+    (X66), canonicalize (X27), drop 'ads.example' targets (X65), and
+    anti-join a deterministic seen subset (J2) — the oracle recomputes
+    the surviving canonical URL set directly, certifying the whole
+    expansion step end to end."""
+    from ptt_spider_go_spark.plans.discover import discover_frontier
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+
+    def parts(j):
+        x = F.pmod(md5_long(F.concat(d, F.lit(f":{j}h"))), F.lit(97))
+        b = F.pmod(md5_long(F.concat(d, F.lit(f":{j}b"))), F.lit(5)) == 0
+        p = F.pmod(md5_long(F.concat(d, F.lit(f":{j}p"))), F.lit(41))
+        host = F.concat(
+            F.lit("h"), x.cast("string"),
+            F.when(b, F.lit(".ads.example")).otherwise(F.lit(".example")),
+        )
+        url = F.concat(F.lit("http://"), host, F.lit("/p"),
+                       p.cast("string"))
+        return host, p, url
+
+    host0, _, url0 = parts(0)
+    host1, p1, url1 = parts(1)
+    _, _, url2 = parts(2)
+    href0 = F.concat(url0, F.lit("#sec"))
+    href1 = F.concat(F.lit("HTTP://"), F.upper(host1), F.lit("/p"),
+                     p1.cast("string"))
+    html = F.concat(
+        F.lit('<html><body><a href="'), href0, F.lit('">l0</a>'),
+        F.lit('<a href="'), href1, F.lit('">l1</a>'),
+        F.lit('<a href="'), url2, F.lit('">l2</a></body></html>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://s"),
+                 F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
+                 F.lit(".example/idx"), d, F.lit(".html")).alias("url"),
+        html.alias("html"),
+    )
+    cand_all = docs.select(
+        F.explode(F.array(url0, url1, url2)).alias("url")
+    )
+    seen = cand_all.filter(
+        F.pmod(md5_long(F.concat(F.col("url"), F.lit(":seen"))),
+               F.lit(4)) == 0
+    ).distinct()
+    bl = spark.createDataFrame([("ads.example",)], "pattern string")
+    return discover_frontier(pages, seen, blocklist=bl)
+
+
+def _discover_frontier_sql() -> str:
+    arms = []
+    for j in range(3):
+        x = md5_long_sql(f"concat(doc_id, ':{j}h')")
+        b = md5_long_sql(f"concat(doc_id, ':{j}b')")
+        p = md5_long_sql(f"concat(doc_id, ':{j}p')")
+        arms.append(f"""
+  SELECT concat('http://h', {x} % 97,
+                CASE WHEN {b} % 5 = 0 THEN '.ads.example'
+                     ELSE '.example' END,
+                '/p', {p} % 41) AS url,
+         ({b} % 5 = 0) AS blocked
+  FROM documents""")
+    seen_probe = md5_long_sql("concat(url, ':seen')")
+    return f"""
+WITH cand AS (SELECT DISTINCT url, blocked FROM ({" UNION ALL ".join(arms)})),
+seen AS (SELECT url FROM cand WHERE {seen_probe} % 4 = 0)
+SELECT url FROM cand
+WHERE NOT blocked AND url NOT IN (SELECT url FROM seen)"""
+
+
+SQL_DISCOVER_FRONTIER = _discover_frontier_sql()
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -3762,6 +3839,7 @@ QUERIES = {
     "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "extract_outlinks": (q_extract_outlinks, SQL_EXTRACT_OUTLINKS),
+    "discover_frontier": (q_discover_frontier, SQL_DISCOVER_FRONTIER),
 }
 
 

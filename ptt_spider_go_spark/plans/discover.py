@@ -1,0 +1,74 @@
+"""Generic frontier discovery: the expansion half of a web-crawl
+superstep over arbitrary hosts.
+
+`plans/crawl.py` is the reference-parity loop — its link discovery is
+the PTT board/article shape (spider.go's two page kinds), its URLs
+are produced from templates. A Common-Crawl-style deployment also
+needs the GENERAL expansion step: given the pages just fetched, which
+URLs does the corpus not yet know about? That is a fixed four-stage
+composition of operators this engine already ships, and this module
+is that composition (each stage's own contract query stays its
+bit-exact certificate; `discover_frontier` has its own composed
+oracle, `discover_frontier` in the registry):
+
+    1. outlink extraction  (X66, pipeline/anchors.outlinks_from_pages)
+       — one column-pruned mapInPandas pass over (url, html);
+    2. URL canonicalization (X27, functions/columns.canonicalize_url)
+       — JVM projection; trivially-distinct spellings collapse BEFORE
+       the seen-probe so the frontier key space is minimal;
+    3. domain-blocklist gate (X65, operators/blocklist.blocklist_filter)
+       — per-distinct-host suffix match, broadcast pattern list;
+    4. seen-set anti-join   (J2/D4, operators/dedup.dedup_against_seen)
+       — with Bloom/cuckoo shard sets when the caller passes them
+       (run_crawl's table-backed filter state plugs in directly),
+       plain left-anti otherwise.
+
+Scale shape: stages 2-3 are projections + one broadcast join; the
+only wide operations are the candidate `distinct()` (hash-keyed on
+the canonical URL — exactly the key the anti-join shuffles on next,
+so AQE reuses the partitioning) and the anti-join itself, whose input
+the Bloom/cuckoo layers cut by orders of magnitude at scale (measured
+in cuckoo_ab, BENCH_FULL.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ptt_spider_go_spark.functions.columns import canonicalize_url, url_host
+from ptt_spider_go_spark.operators.blocklist import blocklist_filter
+from ptt_spider_go_spark.operators.dedup import (
+    BloomShardSet,
+    CuckooShardSet,
+    dedup_against_seen,
+)
+from ptt_spider_go_spark.pipeline.anchors import outlinks_from_pages
+
+
+def discover_frontier(pages: DataFrame, seen: DataFrame | None,
+                      blocklist: DataFrame | None = None,
+                      blooms: "BloomShardSet | None" = None,
+                      cuckoos: "CuckooShardSet | None" = None,
+                      url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """pages(url, html) -> one `url` column of canonical, unblocked,
+    never-seen outlink targets — the next superstep's raw frontier
+    (priority/politeness ordering is the scheduler's job, not
+    discovery's). See module docstring for the stage-by-stage shape.
+    """
+    cand = (
+        outlinks_from_pages(pages, url_col=url_col, html_col=html_col)
+        .select(canonicalize_url(F.col("url")).alias("url"))
+        .distinct()
+    )
+    if blocklist is not None:
+        cand = (
+            blocklist_filter(
+                cand.withColumn("_host", url_host(F.col("url"))),
+                blocklist, host_col="_host",
+            )
+            .filter(~F.col("blocked"))
+            .select("url")
+        )
+    return dedup_against_seen(cand, seen, blooms, cuckoos)

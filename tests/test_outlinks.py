@@ -125,3 +125,55 @@ def test_binary_html_column(spark):
     )
     [r] = anchors.outlinks_from_pages(pages).collect()
     assert (r["url"], r["anchor"]) == ("http://a.example/x", "café 饕餮")
+
+
+def test_discover_frontier_stages(spark):
+    """Hand pages: fragment spellings collapse to one candidate, ad
+    hosts drop, seen URLs drop, never-seen clean URLs survive."""
+    from ptt_spider_go_spark.plans.discover import discover_frontier
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.example/i",
+             '<a href="http://new.example/p#x">n</a>'
+             '<a href="HTTP://NEW.EXAMPLE/p#y">n2</a>'      # same canon
+             '<a href="http://spam.ads.example/p">ad</a>'
+             '<a href="http://old.example/p">seen</a>'),
+        ],
+        "url string, html string",
+    )
+    seen = spark.createDataFrame([("http://old.example/p",)], "url string")
+    bl = spark.createDataFrame([("ads.example",)], "pattern string")
+    got = {r["url"] for r in
+           discover_frontier(pages, seen, blocklist=bl).collect()}
+    assert got == {"http://new.example/p"}
+
+
+def test_discover_frontier_bloom_layers_exact(spark):
+    """The Bloom(+cuckoo) layers never change the discovered set —
+    false-positive-prone filters are verification-backed."""
+    from ptt_spider_go_spark.operators.dedup import (
+        BloomShardSet, CuckooShardSet,
+    )
+    from ptt_spider_go_spark.plans.discover import discover_frontier
+
+    links = "".join(
+        f'<a href="http://h{i % 13}.example/p{i}">x</a>' for i in range(200)
+    )
+    pages = spark.createDataFrame(
+        [("http://s.example/i", f"<html><body>{links}</body></html>")],
+        "url string, html string",
+    )
+    seen = spark.createDataFrame(
+        [(f"http://h{i % 13}.example/p{i}",) for i in range(0, 200, 3)],
+        "url string",
+    )
+    plain = {r["url"] for r in discover_frontier(pages, seen).collect()}
+    blooms = BloomShardSet()
+    blooms.add_df(seen)
+    cuckoos = CuckooShardSet.for_capacity(blooms.n_shards, 256)
+    cuckoos.add_df(seen)
+    layered = {r["url"] for r in discover_frontier(
+        pages, seen, blooms=blooms, cuckoos=cuckoos).collect()}
+    assert layered == plain
+    assert len(plain) == 200 - len(range(0, 200, 3))
