@@ -102,6 +102,8 @@ HEADLINE = [
     "blocklist_filter",
     "extract_outlinks",
     "discover_frontier",
+    "snapshot_diff",
+    "host_change_ttls",
 ]
 
 

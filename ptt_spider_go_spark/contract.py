@@ -3715,6 +3715,120 @@ WHERE NOT blocked AND url NOT IN (SELECT url FROM seen)"""
 SQL_DISCOVER_FRONTIER = _discover_frontier_sql()
 
 
+def _snapshot_pair(spark, sf_dir):
+    """Deterministic prev/cur crawl snapshots over documents: ~10% of
+    URLs vanish, ~25% of survivors change (a '!' appended), ~20% of
+    doc_ids contribute a brand-new URL."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("http://h"),
+                   F.pmod(F.col("doc_id"), F.lit(11)).cast("string"),
+                   F.lit(".example/u"), d)
+    prev = docs.select(url.alias("url"), "text")
+    keep = F.pmod(md5_long(F.concat(d, F.lit(":keep"))), F.lit(10)) != 0
+    chg = F.pmod(md5_long(F.concat(d, F.lit(":chg"))), F.lit(4)) == 0
+    survivors = docs.filter(keep).select(
+        url.alias("url"),
+        F.when(chg, F.concat(F.col("text"), F.lit("!")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    newrows = docs.filter(
+        F.pmod(md5_long(F.concat(d, F.lit(":new"))), F.lit(5)) == 0
+    ).select(
+        F.concat(F.lit("http://h"),
+                 F.pmod(F.col("doc_id"), F.lit(11)).cast("string"),
+                 F.lit(".example/n"), d).alias("url"),
+        F.col("text"),
+    )
+    return prev, survivors.unionByName(newrows)
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot change detection (X68): full-outer hash diff of two
+    deterministic crawl snapshots — new/gone/changed/unchanged per
+    URL, text hashed BEFORE the join so only narrow relations
+    shuffle."""
+    from ptt_spider_go_spark.operators import recrawl
+
+    prev, cur = _snapshot_pair(spark, sf_dir)
+    return recrawl.snapshot_diff(prev, cur)
+
+
+_SNAPSHOT_SQL_BASE = f"""
+prev AS (
+  SELECT concat('http://h', doc_id % 11, '.example/u', doc_id) AS url,
+         text
+  FROM documents),
+cur AS (
+  SELECT concat('http://h', doc_id % 11, '.example/u', doc_id) AS url,
+         CASE WHEN {md5_long_sql("concat(doc_id, ':chg')")} % 4 = 0
+              THEN text || '!' ELSE text END AS text
+  FROM documents
+  WHERE {md5_long_sql("concat(doc_id, ':keep')")} % 10 <> 0
+  UNION ALL
+  SELECT concat('http://h', doc_id % 11, '.example/n', doc_id), text
+  FROM documents
+  WHERE {md5_long_sql("concat(doc_id, ':new')")} % 5 = 0),
+diff AS (
+  SELECT coalesce(p.url, c.url) AS url,
+         CASE WHEN p.url IS NULL THEN 'new'
+              WHEN c.url IS NULL THEN 'gone'
+              WHEN md5(p.text) <> md5(c.text) THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         md5(p.text) AS prev_md5, md5(c.text) AS cur_md5
+  FROM prev p FULL OUTER JOIN cur c ON p.url = c.url)
+"""
+
+
+SQL_SNAPSHOT_DIFF = (
+    "WITH " + _SNAPSHOT_SQL_BASE
+    + "SELECT url, status, prev_md5, cur_md5 FROM diff"
+)
+
+
+def q_host_change_ttls(spark, sf_dir):
+    """Per-host change rates + adaptive recrawl TTLs (X68): the diff
+    rolled up per host (exact BIGINT counts, micro-unit change ratio)
+    and the inverse-proportional clamped TTL each host earns."""
+    from ptt_spider_go_spark.operators import recrawl
+
+    prev, cur = _snapshot_pair(spark, sf_dir)
+    rates = recrawl.host_change_rates(recrawl.snapshot_diff(prev, cur))
+    ttls = recrawl.adaptive_host_ttls(
+        rates, base_ttl_s=86400, min_ttl_s=3600, max_ttl_s=31 * 86400
+    )
+    return rates.join(ttls, "host")
+
+
+SQL_HOST_CHANGE_TTLS = (
+    "WITH " + _SNAPSHOT_SQL_BASE
+    + """,
+rates AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+         CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(sum(CASE WHEN status = 'gone' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_gone,
+         CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_changed,
+         CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_unchanged
+  FROM diff GROUP BY 1),
+r2 AS (
+  SELECT *, CASE WHEN n_changed + n_unchanged > 0
+                 THEN CAST(n_changed * 1000000 // (n_changed + n_unchanged)
+                      AS BIGINT) END AS change_micro
+  FROM rates)
+SELECT host, n_new, n_gone, n_changed, n_unchanged, change_micro,
+       CAST(CASE WHEN change_micro IS NULL THEN 2678400
+            ELSE greatest(3600, least(2678400,
+                 CAST(86400 AS BIGINT) * 1000000
+                   // greatest(change_micro, 1))) END
+            AS BIGINT) AS ttl_s
+FROM r2"""
+)
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -3840,6 +3954,8 @@ QUERIES = {
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "extract_outlinks": (q_extract_outlinks, SQL_EXTRACT_OUTLINKS),
     "discover_frontier": (q_discover_frontier, SQL_DISCOVER_FRONTIER),
+    "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "host_change_ttls": (q_host_change_ttls, SQL_HOST_CHANGE_TTLS),
 }
 
 

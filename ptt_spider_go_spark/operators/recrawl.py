@@ -66,3 +66,87 @@ def recrawl_due(fetch_log: DataFrame, now_ts: str,
             .cast("long").alias("overdue_periods"),
         )
     )
+
+
+# --- change detection between snapshots (X68, r5) ---------------------------
+
+#: integer change-ratio scale (micro-units, the engine-wide idiom)
+CHANGE_SCALE = 1_000_000
+
+
+def snapshot_diff(prev: DataFrame, cur: DataFrame,
+                  url_col: str = "url",
+                  text_col: str = "text") -> DataFrame:
+    """(url, status, prev_md5, cur_md5) with status in
+    new | gone | changed | unchanged — the per-URL delta between two
+    crawl snapshots, the evidence stream every freshness model
+    consumes (Cho & Garcia-Molina's change observations).
+
+    Scale shape: each side is first projected to (url, md5(text)) —
+    the full-outer equi-join on url then shuffles two NARROW string
+    relations; page text never moves. Content equality by md5 hex is
+    the same exact-dedup key X1 uses (collision-free in practice, and
+    identical in both engines, so the oracle is bit-exact)."""
+    p = prev.select(F.col(url_col).alias("url"),
+                    F.md5(F.col(text_col)).alias("prev_md5"))
+    c = cur.select(F.col(url_col).alias("url"),
+                   F.md5(F.col(text_col)).alias("cur_md5"))
+    status = (
+        F.when(F.col("prev_md5").isNull(), F.lit("new"))
+        .when(F.col("cur_md5").isNull(), F.lit("gone"))
+        .when(F.col("prev_md5") != F.col("cur_md5"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        p.join(c, "url", "full_outer")
+        .select("url", status.alias("status"), "prev_md5", "cur_md5")
+    )
+
+
+def host_change_rates(diff: DataFrame) -> DataFrame:
+    """Per-host roll-up of a snapshot_diff: revisit counts by status
+    plus change_micro = changed * 10^6 DIV revisited (NULL when the
+    host had no revisited URL — no evidence is not zero change). One
+    narrow groupBy with map-side partial aggregation; all counts and
+    the ratio are exact BIGINT."""
+    from ptt_spider_go_spark.functions.columns import url_host
+
+    agg = [
+        F.sum(F.when(F.col("status") == s, 1).otherwise(0))
+        .cast("long").alias(f"n_{s}")
+        for s in ("new", "gone", "changed", "unchanged")
+    ]
+    x = diff.select(url_host(F.col("url")).alias("host"), "status")
+    rates = x.groupBy("host").agg(*agg)
+    revisited = F.col("n_changed") + F.col("n_unchanged")
+    return rates.withColumn(
+        "change_micro",
+        F.when(
+            revisited > 0,
+            F.expr(f"n_changed * {CHANGE_SCALE} DIV "
+                   f"(n_changed + n_unchanged)"),
+        ).cast("long"),
+    )
+
+
+def adaptive_host_ttls(rates: DataFrame, base_ttl_s: int,
+                       min_ttl_s: int, max_ttl_s: int) -> DataFrame:
+    """(host, ttl_s): recrawl interval inversely proportional to the
+    observed change ratio — a host whose pages all changed gets
+    base_ttl_s, one where 1-in-10 changed gets 10x that, clamped to
+    [min_ttl_s, max_ttl_s]; hosts with NO revisit evidence get
+    max_ttl_s (explore slowly until data exists). Exact integers:
+    ttl = clamp(base * 10^6 DIV max(change_micro, 1)). Complements
+    recrawl_due's per-kind TTLs with a per-host multiplier table (the
+    same (host, value) broadcast-override shape budget_gate takes)."""
+    raw = F.expr(
+        f"{base_ttl_s}L * {CHANGE_SCALE}L DIV greatest(change_micro, 1L)"
+    )
+    ttl = F.when(
+        F.col("change_micro").isNull(), F.lit(max_ttl_s).cast("long")
+    ).otherwise(
+        F.greatest(F.lit(min_ttl_s).cast("long"),
+                   F.least(F.lit(max_ttl_s).cast("long"),
+                           raw.cast("long")))
+    )
+    return rates.select("host", ttl.alias("ttl_s"))

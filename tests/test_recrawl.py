@@ -93,3 +93,65 @@ def test_trap_suspects_rules_and_order(spark):
     assert got[urls[3][0]] == (True, "param_explosion")
     assert got[urls[4][0]] == (True, "url_length")
     assert got[urls[5][0]] == (True, "path_depth")  # fixed rule order
+
+
+# --- snapshot diff + adaptive TTLs (r5) -------------------------------------
+
+
+def test_snapshot_diff_statuses(spark):
+    from ptt_spider_go_spark.operators import recrawl
+
+    prev = spark.createDataFrame(
+        [("http://a.example/1", "same"),
+         ("http://a.example/2", "old"),
+         ("http://a.example/3", "bye")],
+        "url string, text string",
+    )
+    cur = spark.createDataFrame(
+        [("http://a.example/1", "same"),
+         ("http://a.example/2", "NEW TEXT"),
+         ("http://a.example/4", "hello")],
+        "url string, text string",
+    )
+    got = {r["url"]: r["status"]
+           for r in recrawl.snapshot_diff(prev, cur).collect()}
+    assert got == {
+        "http://a.example/1": "unchanged",
+        "http://a.example/2": "changed",
+        "http://a.example/3": "gone",
+        "http://a.example/4": "new",
+    }
+
+
+def test_host_change_rates_and_ttls(spark):
+    """hot: 2/2 changed -> base TTL; cold: 0/2 changed -> max TTL;
+    half: 1/2 -> 2x base; fresh host (new only) -> NULL rate, max."""
+    from ptt_spider_go_spark.operators import recrawl
+
+    rows = [
+        ("http://hot.example/a", "changed"),
+        ("http://hot.example/b", "changed"),
+        ("http://cold.example/a", "unchanged"),
+        ("http://cold.example/b", "unchanged"),
+        ("http://half.example/a", "changed"),
+        ("http://half.example/b", "unchanged"),
+        ("http://fresh.example/a", "new"),
+    ]
+    diff = spark.createDataFrame(
+        [(u, s, None, None) for u, s in rows],
+        "url string, status string, prev_md5 string, cur_md5 string",
+    )
+    rates = recrawl.host_change_rates(diff)
+    got = {r["host"]: r["change_micro"] for r in rates.collect()}
+    assert got == {"hot.example": 1_000_000, "cold.example": 0,
+                   "half.example": 500_000, "fresh.example": None}
+    ttls = {
+        r["host"]: r["ttl_s"]
+        for r in recrawl.adaptive_host_ttls(
+            rates, base_ttl_s=100, min_ttl_s=50, max_ttl_s=1000
+        ).collect()
+    }
+    # hot: 100*1e6/1e6 = 100; cold: change 0 -> greatest(0,1)=1 ->
+    # 1e8 clamped to 1000; half: 200; fresh: NULL -> max.
+    assert ttls == {"hot.example": 100, "cold.example": 1000,
+                    "half.example": 200, "fresh.example": 1000}
