@@ -104,6 +104,7 @@ HEADLINE = [
     "discover_frontier",
     "snapshot_diff",
     "host_change_ttls",
+    "common_lines",
 ]
 
 

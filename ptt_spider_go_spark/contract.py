@@ -3829,6 +3829,61 @@ FROM r2"""
 )
 
 
+def q_common_lines(spark, sf_dir):
+    """Corpus-wide common-line removal (X69): every document gains a
+    universal boilerplate line, ~half gain a second one, and each
+    keeps a unique closer — the two boilerplate lines (corpus counts
+    ~N and ~N/2, both > 50) must vanish from every document while the
+    body and the unique line survive, with exact kept/dropped
+    accounting."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    sub = F.pmod(md5_long(F.concat(d, F.lit(":sub"))), F.lit(2)) == 0
+    ml = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nAll rights reserved."),
+            F.when(sub, F.lit("\nSubscribe to our newsletter."))
+            .otherwise(F.lit("")),
+            F.lit("\nunique-"), d,
+        ).alias("text"),
+    )
+    return textstats.drop_common_lines(ml, max_count=50)
+
+
+SQL_COMMON_LINES = f"""
+WITH ml AS (
+  SELECT doc_id,
+         text || chr(10) || 'All rights reserved.'
+              || CASE WHEN {md5_long_sql("concat(doc_id, ':sub')")} % 2 = 0
+                      THEN chr(10) || 'Subscribe to our newsletter.'
+                      ELSE '' END
+              || chr(10) || 'unique-' || doc_id AS text
+  FROM documents),
+l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM ml),
+l1 AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls FROM l0),
+lines AS (SELECT doc_id, i, ls[i] AS line FROM l1),
+common AS (
+  SELECT line FROM lines WHERE trim(line) <> ''
+  GROUP BY line HAVING count(*) > 50),
+kept AS (
+  SELECT doc_id, i, line FROM lines
+  WHERE line NOT IN (SELECT line FROM common)),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+        FROM lines GROUP BY doc_id),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT tot.doc_id AS doc_id,
+       coalesce(clean_text, '') AS clean_text,
+       coalesce(n_kept, 0) AS n_kept,
+       n_lines - coalesce(n_kept, 0) AS n_dropped
+FROM tot LEFT JOIN agg ON agg.doc_id = tot.doc_id
+"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -3956,6 +4011,7 @@ QUERIES = {
     "discover_frontier": (q_discover_frontier, SQL_DISCOVER_FRONTIER),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "host_change_ttls": (q_host_change_ttls, SQL_HOST_CHANGE_TTLS),
+    "common_lines": (q_common_lines, SQL_COMMON_LINES),
 }
 
 

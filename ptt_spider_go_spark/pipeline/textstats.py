@@ -1242,3 +1242,68 @@ def with_normalized_text(docs: DataFrame) -> DataFrame:
     fingerprints/dedup/the funnel (each downstream gate then reads the
     normalized bytes instead of re-running the NFC hop per gate)."""
     return docs.withColumn("text", normalized_text_col(F.col("text")))
+
+
+# --- corpus-wide common-line removal (X69, r5) -------------------------------
+
+def drop_common_lines(docs: DataFrame, max_count: int = 100,
+                      text_col: str = "text") -> DataFrame:
+    """(doc_id, clean_text, n_kept, n_dropped): remove every line that
+    occurs more than `max_count` times across the WHOLE corpus — the
+    RefinedWeb/C4 "most common lines" boilerplate cut ("All rights
+    reserved", cookie banners, nav menus) that X25's within-document
+    segment analysis cannot see, because boilerplate repeats across
+    documents, not within one.
+
+    Lines that are empty after trimming are structural, never counted
+    and never dropped. Reassembly preserves original line order
+    (pos-sorted) and drops nothing silently: n_kept + n_dropped =
+    the document's line count, and a fully-boilerplate document
+    survives as an empty clean_text row.
+
+    Scale shape: one posexplode -> one groupBy(line) with map-side
+    partial aggregation, FILTERED to cnt > max_count before it moves —
+    the common-line relation is by definition tiny (it is the
+    boilerplate head of the line distribution), so the removal join is
+    a broadcast left-anti; reassembly is one groupBy(doc_id) whose
+    collect_list is bounded by a document's own line count. Exact
+    integer counts; deterministic reassembly -> DuckDB-oracle-exact.
+    """
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n", -1))
+        .alias("pos", "line"),
+    )
+    common = (
+        lines.filter(F.trim(F.col("line")) != "")
+        .groupBy("line").agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > max_count)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(common), "line", "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    totals = docs.select(
+        "doc_id",
+        F.size(F.split(F.col(text_col), "\n", -1)).cast("long")
+        .alias("n_lines"),
+    )
+    return (
+        totals.join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
+            .alias("n_kept"),
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long").alias("n_dropped"),
+        )
+    )

@@ -1196,3 +1196,37 @@ def test_anchor_edges_coherent_with_linkrank(spark, docs):
         .groupBy(F.col("src").alias("src_host"), "dst").count()
     )
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+# --- corpus-wide common-line removal (r5) -----------------------------------
+
+
+def test_drop_common_lines_semantics(spark):
+    """Boilerplate over max_count drops everywhere; order preserved;
+    empty lines never counted or dropped; all-boilerplate doc survives
+    as empty text; accounting exact."""
+    boiler = "All rights reserved."
+    rows = [(i, f"body {i}\n{boiler}\n\ntail {i}") for i in range(5)]
+    rows.append((99, boiler))  # all-boilerplate doc
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+        for r in textstats.drop_common_lines(docs, max_count=3).collect()
+    }
+    for i in range(5):
+        assert got[i] == (f"body {i}\n\ntail {i}", 3, 1)
+    assert got[99] == ("", 0, 1)
+
+
+def test_drop_common_lines_threshold_boundary(spark):
+    """A line occurring exactly max_count times is KEPT (strictly
+    greater-than cut)."""
+    docs = spark.createDataFrame(
+        [(i, "shared\nown %d" % i) for i in range(4)],
+        "doc_id long, text string",
+    )
+    keep4 = textstats.drop_common_lines(docs, max_count=4)
+    assert all(r["n_dropped"] == 0 for r in keep4.collect())
+    drop3 = textstats.drop_common_lines(docs, max_count=3)
+    assert all(r["n_dropped"] == 1 and r["clean_text"] == "own %d" % r["doc_id"]
+               for r in drop3.collect())
