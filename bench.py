@@ -105,6 +105,7 @@ HEADLINE = [
     "snapshot_diff",
     "host_change_ttls",
     "common_lines",
+    "graph_stats",
 ]
 
 

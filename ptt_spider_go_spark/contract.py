@@ -3884,6 +3884,54 @@ FROM tot LEFT JOIN agg ON agg.doc_id = tot.doc_id
 """
 
 
+def q_graph_stats(spark, sf_dir):
+    """Link-graph health summary (X70) over the deterministic host
+    graph: node/edge/dangling/source counts and the reciprocity
+    ratio — the sanity panel read before trusting PageRank/HITS
+    scheduling."""
+    from ptt_spider_go_spark.operators import linkrank
+
+    docs = _t(spark, sf_dir, "documents")
+    return linkrank.graph_stats(linkrank.host_edges_from_documents(docs))
+
+
+def _graph_stats_sql(n_hosts: int = 97, outlinks: int = 3) -> str:
+    parts = []
+    for j in range(outlinks):
+        h = md5_long_sql(f"concat(doc_id, ':', {j})")
+        parts.append(f"concat('h', {h} % {n_hosts})")
+    dsts = ", ".join(parts)
+    return f"""
+WITH raw_e AS (
+  SELECT concat('h', doc_id % {n_hosts}) AS src,
+         unnest([{dsts}]) AS dst
+  FROM documents),
+edges AS (SELECT src, dst FROM raw_e WHERE src <> dst),
+e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+      FROM edges GROUP BY src, dst),
+nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+vals AS (
+  SELECT 'n_edges' AS metric, w AS value FROM e
+  UNION ALL SELECT 'n_edges_distinct', CAST(1 AS BIGINT) FROM e
+  UNION ALL SELECT 'n_hosts', CAST(1 AS BIGINT) FROM nodes
+  UNION ALL SELECT 'n_dangling', CAST(1 AS BIGINT) FROM (
+    SELECT DISTINCT dst FROM e WHERE dst NOT IN (SELECT src FROM e))
+  UNION ALL SELECT 'n_sources', CAST(1 AS BIGINT) FROM (
+    SELECT DISTINCT src FROM e WHERE src NOT IN (SELECT dst FROM e))
+  UNION ALL SELECT 'n_recip', CAST(1 AS BIGINT) FROM e a
+    WHERE EXISTS (SELECT 1 FROM e b
+                  WHERE b.src = a.dst AND b.dst = a.src)
+  UNION ALL
+  SELECT m, CAST(0 AS BIGINT)
+  FROM (VALUES ('n_hosts'), ('n_edges'), ('n_edges_distinct'),
+               ('n_dangling'), ('n_sources'), ('n_recip')) z(m))
+SELECT metric, CAST(sum(value) AS BIGINT) AS value
+FROM vals GROUP BY metric"""
+
+
+SQL_GRAPH_STATS = _graph_stats_sql()
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -4012,6 +4060,7 @@ QUERIES = {
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "host_change_ttls": (q_host_change_ttls, SQL_HOST_CHANGE_TTLS),
     "common_lines": (q_common_lines, SQL_COMMON_LINES),
+    "graph_stats": (q_graph_stats, SQL_GRAPH_STATS),
 }
 
 

@@ -277,3 +277,62 @@ def hits_scores(edges: DataFrame, iters: int = 2) -> DataFrame:
         .join(auth.select("host", F.col("score").alias("auth_micro")),
               "host")
     )
+
+
+def graph_stats(edges: DataFrame) -> DataFrame:
+    """Link-graph health panel — the numbers a crawl operator reads
+    before trusting rank-based scheduling (a graph that is mostly
+    dangling or mostly reciprocal spam rings makes PageRank/HITS
+    numbers mean something else). Returns (metric, value) rows:
+
+      n_hosts, n_edges (with multiplicity), n_edges_distinct,
+      n_dangling (hosts with inlinks but no outlinks — rank leaks
+      there), n_sources (outlinks but no inlinks — unreachable by
+      backlink discovery), n_recip (distinct edges whose reverse edge
+      also exists; n_recip / n_edges_distinct is the reciprocity
+      ratio — link-exchange rings score high).
+
+    Scale shape: one groupBy(src,dst) collapses multiplicity; degree
+    and reciprocity relations are host-level (broadcast joins); all
+    six metrics union into ONE tagged relation aggregated by metric
+    key — map-side partial sums, a keyed exchange, never a
+    single-partition global funnel or a 1-row cross join. Exact
+    BIGINT counts, oracle-exact."""
+    e = edges.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("w")
+    ).localCheckpoint(eager=True)
+    srcs = e.select(F.col("src").alias("host")).distinct()
+    dsts = e.select(F.col("dst").alias("host")).distinct()
+    one = F.lit(1).cast("long")
+
+    def tag(df, metric, v=None):
+        return df.select(F.lit(metric).alias("metric"),
+                         (one if v is None else v).alias("value"))
+
+    vals = (
+        tag(e, "n_edges", F.col("w"))
+        .unionByName(tag(e, "n_edges_distinct"))
+        .unionByName(tag(srcs.union(dsts).distinct(), "n_hosts"))
+        .unionByName(tag(dsts.join(srcs, "host", "left_anti"),
+                         "n_dangling"))
+        .unionByName(tag(srcs.join(dsts, "host", "left_anti"),
+                         "n_sources"))
+        .unionByName(tag(
+            e.alias("a").join(
+                e.select(F.col("dst").alias("src"),
+                         F.col("src").alias("dst")).alias("b"),
+                ["src", "dst"], "left_semi",
+            ),
+            "n_recip",
+        ))
+        # zero seeds: an empty metric (no dangling hosts, say) must
+        # report 0, not vanish from the panel.
+        .unionByName(edges.sparkSession.createDataFrame(
+            [(m, 0) for m in ("n_hosts", "n_edges", "n_edges_distinct",
+                              "n_dangling", "n_sources", "n_recip")],
+            "metric string, value long",
+        ))
+    )
+    return vals.groupBy("metric").agg(
+        F.sum("value").cast("long").alias("value")
+    )

@@ -262,3 +262,35 @@ def test_hits_cycle_and_isolated_direction(spark):
     edges = [("a", "b"), ("b", "a"), ("b", "z")]
     for iters in (1, 2, 3):
         assert _hits(spark, edges, iters) == _hits_mirror(edges, iters)
+
+
+def test_graph_stats_panel(spark):
+    """Hand graph: a->b twice, b->a, a->c, c dangles, a is a pure
+    source; every metric appears (zeros included), reciprocity counts
+    distinct edges with a reverse."""
+    from ptt_spider_go_spark.operators.linkrank import graph_stats
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    got = {r["metric"]: r["value"] for r in graph_stats(edges).collect()}
+    assert got == {
+        "n_hosts": 3,
+        "n_edges": 4,            # multiplicity kept
+        "n_edges_distinct": 3,
+        "n_dangling": 1,         # c: inlink only
+        "n_sources": 0,          # a has an inlink (b->a)
+        "n_recip": 2,            # a<->b both directions
+    }
+
+
+def test_graph_stats_empty_metrics_report_zero(spark):
+    """A pure chain has no reciprocity; the metric still reports 0."""
+    from ptt_spider_go_spark.operators.linkrank import graph_stats
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")],
+                                  "src string, dst string")
+    got = {r["metric"]: r["value"] for r in graph_stats(edges).collect()}
+    assert got["n_recip"] == 0 and got["n_sources"] == 1 \
+        and got["n_dangling"] == 1 and got["n_hosts"] == 3
