@@ -106,6 +106,7 @@ HEADLINE = [
     "host_change_ttls",
     "common_lines",
     "graph_stats",
+    "quality_keepers",
 ]
 
 

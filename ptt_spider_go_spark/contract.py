@@ -3932,6 +3932,39 @@ FROM vals GROUP BY metric"""
 SQL_GRAPH_STATS = _graph_stats_sql()
 
 
+def q_quality_keepers(spark, sf_dir):
+    """Quality-based duplicate-cluster representatives (X71): the
+    MinHash-LSH components of dup_clusters re-kept by the quality
+    score instead of min-id — the curation policy real pipelines
+    apply (keep the best near-duplicate, ties to lower doc_id)."""
+    from ptt_spider_go_spark.pipeline import clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup_text.minhash_signatures(docs)
+    pairs = dedup_text.lsh_candidate_pairs(sigs)
+    return clusters.quality_keepers(docs, pairs,
+                                    textstats.quality_scores(docs))
+
+
+# the dup_clusters recursive-CTE pipeline, re-terminated at components
+_COMP_PREFIX = SQL_DUP_CLUSTERS[:SQL_DUP_CLUSTERS.index(
+    "SELECT doc_id, min(lbl) AS cluster_id")]
+
+SQL_QUALITY_KEEPERS = _COMP_PREFIX.rstrip() + f""",
+comp AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+q AS (SELECT doc_id, quality FROM ({SQL_QUALITY_SCORES}) qq),
+cq AS (SELECT comp.doc_id, cluster_id, quality
+       FROM comp JOIN q ON q.doc_id = comp.doc_id),
+k AS (
+  SELECT cluster_id,
+         max(struct_pack(q := quality, negid := -doc_id)) AS m
+  FROM cq GROUP BY cluster_id)
+SELECT cq.doc_id AS doc_id, cq.cluster_id AS cluster_id, quality,
+       (cq.doc_id = -(k.m).negid) AS keep
+FROM cq JOIN k ON k.cluster_id = cq.cluster_id
+"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -4061,6 +4094,7 @@ QUERIES = {
     "host_change_ttls": (q_host_change_ttls, SQL_HOST_CHANGE_TTLS),
     "common_lines": (q_common_lines, SQL_COMMON_LINES),
     "graph_stats": (q_graph_stats, SQL_GRAPH_STATS),
+    "quality_keepers": (q_quality_keepers, SQL_QUALITY_KEEPERS),
 }
 
 

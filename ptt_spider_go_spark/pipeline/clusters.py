@@ -138,3 +138,32 @@ def duplicate_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         "doc_id", "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
     )
+
+
+def quality_keepers(docs: DataFrame, pairs: DataFrame,
+                    quality: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, quality, keep): duplicate-cluster
+    representative selection by QUALITY — production pipelines keep
+    the best document of each near-dup cluster, not the smallest id
+    (the X15/X1 canonical-min rule is an id policy; this is the
+    curation policy: highest quality score wins, ties to the lower
+    doc_id so the choice stays total and oracle-exact).
+
+    Scale shape: components come from the same O(log d)
+    connected_components; the keeper per cluster is ONE
+    groupBy(cluster_id) of a lexicographic struct max
+    ((quality, -doc_id) — map-side partial max, no window over
+    cluster members, so a pathological million-document cluster
+    reduces instead of sorting), then an equi-join back on
+    cluster_id."""
+    comp = connected_components(docs.select("doc_id"), pairs)
+    scored = comp.join(quality.select("doc_id", "quality"), "doc_id")
+    keeper = scored.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("quality").alias("q"),
+                       (-F.col("doc_id")).alias("negid"))).alias("m")
+    ).select("cluster_id", (-F.col("m.negid")).alias("_keeper"))
+    return (
+        scored.join(keeper, "cluster_id")
+        .select("doc_id", "cluster_id", "quality",
+                (F.col("doc_id") == F.col("_keeper")).alias("keep"))
+    )

@@ -1230,3 +1230,24 @@ def test_drop_common_lines_threshold_boundary(spark):
     drop3 = textstats.drop_common_lines(docs, max_count=3)
     assert all(r["n_dropped"] == 1 and r["clean_text"] == "own %d" % r["doc_id"]
                for r in drop3.collect())
+
+
+def test_quality_keepers_policy(spark):
+    """Keeper = highest quality in the cluster, ties to lower doc_id;
+    singleton clusters keep themselves."""
+    from ptt_spider_go_spark.pipeline import clusters
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 9)],
+                                 "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)],
+                                  "doc_a long, doc_b long")
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (9, 0.1)],
+        "doc_id long, quality double",
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in clusters.quality_keepers(docs, pairs, quality)
+           .collect()}
+    # cluster {1,2,3}: 2 and 3 tie at 0.9 -> 2 (lower id) keeps
+    assert got == {1: (1, False), 2: (1, True), 3: (1, False),
+                   9: (9, True)}
