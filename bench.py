@@ -107,6 +107,7 @@ HEADLINE = [
     "common_lines",
     "graph_stats",
     "quality_keepers",
+    "sitemap_recrawl",
 ]
 
 

@@ -3965,6 +3965,69 @@ FROM cq JOIN k ON k.cluster_id = cq.cluster_id
 """
 
 
+def q_sitemap_recrawl(spark, sf_dir):
+    """lastmod-driven recrawl (X72): synthetic sitemap entries carry
+    date-only, datetime, absent, and malformed lastmod values against
+    a partial fetch log — new/stale/fresh/unknown and the due flag
+    must come out exactly (the X59 lastmod column's consumer)."""
+    from ptt_spider_go_spark.operators import recrawl
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("http://sm.example/u"), d)
+    dom = F.lpad((F.pmod(F.col("doc_id"), F.lit(28)) + 1).cast("string"),
+                 2, "0")
+    m = F.pmod(md5_long(F.concat(d, F.lit(":lm"))), F.lit(4))
+    lastmod = (
+        F.when(m == 0, F.concat(F.lit("2026-08-"), dom))
+        .when(m == 1, F.concat(F.lit("2026-08-"), dom, F.lit(" 06:00:00")))
+        .when(m == 2, F.lit(None).cast("string"))
+        .otherwise(F.lit("not-a-date"))
+    )
+    entries = docs.select(F.lit("url").alias("kind"), url.alias("url"),
+                          lastmod.alias("lastmod"))
+    fetched = docs.filter(
+        F.pmod(md5_long(F.concat(d, F.lit(":f"))), F.lit(3)) != 0
+    ).select(
+        url.alias("url"),
+        F.expr("timestamp'2026-08-10 00:00:00' "
+               "+ make_interval(0, 0, 0, CAST(doc_id % 20 AS INT))")
+        .alias("fetched_at"),
+    )
+    return recrawl.sitemap_recrawl(entries, fetched)
+
+
+SQL_SITEMAP_RECRAWL = f"""
+WITH e AS (
+  SELECT concat('http://sm.example/u', doc_id) AS url,
+         CASE {md5_long_sql("concat(doc_id, ':lm')")} % 4
+           WHEN 0 THEN '2026-08-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
+                                          2, '0')
+           WHEN 1 THEN '2026-08-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
+                                          2, '0') || ' 06:00:00'
+           WHEN 2 THEN NULL
+           ELSE 'not-a-date' END AS lastmod
+  FROM documents),
+f AS (
+  SELECT concat('http://sm.example/u', doc_id) AS url,
+         TIMESTAMP '2026-08-10 00:00:00'
+           + (doc_id % 20) * INTERVAL 1 DAY AS last_fetch
+  FROM documents
+  WHERE {md5_long_sql("concat(doc_id, ':f')")} % 3 <> 0),
+j AS (
+  SELECT e.url, TRY_CAST(lastmod AS TIMESTAMP) AS lastmod_ts, last_fetch
+  FROM e LEFT JOIN f ON f.url = e.url),
+s AS (
+  SELECT *, CASE WHEN last_fetch IS NULL THEN 'new'
+                 WHEN lastmod_ts IS NULL THEN 'unknown'
+                 WHEN lastmod_ts > last_fetch THEN 'stale'
+                 ELSE 'fresh' END AS status
+  FROM j)
+SELECT url, status, lastmod_ts, last_fetch,
+       status IN ('new', 'stale') AS due
+FROM s"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -4095,6 +4158,7 @@ QUERIES = {
     "common_lines": (q_common_lines, SQL_COMMON_LINES),
     "graph_stats": (q_graph_stats, SQL_GRAPH_STATS),
     "quality_keepers": (q_quality_keepers, SQL_QUALITY_KEEPERS),
+    "sitemap_recrawl": (q_sitemap_recrawl, SQL_SITEMAP_RECRAWL),
 }
 
 

@@ -150,3 +150,46 @@ def adaptive_host_ttls(rates: DataFrame, base_ttl_s: int,
                            raw.cast("long")))
     )
     return rates.select("host", ttl.alias("ttl_s"))
+
+
+def sitemap_recrawl(entries: DataFrame, fetch_log: DataFrame) -> DataFrame:
+    """(url, status, lastmod_ts, last_fetch, due): lastmod-driven
+    freshness — the consumer the X59 sitemap source's `lastmod` column
+    was parsed for. The sitemaps protocol lets a host DECLARE change
+    times; trusting the declaration (and re-verifying on fetch) is far
+    cheaper than probing on a TTL, so production schedulers drive
+    recrawl from it whenever present and fall back to TTLs (X56/X68)
+    otherwise.
+
+    status: 'new' (never fetched), 'stale' (declared lastmod is newer
+    than our last fetch), 'fresh' (we fetched at/after it), 'unknown'
+    (fetched, but lastmod absent or unparseable — W3C datetime is a
+    SHOULD, not a MUST); due = new | stale. try_cast handles the
+    protocol's date-only and datetime forms identically in both
+    engines; a malformed lastmod becomes 'unknown', never an error —
+    sitemap content is remote input.
+
+    Scale shape: one groupBy(url, max) collapses the fetch log, one
+    equi-join on url; timestamps compare exactly (UTC-pinned session,
+    no float time)."""
+    e = (
+        entries.filter(F.col("kind") == "url")
+        .select(
+            "url",
+            F.expr("try_cast(lastmod AS timestamp)").alias("lastmod_ts"),
+        )
+    )
+    f = fetch_log.groupBy("url").agg(
+        F.max(F.col("fetched_at").cast("timestamp")).alias("last_fetch")
+    )
+    status = (
+        F.when(F.col("last_fetch").isNull(), F.lit("new"))
+        .when(F.col("lastmod_ts").isNull(), F.lit("unknown"))
+        .when(F.col("lastmod_ts") > F.col("last_fetch"), F.lit("stale"))
+        .otherwise(F.lit("fresh"))
+    )
+    return (
+        e.join(f, "url", "left")
+        .select("url", status.alias("status"), "lastmod_ts", "last_fetch",
+                status.isin("new", "stale").alias("due"))
+    )

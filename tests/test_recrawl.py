@@ -155,3 +155,44 @@ def test_host_change_rates_and_ttls(spark):
     # 1e8 clamped to 1000; half: 200; fresh: NULL -> max.
     assert ttls == {"hot.example": 100, "cold.example": 1000,
                     "half.example": 200, "fresh.example": 1000}
+
+
+def test_sitemap_recrawl_statuses(spark):
+    """new / stale / fresh / unknown(absent) / unknown(malformed);
+    equality is fresh (fetched AT the declared time = verified); the
+    fetch log collapses to max(fetched_at) per url."""
+    from ptt_spider_go_spark.operators import recrawl
+
+    entries = spark.createDataFrame(
+        [
+            ("url", "u_new", "2026-08-15"),
+            ("url", "u_stale", "2026-08-15"),
+            ("url", "u_fresh", "2026-08-01"),
+            ("url", "u_eq", "2026-08-10"),
+            ("url", "u_nolm", None),
+            ("url", "u_bad", "next tuesday"),
+            ("sitemap", "nested.xml", "2026-08-15"),  # not a page entry
+        ],
+        "kind string, url string, lastmod string",
+    )
+    fetch = spark.createDataFrame(
+        [
+            ("u_stale", "2026-08-10 00:00:00"),
+            ("u_stale", "2026-08-01 00:00:00"),  # older row: max wins
+            ("u_fresh", "2026-08-10 00:00:00"),
+            ("u_eq", "2026-08-10 00:00:00"),
+            ("u_nolm", "2026-08-10 00:00:00"),
+            ("u_bad", "2026-08-10 00:00:00"),
+        ],
+        "url string, fetched_at string",
+    )
+    got = {r["url"]: (r["status"], r["due"])
+           for r in recrawl.sitemap_recrawl(entries, fetch).collect()}
+    assert got == {
+        "u_new": ("new", True),
+        "u_stale": ("stale", True),
+        "u_fresh": ("fresh", False),
+        "u_eq": ("fresh", False),
+        "u_nolm": ("unknown", False),
+        "u_bad": ("unknown", False),
+    }
