@@ -108,6 +108,7 @@ HEADLINE = [
     "graph_stats",
     "quality_keepers",
     "sitemap_recrawl",
+    "merge_snapshots",
 ]
 
 

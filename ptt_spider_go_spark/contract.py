@@ -4028,6 +4028,66 @@ SELECT url, status, lastmod_ts, last_fetch,
 FROM s"""
 
 
+def q_merge_snapshots(spark, sf_dir):
+    """Latest-wins snapshot merge (X73): base corpus + delta crawl
+    (re-fetched text 'v2' rows, including same-timestamp ties that
+    must go to the delta) minus tombstones — the per-cycle corpus
+    upsert, certified end to end."""
+    from ptt_spider_go_spark.operators import recrawl
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("http://c.example/u"), d)
+    base_ts = F.expr(
+        "timestamp'2026-08-01 00:00:00'"
+        " + make_interval(0, 0, 0, CAST(doc_id % 10 AS INT))"
+    )
+    base = docs.select(url.alias("url"), base_ts.alias("warc_ts"), "text")
+    in_delta = F.pmod(md5_long(F.concat(d, F.lit(":dl"))), F.lit(3)) == 0
+    tie = F.pmod(md5_long(F.concat(d, F.lit(":tie"))), F.lit(7)) == 0
+    delta = docs.filter(in_delta).select(
+        url.alias("url"),
+        F.when(tie, base_ts).otherwise(
+            F.expr("timestamp'2026-08-20 00:00:00'"
+                   " + make_interval(0, 0, 0, CAST(doc_id % 5 AS INT))")
+        ).alias("warc_ts"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+    )
+    gone = docs.filter(
+        F.pmod(md5_long(F.concat(d, F.lit(":rm"))), F.lit(13)) == 0
+    ).select(url.alias("url"))
+    return recrawl.merge_snapshots(base, delta, gone=gone)
+
+
+SQL_MERGE_SNAPSHOTS = f"""
+WITH base AS (
+  SELECT concat('http://c.example/u', doc_id) AS url,
+         TIMESTAMP '2026-08-01 00:00:00'
+           + (doc_id % 10) * INTERVAL 1 DAY AS warc_ts,
+         text, 0 AS _rank
+  FROM documents),
+delta AS (
+  SELECT concat('http://c.example/u', doc_id) AS url,
+         CASE WHEN {md5_long_sql("concat(doc_id, ':tie')")} % 7 = 0
+              THEN TIMESTAMP '2026-08-01 00:00:00'
+                   + (doc_id % 10) * INTERVAL 1 DAY
+              ELSE TIMESTAMP '2026-08-20 00:00:00'
+                   + (doc_id % 5) * INTERVAL 1 DAY END AS warc_ts,
+         text || ' v2' AS text, 1 AS _rank
+  FROM documents
+  WHERE {md5_long_sql("concat(doc_id, ':dl')")} % 3 = 0),
+gone AS (
+  SELECT concat('http://c.example/u', doc_id) AS url FROM documents
+  WHERE {md5_long_sql("concat(doc_id, ':rm')")} % 13 = 0),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+m AS (
+  SELECT url, max(struct_pack(warc_ts := warc_ts, _rank := _rank,
+                              text := text)) AS _m
+  FROM u GROUP BY url)
+SELECT url, (_m).warc_ts AS warc_ts, (_m).text AS text
+FROM m WHERE url NOT IN (SELECT url FROM gone)"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -4159,6 +4219,7 @@ QUERIES = {
     "graph_stats": (q_graph_stats, SQL_GRAPH_STATS),
     "quality_keepers": (q_quality_keepers, SQL_QUALITY_KEEPERS),
     "sitemap_recrawl": (q_sitemap_recrawl, SQL_SITEMAP_RECRAWL),
+    "merge_snapshots": (q_merge_snapshots, SQL_MERGE_SNAPSHOTS),
 }
 
 

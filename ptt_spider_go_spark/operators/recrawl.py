@@ -193,3 +193,45 @@ def sitemap_recrawl(entries: DataFrame, fetch_log: DataFrame) -> DataFrame:
         .select("url", status.alias("status"), "lastmod_ts", "last_fetch",
                 status.isin("new", "stale").alias("due"))
     )
+
+
+def merge_snapshots(base: DataFrame, delta: DataFrame,
+                    gone: DataFrame | None = None,
+                    url_col: str = "url",
+                    ts_col: str = "warc_ts") -> DataFrame:
+    """Corpus upsert without a table format: latest-wins merge of a
+    base snapshot and a fresh crawl delta, minus tombstones — the
+    maintenance operation a recrawling corpus runs every cycle (the
+    Iceberg MERGE of the north rule's table world, expressed as a
+    plain exact aggregation so it runs on bare parquet too).
+
+    Per URL the surviving row is max(struct(ts, src_rank, payload)):
+    newest timestamp wins; an equal-timestamp tie goes to the DELTA
+    (re-fetching at the same declared time means re-verification —
+    the fresh observation is authoritative); payload fields only
+    break never-reached ties, keeping the order total and the oracle
+    exact. `gone` (e.g. snapshot_diff's status='gone' URLs) anti-joins
+    away last, so a tombstone beats both sides.
+
+    Scale shape: one unionByName (no shuffle), ONE groupBy(url) with
+    map-side partial max — the struct max reduces instead of
+    windowing, so hot URLs with many observations never sort — and
+    one left-anti join. Schema-generic: every non-key column rides
+    inside the struct and comes back out with its own name."""
+    cols = [c for c in base.columns if c not in (url_col, ts_col)]
+    tagged = (
+        base.withColumn("_rank", F.lit(0))
+        .unionByName(delta.withColumn("_rank", F.lit(1)))
+    )
+    m = tagged.groupBy(url_col).agg(
+        F.max(F.struct(F.col(ts_col), F.col("_rank"),
+                       *[F.col(c) for c in cols])).alias("_m")
+    )
+    out = m.select(
+        url_col,
+        F.col(f"_m.{ts_col}").alias(ts_col),
+        *[F.col(f"_m.{c}").alias(c) for c in cols],
+    )
+    if gone is not None:
+        out = out.join(gone.select(url_col), url_col, "left_anti")
+    return out

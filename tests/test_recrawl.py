@@ -2,6 +2,8 @@
 parity additionally enforced on `recrawl_due` by the driver contract.)
 """
 
+from pyspark.sql import functions as F
+
 from ptt_spider_go_spark.operators import recrawl
 
 
@@ -195,4 +197,38 @@ def test_sitemap_recrawl_statuses(spark):
         "u_eq": ("fresh", False),
         "u_nolm": ("unknown", False),
         "u_bad": ("unknown", False),
+    }
+
+
+def test_merge_snapshots_semantics(spark):
+    """Newest ts wins; same-ts tie goes to the delta; base-only and
+    delta-only rows survive; tombstone beats both sides."""
+    from ptt_spider_go_spark.operators import recrawl
+
+    base = spark.createDataFrame(
+        [("u1", "2026-08-01 00:00:00", "old1"),
+         ("u2", "2026-08-05 00:00:00", "newer-in-base"),
+         ("u3", "2026-08-01 00:00:00", "tie-base"),
+         ("u4", "2026-08-01 00:00:00", "only-base"),
+         ("u5", "2026-08-01 00:00:00", "doomed")],
+        "url string, warc_ts string, text string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    delta = spark.createDataFrame(
+        [("u1", "2026-08-20 00:00:00", "new1"),
+         ("u2", "2026-08-02 00:00:00", "older-in-delta"),
+         ("u3", "2026-08-01 00:00:00", "tie-delta"),
+         ("u6", "2026-08-20 00:00:00", "only-delta"),
+         ("u5", "2026-08-20 00:00:00", "doomed-too")],
+        "url string, warc_ts string, text string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    gone = spark.createDataFrame([("u5",)], "url string")
+    got = {r["url"]: r["text"]
+           for r in recrawl.merge_snapshots(base, delta, gone=gone)
+           .collect()}
+    assert got == {
+        "u1": "new1",            # newer delta wins
+        "u2": "newer-in-base",   # newer base wins over older delta
+        "u3": "tie-delta",       # equal ts -> delta authoritative
+        "u4": "only-base",
+        "u6": "only-delta",
     }
