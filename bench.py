@@ -109,6 +109,8 @@ HEADLINE = [
     "quality_keepers",
     "sitemap_recrawl",
     "merge_snapshots",
+    "resolve_redirects",
+    "soft404",
 ]
 
 

@@ -4088,6 +4088,137 @@ SELECT url, (_m).warc_ts AS warc_ts, (_m).text AS text
 FROM m WHERE url NOT IN (SELECT url FROM gone)"""
 
 
+def q_resolve_redirects(spark, sf_dir):
+    """Redirect-chain resolution (X74): deterministic synthetic 3xx
+    chains of length 0..8 (one chain per 8 doc_ids, every 5th chain
+    closed into a cycle) resolved by pointer doubling at max_hops=6 —
+    exercising exact hop counts, terminals, over-cap chains AND cycles
+    against the recursive-CTE oracle."""
+    from ptt_spider_go_spark.operators import redirects
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("pos"),
+        (F.expr("doc_id div 8") % 9).alias("chain_len"),
+        (F.expr("doc_id div 8") % 5).alias("c5"),
+    )
+
+    def u(c):
+        return F.concat(F.lit("http://r.example/u"), c.cast("string"))
+
+    chain = d.where("pos < chain_len").select(
+        u(F.col("doc_id")).alias("src"),
+        u(F.col("doc_id") + 1).alias("dst"),
+    )
+    closer = d.where("pos = chain_len AND chain_len > 0 AND c5 = 0").select(
+        u(F.col("doc_id")).alias("src"),
+        u(F.col("doc_id") - F.col("chain_len")).alias("dst"),
+    )
+    return redirects.resolve_redirects(
+        chain.unionByName(closer), max_hops=6
+    )
+
+
+SQL_RESOLVE_REDIRECTS = """
+WITH RECURSIVE
+d AS (SELECT doc_id, doc_id % 8 AS pos,
+             (doc_id // 8) % 9 AS chain_len,
+             (doc_id // 8) % 5 AS c5
+      FROM documents),
+e AS (
+  SELECT concat('http://r.example/u', doc_id) AS src,
+         concat('http://r.example/u', doc_id + 1) AS dst
+  FROM d WHERE pos < chain_len
+  UNION ALL
+  SELECT concat('http://r.example/u', doc_id),
+         concat('http://r.example/u', doc_id - chain_len)
+  FROM d WHERE pos = chain_len AND chain_len > 0 AND c5 = 0),
+-- explicit DISTINCT: inside a WITH RECURSIVE block DuckDB 1.0 gives
+-- a two-branch UNION cte recursive-union treatment (no dedup)
+nodes AS (SELECT DISTINCT url FROM
+          (SELECT src AS url FROM e UNION ALL SELECT dst FROM e)),
+walk(url, cur, hops) AS (
+  SELECT url, url, 0 FROM nodes
+  UNION ALL
+  SELECT w.url, e.dst, w.hops + 1
+  FROM walk w JOIN e ON e.src = w.cur
+  WHERE w.hops < 6),
+term AS (
+  SELECT w.url, w.cur, w.hops
+  FROM walk w ANTI JOIN e ON e.src = w.cur)
+SELECT n.url AS url, t.cur AS final_url, CAST(t.hops AS INT) AS hops,
+       CASE WHEN t.url IS NULL THEN 'capped' ELSE 'ok' END AS status
+FROM nodes n LEFT JOIN term t ON t.url = n.url"""
+
+
+def q_soft404(spark, sf_dir):
+    """Soft-404 detection (X75): synthetic fetch outcomes over the
+    documents table — 1/10 get a not-found phrase appended (true soft
+    404), 1/10 return a proper 404, 1/10 collapse to a tiny 'gone'
+    stub (the length signal), the rest are honest 200s — scored by
+    keyword hits + the integer-exact tiny-for-host test."""
+    from ptt_spider_go_spark.operators import soft404
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("http://h"),
+                   (F.col("doc_id") % 37).cast("string"),
+                   F.lit(".example/p"), d)
+    m = F.pmod(md5_long(F.concat(d, F.lit(":s4"))), F.lit(10))
+    status = F.when(m == 1, F.lit(404)).otherwise(F.lit(200))
+    text = (
+        F.when(m == 0, F.concat(
+            F.col("text"),
+            F.lit(" Page Not Found: the requested URL does not exist")))
+        .when(m == 2, F.lit("gone"))
+        .otherwise(F.col("text"))
+    )
+    pages = docs.select(url.alias("url"), status.alias("status"),
+                        text.alias("text"))
+    return soft404.soft404_scores(pages)
+
+
+SQL_SOFT404 = f"""
+WITH p AS (
+  SELECT concat('http://h', doc_id % 37, '.example/p', doc_id) AS url,
+         'h' || (doc_id % 37) || '.example' AS host,
+         CASE WHEN {md5_long_sql("concat(doc_id, ':s4')")} % 10 = 1
+              THEN 404 ELSE 200 END AS status,
+         CASE {md5_long_sql("concat(doc_id, ':s4')")} % 10
+           WHEN 0 THEN text ||
+                ' Page Not Found: the requested URL does not exist'
+           WHEN 2 THEN 'gone'
+           ELSE text END AS text
+  FROM documents),
+b AS (
+  SELECT url, host, CAST(status AS INT) AS status,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(
+           (CASE WHEN contains(lower(text), 'page not found')
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN contains(lower(text), '404 not found')
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN contains(lower(text), 'error 404')
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN contains(lower(text), 'does not exist')
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN contains(lower(text), 'no longer available')
+                 THEN 1 ELSE 0 END) AS INT) AS kw_hits
+  FROM p),
+hs AS (
+  SELECT host, count(*) AS _cnt, sum(n_chars) AS _total
+  FROM b WHERE status = 200 GROUP BY host),
+s AS (
+  SELECT b.*,
+         (b.status = 200 AND
+          5 * b.n_chars * hs._cnt < hs._total) AS tiny
+  FROM b LEFT JOIN hs ON hs.host = b.host)
+SELECT url, host, status, n_chars, kw_hits, tiny,
+       (status = 200 AND (kw_hits >= 1 OR tiny)) AS soft404
+FROM s"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -4220,6 +4351,8 @@ QUERIES = {
     "quality_keepers": (q_quality_keepers, SQL_QUALITY_KEEPERS),
     "sitemap_recrawl": (q_sitemap_recrawl, SQL_SITEMAP_RECRAWL),
     "merge_snapshots": (q_merge_snapshots, SQL_MERGE_SNAPSHOTS),
+    "resolve_redirects": (q_resolve_redirects, SQL_RESOLVE_REDIRECTS),
+    "soft404": (q_soft404, SQL_SOFT404),
 }
 
 
