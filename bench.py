@@ -111,6 +111,8 @@ HEADLINE = [
     "merge_snapshots",
     "resolve_redirects",
     "soft404",
+    "justext_lines",
+    "sniff_charset",
 ]
 
 

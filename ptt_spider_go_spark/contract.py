@@ -4219,6 +4219,143 @@ SELECT url, host, status, n_chars, kw_hits, tiny,
 FROM s"""
 
 
+_JX_NAV = "menu products pricing contact"
+_JX_STUB = "ok fine"
+_JX_GOOD = ("this is the main content of the page and it is written"
+            " for the reader")
+_JX_NEAR = "more of the same here"
+_JX_TAIL = "copyright example corp all rights reserved"
+
+
+def q_justext(spark, sf_dir):
+    """jusText-style line classification (X77): four deterministic
+    line arrangements (nav/stub/good/near/tail + the raw document
+    text) so every class and both context-rescue directions fire;
+    the integer density test and edge-NULL lag/lead must match the
+    windowed SQL exactly."""
+    from ptt_spider_go_spark.pipeline import justext
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    m = F.pmod(md5_long(F.concat(d, F.lit(":jx"))), F.lit(4))
+
+    def j(*ls):
+        return F.concat_ws("\n", *[F.lit(x) for x in ls], F.col("text"))
+
+    arr = (
+        F.when(m == 0, j(_JX_NAV, _JX_GOOD, _JX_NEAR, _JX_TAIL))
+        .when(m == 1, j(_JX_NAV, _JX_NEAR, _JX_STUB, _JX_TAIL))
+        .when(m == 2, j(_JX_STUB, _JX_GOOD, _JX_TAIL, _JX_NEAR))
+        .otherwise(j(_JX_NAV, _JX_TAIL, _JX_GOOD, _JX_STUB))
+    )
+    return justext.justext_lines(docs.select("doc_id", arr.alias("text")))
+
+
+from ptt_spider_go_spark.pipeline.justext import JUSTEXT_STOPWORDS
+
+_JX_SW_SQL = "[" + ", ".join(
+    f"'{w}'" for w in JUSTEXT_STOPWORDS) + "]"
+
+SQL_JUSTEXT = f"""
+WITH jd AS (
+  SELECT doc_id,
+         CASE {md5_long_sql("concat(doc_id, ':jx')")} % 4
+           WHEN 0 THEN '{_JX_NAV}' || chr(10) || '{_JX_GOOD}' || chr(10)
+                    || '{_JX_NEAR}' || chr(10) || '{_JX_TAIL}'
+           WHEN 1 THEN '{_JX_NAV}' || chr(10) || '{_JX_NEAR}' || chr(10)
+                    || '{_JX_STUB}' || chr(10) || '{_JX_TAIL}'
+           WHEN 2 THEN '{_JX_STUB}' || chr(10) || '{_JX_GOOD}' || chr(10)
+                    || '{_JX_TAIL}' || chr(10) || '{_JX_NEAR}'
+           ELSE '{_JX_NAV}' || chr(10) || '{_JX_TAIL}' || chr(10)
+                    || '{_JX_GOOD}' || chr(10) || '{_JX_STUB}'
+         END || chr(10) || text AS text
+  FROM documents),
+l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM jd),
+l1 AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls
+       FROM l0),
+sc AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, ls[i] AS line,
+         CAST(len(list_filter(
+             regexp_split_to_array(trim(ls[i]), '\\s+'),
+             x -> x <> '')) AS INT) AS n_tok,
+         CAST(len(list_filter(list_filter(
+             regexp_split_to_array(trim(lower(ls[i])), '\\s+'),
+             x -> x <> ''),
+             x -> list_contains({_JX_SW_SQL}, x))) AS INT) AS sw_cnt
+  FROM l1),
+c AS (
+  SELECT *, CASE WHEN n_tok < 3 THEN 'short'
+                 WHEN sw_cnt * 1000 >= n_tok * 300 THEN
+                   CASE WHEN n_tok >= 8 THEN 'good' ELSE 'near_good' END
+                 ELSE 'bad' END AS ctx_class
+  FROM sc),
+f AS (
+  SELECT *,
+         lag(ctx_class) OVER (PARTITION BY doc_id ORDER BY pos) AS _p,
+         lead(ctx_class) OVER (PARTITION BY doc_id ORDER BY pos) AS _n
+  FROM c),
+g AS (
+  SELECT doc_id, pos, line, n_tok, sw_cnt, ctx_class,
+         CASE WHEN ctx_class IN ('good', 'bad') THEN ctx_class
+              WHEN _p = 'good' OR _n = 'good' THEN 'good'
+              ELSE 'bad' END AS cls
+  FROM f)
+SELECT doc_id, pos, line, n_tok, sw_cnt, ctx_class, cls,
+       (cls = 'good') AS kept
+FROM g"""
+
+
+def q_sniff_charset(spark, sf_dir):
+    """Charset sniffing (X76): REAL bytes — UTF-8/UTF-16 BOMs spliced
+    in with unhex, an HTTP charset param, an in-band meta tag, and a
+    bare default — sniffed by the WHATWG precedence chain; the oracle
+    derives the expected answer INDEPENDENTLY from the branch
+    selector, so the byte-level parse is cross-checked, not
+    mirrored."""
+    from ptt_spider_go_spark.htmlparse import charset
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    m = F.pmod(md5_long(F.concat(d, F.lit(":cs"))), F.lit(5))
+    body = F.concat(F.lit("<html><body>"), F.col("text"))
+    html = (
+        F.when(m == 0, F.concat(F.unhex(F.lit("EFBBBF")),
+                                F.encode(body, "UTF-8")))
+        .when(m == 1, F.concat(F.unhex(F.lit("FFFE")),
+                               F.encode(body, "UTF-8")))
+        .when(m == 3, F.encode(
+            F.concat(F.lit('<head><meta charset="Big5"></head>'), body),
+            "UTF-8"))
+        .otherwise(F.encode(body, "UTF-8"))
+    )
+    ct = (
+        F.when(m == 2, F.lit("text/html; charset=ISO-8859-1"))
+        .otherwise(F.lit("text/html"))
+    )
+    resp = docs.select(
+        F.concat(F.lit("http://cs.example/p"), d).alias("url"),
+        ct.alias("content_type"), html.alias("html"),
+    )
+    return charset.sniff_charset(resp)
+
+
+SQL_SNIFF_CHARSET = f"""
+SELECT concat('http://cs.example/p', doc_id) AS url,
+       CASE {md5_long_sql("concat(doc_id, ':cs')")} % 5
+         WHEN 0 THEN 'utf-8'
+         WHEN 1 THEN 'utf-16le'
+         WHEN 2 THEN 'iso-8859-1'
+         WHEN 3 THEN 'big5'
+         ELSE 'windows-1252' END AS charset,
+       CASE {md5_long_sql("concat(doc_id, ':cs')")} % 5
+         WHEN 0 THEN 'bom'
+         WHEN 1 THEN 'bom'
+         WHEN 2 THEN 'http'
+         WHEN 3 THEN 'meta'
+         ELSE 'default' END AS source
+FROM documents"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -4353,6 +4490,8 @@ QUERIES = {
     "merge_snapshots": (q_merge_snapshots, SQL_MERGE_SNAPSHOTS),
     "resolve_redirects": (q_resolve_redirects, SQL_RESOLVE_REDIRECTS),
     "soft404": (q_soft404, SQL_SOFT404),
+    "justext_lines": (q_justext, SQL_JUSTEXT),
+    "sniff_charset": (q_sniff_charset, SQL_SNIFF_CHARSET),
 }
 
 
