@@ -113,6 +113,8 @@ HEADLINE = [
     "soft404",
     "justext_lines",
     "sniff_charset",
+    "revalidation_plan",
+    "dust_params",
 ]
 
 

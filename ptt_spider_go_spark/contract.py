@@ -4356,6 +4356,142 @@ SELECT concat('http://cs.example/p', doc_id) AS url,
 FROM documents"""
 
 
+def q_revalidation(spark, sf_dir):
+    """Conditional-request planning (X78): a two-generation fetch log
+    (the newer generation must win WHOLESALE — its missing ETag falls
+    back to ITS Last-Modified, never the older row's), empty-string
+    ETags treated as absent; the oracle derives mode/validator
+    independently from the branch selectors."""
+    from ptt_spider_go_spark.operators import recrawl
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("http://rv.example/u"), d)
+
+    def mod(salt, n):
+        return F.pmod(md5_long(F.concat(d, F.lit(salt))), F.lit(n))
+
+    e1 = (F.when(mod(":e1", 3) == 0,
+                 F.concat(F.lit('"e1-'), d, F.lit('"')))
+          .when(mod(":e1", 3) == 1, F.lit(""))
+          .otherwise(F.lit(None).cast("string")))
+    l1 = F.when(mod(":l1", 2) == 0,
+                F.concat(F.lit("Sat, 01 Aug 2026 0"),
+                         (F.col("doc_id") % 10).cast("string"),
+                         F.lit(":00:00 GMT")))
+    gen1 = docs.select(
+        url.alias("url"),
+        F.expr("timestamp'2026-08-01 00:00:00'"
+               " + make_interval(0, 0, 0, CAST(doc_id % 10 AS INT))")
+        .alias("fetched_at"),
+        e1.alias("etag"), l1.alias("last_modified"),
+    )
+    e2 = F.when(mod(":e2", 4) == 0,
+                F.concat(F.lit('"e2-'), d, F.lit('"')))
+    l2 = F.when(mod(":l2", 3) == 0, F.lit("Fri, 15 Aug 2026 12:00:00 GMT"))
+    gen2 = docs.filter(mod(":g2", 2) == 0).select(
+        url.alias("url"),
+        F.expr("timestamp'2026-08-15 00:00:00'"
+               " + make_interval(0, 0, 0, CAST(doc_id % 5 AS INT))")
+        .alias("fetched_at"),
+        e2.alias("etag"), l2.alias("last_modified"),
+    )
+    return recrawl.revalidation_plan(gen1.unionByName(gen2))
+
+
+SQL_REVALIDATION = f"""
+WITH s AS (
+  SELECT doc_id,
+         {md5_long_sql("concat(doc_id, ':g2')")} % 2 = 0 AS in2,
+         {md5_long_sql("concat(doc_id, ':e1')")} % 3 = 0 AS he1,
+         {md5_long_sql("concat(doc_id, ':l1')")} % 2 = 0 AS hl1,
+         {md5_long_sql("concat(doc_id, ':e2')")} % 4 = 0 AS he2,
+         {md5_long_sql("concat(doc_id, ':l2')")} % 3 = 0 AS hl2
+  FROM documents),
+w AS (
+  SELECT doc_id,
+         CASE WHEN in2 THEN he2 ELSE he1 END AS has_etag,
+         CASE WHEN in2 THEN hl2 ELSE hl1 END AS has_lm,
+         CASE WHEN in2 THEN '"e2-' || doc_id || '"'
+              ELSE '"e1-' || doc_id || '"' END AS ev,
+         CASE WHEN in2 THEN 'Fri, 15 Aug 2026 12:00:00 GMT'
+              ELSE 'Sat, 01 Aug 2026 0' || (doc_id % 10)
+                   || ':00:00 GMT' END AS lv
+  FROM s)
+SELECT concat('http://rv.example/u', doc_id) AS url,
+       CASE WHEN has_etag THEN 'if-none-match'
+            WHEN has_lm THEN 'if-modified-since'
+            ELSE 'unconditional' END AS mode,
+       CASE WHEN has_etag THEN ev
+            WHEN has_lm THEN lv END AS validator
+FROM w"""
+
+
+def q_dust(spark, sf_dir):
+    """DUST parameter mining (X79): four URL spellings per content id
+    — bare, +sessionid, +utm_source&page, +page — hashed so that
+    `page` changes content while `sessionid`/`utm_source` do not;
+    only the two irrelevant parameters may surface, with one support
+    unit per duplicate-content group."""
+    from ptt_spider_go_spark.operators import dust
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    cid = F.expr("doc_id div 4")
+    m = F.col("doc_id") % 4
+    base = F.concat(F.lit("http://d"), (cid % 7).cast("string"),
+                    F.lit(".example/a"), cid.cast("string"))
+    q = (F.when(m == 1, F.concat(F.lit("?sessionid="), d))
+         .when(m == 2, F.lit("?utm_source=x&page=1"))
+         .when(m == 3, F.lit("?page=1"))
+         .otherwise(F.lit("")))
+    pagepart = F.when(m.isin(2, 3), F.lit("1")).otherwise(F.lit("0"))
+    pages = docs.select(
+        F.concat(base, q).alias("url"),
+        F.md5(F.concat(cid.cast("string"), F.lit(":"), pagepart))
+        .alias("content_hash"),
+    )
+    return dust.dust_params(pages)
+
+
+SQL_DUST = """
+WITH p AS (
+  SELECT doc_id, doc_id // 4 AS cid, doc_id % 4 AS m FROM documents),
+u AS (
+  SELECT 'd' || (cid % 7) || '.example' AS host,
+         'http://d' || (cid % 7) || '.example/a' || cid AS path,
+         CASE m WHEN 1 THEN 'sessionid=' || doc_id
+                WHEN 2 THEN 'utm_source=x&page=1'
+                WHEN 3 THEN 'page=1' ELSE '' END AS q,
+         md5(cid || ':' || CASE WHEN m IN (2, 3) THEN '1' ELSE '0' END)
+           AS content_hash
+  FROM p),
+uu AS (
+  SELECT DISTINCT host, path, content_hash,
+         path || CASE WHEN q = '' THEN '' ELSE '?' || q END AS url, q
+  FROM u),
+sizes AS (
+  SELECT host, path, content_hash, count(DISTINCT url) AS n
+  FROM uu GROUP BY host, path, content_hash),
+pp AS (
+  SELECT DISTINCT uu.url, uu.host, uu.path, uu.content_hash,
+         unnest(list_filter(
+             list_transform(string_split(q, '&'),
+                            x -> string_split(x, '=')[1]),
+             x -> x <> '')) AS param
+  FROM uu),
+wp AS (
+  SELECT pp.host, pp.path, pp.content_hash, param,
+         count(DISTINCT pp.url) AS n_with, any_value(n) AS n
+  FROM pp JOIN sizes ON sizes.host = pp.host AND sizes.path = pp.path
+       AND sizes.content_hash = pp.content_hash
+  WHERE n >= 2
+  GROUP BY pp.host, pp.path, pp.content_hash, param)
+SELECT host, param, CAST(count(*) AS BIGINT) AS support
+FROM wp WHERE n_with < n
+GROUP BY host, param HAVING count(*) >= 2"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -4492,6 +4628,8 @@ QUERIES = {
     "soft404": (q_soft404, SQL_SOFT404),
     "justext_lines": (q_justext, SQL_JUSTEXT),
     "sniff_charset": (q_sniff_charset, SQL_SNIFF_CHARSET),
+    "revalidation_plan": (q_revalidation, SQL_REVALIDATION),
+    "dust_params": (q_dust, SQL_DUST),
 }
 
 

@@ -235,3 +235,40 @@ def merge_snapshots(base: DataFrame, delta: DataFrame,
     if gone is not None:
         out = out.join(gone.select(url_col), url_col, "left_anti")
     return out
+
+
+def revalidation_plan(fetch_log: DataFrame) -> DataFrame:
+    """(url, mode, validator): the conditional-request plan for the
+    next visit to every URL in the fetch log — the bandwidth half of
+    recrawl scheduling. The scheduler decides WHEN (recrawl_due /
+    sitemap_recrawl / adaptive TTLs); this decides HOW: a 304 Not
+    Modified costs headers, a 200 re-download costs the full body,
+    and at 100 TB the difference is the crawl budget.
+
+    Per RFC 9110 §13.1.2 a cached ETag is the preferred validator
+    (If-None-Match), Last-Modified the fallback (If-Modified-Since),
+    and with neither the fetch is unconditional. `fetch_log` needs
+    (url, fetched_at, etag, last_modified) — validator columns
+    nullable; empty strings are treated as absent (proxies love
+    emitting `ETag: ""`). The newest observation per URL wins, ties
+    broken inside the struct so the order is total and oracle-exact.
+
+    Scale shape: ONE groupBy(url) with map-side partial struct-max
+    (merge_snapshots' reduce-not-sort shape) + one projection."""
+    clean = fetch_log.select(
+        "url", "fetched_at",
+        *[F.when(F.col(c) == "", None).otherwise(F.col(c)).alias(c)
+          for c in ("etag", "last_modified")],
+    )
+    m = clean.groupBy("url").agg(
+        F.max(F.struct("fetched_at", "etag", "last_modified")).alias("_m")
+    )
+    etag = F.col("_m.etag")
+    lm = F.col("_m.last_modified")
+    return m.select(
+        "url",
+        F.when(etag.isNotNull(), F.lit("if-none-match"))
+        .when(lm.isNotNull(), F.lit("if-modified-since"))
+        .otherwise(F.lit("unconditional")).alias("mode"),
+        F.coalesce(etag, lm).alias("validator"),
+    )
