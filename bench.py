@@ -115,6 +115,9 @@ HEADLINE = [
     "sniff_charset",
     "revalidation_plan",
     "dust_params",
+    "rel_canonical",
+    "canonical_groups",
+    "script_mix",
 ]
 
 

@@ -4492,6 +4492,135 @@ FROM wp WHERE n_with < n
 GROUP BY host, param HAVING count(*) >= 2"""
 
 
+def _canonical_pages(sf_dir_docs):
+    """Five claim spellings over one alias group per doc_id//3: both
+    attribute orders, absolute / root-relative / scheme-relative /
+    directory-relative hrefs, and a claimless page."""
+    d = F.col("doc_id").cast("string")
+    g = F.expr("doc_id div 3").cast("string")
+    m = F.pmod(md5_long(F.concat(d, F.lit(":cn"))), F.lit(5))
+    url = F.concat(F.lit("http://cn.example/dir/p"), d)
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit('<html><head><link rel="canonical" '
+                  'href="http://cn.example/canon'), g,
+            F.lit('"></head><body>x</body></html>')))
+        .when(m == 1, F.concat(
+            F.lit('<head><link href="/canon'), g,
+            F.lit('" rel=canonical></head>')))
+        .when(m == 2, F.concat(
+            F.lit("<link rel='canonical' href='//cn.example/canon"), g,
+            F.lit("'>")))
+        .when(m == 3, F.concat(
+            F.lit('<link rel="canonical" href="canon'), g, F.lit('">')))
+        .otherwise(F.lit("<html><body>no claim</body></html>"))
+    )
+    return sf_dir_docs.select(url.alias("url"), html.alias("html"))
+
+
+def q_rel_canonical(spark, sf_dir):
+    """rel=canonical extraction (X80): the oracle derives every
+    canonical INDEPENDENTLY from the branch selector while Spark
+    regex-parses the HTML — absolute, root-relative, scheme-relative
+    and directory-relative hrefs must all resolve; the first three
+    spellings must collapse to the SAME alias key."""
+    from ptt_spider_go_spark.htmlparse import canonical
+
+    return canonical.canonical_claims(
+        _canonical_pages(_t(spark, sf_dir, "documents")))
+
+
+_SQL_CANONICAL_CLAIMS = f"""
+  SELECT concat('http://cn.example/dir/p', doc_id) AS url,
+         {md5_long_sql("concat(doc_id, ':cn')")} % 5 AS m,
+         CASE {md5_long_sql("concat(doc_id, ':cn')")} % 5
+           WHEN 0 THEN 'http://cn.example/canon' || (doc_id // 3)
+           WHEN 1 THEN 'http://cn.example/canon' || (doc_id // 3)
+           WHEN 2 THEN 'http://cn.example/canon' || (doc_id // 3)
+           WHEN 3 THEN 'http://cn.example/dir/canon' || (doc_id // 3)
+           ELSE concat('http://cn.example/dir/p', doc_id)
+         END AS canonical
+  FROM documents"""
+
+SQL_REL_CANONICAL = f"""
+WITH c AS ({_SQL_CANONICAL_CLAIMS})
+SELECT url, canonical, (m <> 4) AS claimed,
+       (canonical = url) AS is_self
+FROM c"""
+
+
+def q_canonical_groups(spark, sf_dir):
+    """Alias-group rollup (X80b): the three alias spellings of each
+    group key must count together; claimless pages form fetched
+    singletons, claimed groups have no fetched representative (their
+    canonical target is a frontier enqueue, not a dedup)."""
+    from ptt_spider_go_spark.htmlparse import canonical
+
+    return canonical.canonical_groups(canonical.canonical_claims(
+        _canonical_pages(_t(spark, sf_dir, "documents"))))
+
+
+SQL_CANONICAL_GROUPS = f"""
+WITH c AS ({_SQL_CANONICAL_CLAIMS})
+SELECT canonical, CAST(count(*) AS BIGINT) AS n_pages,
+       max(canonical = url) AS rep_fetched
+FROM c GROUP BY canonical"""
+
+
+def q_script_mix(spark, sf_dir):
+    """Unicode-script composition (X81): deterministic CJK/Cyrillic
+    runs appended to the Latin base corpus (one branch replaces the
+    text with digits so dominant='none' fires); counts per literal
+    codepoint range must be char-exact in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    m = F.pmod(md5_long(F.concat(d, F.lit(":sm"))), F.lit(4))
+    text = (
+        F.when(m == 0, F.concat(
+            F.col("text"),
+            F.expr("repeat('你好世界', CAST((doc_id % 40) * 8 AS INT))")))
+        .when(m == 1, F.concat(
+            F.col("text"),
+            F.expr("repeat('привет', CAST((doc_id % 40) * 8 AS INT))")))
+        .when(m == 2, F.concat(
+            F.col("text"),
+            F.expr("repeat('你好', CAST((doc_id % 20) * 5 AS INT))"),
+            F.expr("repeat('мир', CAST((doc_id % 20) * 5 AS INT))")))
+        .otherwise(F.lit("1234567890 —— 5678"))
+    )
+    return textstats.script_mix(docs.select("doc_id", text.alias("text")))
+
+
+SQL_SCRIPT_MIX = f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE {md5_long_sql("concat(doc_id, ':sm')")} % 4
+           WHEN 0 THEN text || repeat('你好世界', (doc_id % 40) * 8)
+           WHEN 1 THEN text || repeat('привет', (doc_id % 40) * 8)
+           WHEN 2 THEN text || repeat('你好', (doc_id % 20) * 5)
+                         || repeat('мир', (doc_id % 20) * 5)
+           ELSE '1234567890 —— 5678' END AS text
+  FROM documents),
+c AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT)
+           AS n_latin,
+         CAST(len(regexp_extract_all(text, '[一-鿿]')) AS BIGINT)
+           AS n_cjk,
+         CAST(len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS BIGINT)
+           AS n_cyrillic
+  FROM s)
+SELECT doc_id, n_chars, n_latin, n_cjk, n_cyrillic,
+       n_chars - n_latin - n_cjk - n_cyrillic AS n_other,
+       CASE WHEN n_latin = 0 AND n_cjk = 0 AND n_cyrillic = 0
+              THEN 'none'
+            WHEN n_latin >= n_cjk AND n_latin >= n_cyrillic
+              THEN 'latin'
+            WHEN n_cjk >= n_cyrillic THEN 'cjk'
+            ELSE 'cyrillic' END AS dominant
+FROM c"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -4630,6 +4759,9 @@ QUERIES = {
     "sniff_charset": (q_sniff_charset, SQL_SNIFF_CHARSET),
     "revalidation_plan": (q_revalidation, SQL_REVALIDATION),
     "dust_params": (q_dust, SQL_DUST),
+    "rel_canonical": (q_rel_canonical, SQL_REL_CANONICAL),
+    "canonical_groups": (q_canonical_groups, SQL_CANONICAL_GROUPS),
+    "script_mix": (q_script_mix, SQL_SCRIPT_MIX),
 }
 
 

@@ -1307,3 +1307,52 @@ def drop_common_lines(docs: DataFrame, max_count: int = 100,
             .cast("long").alias("n_dropped"),
         )
     )
+
+
+def script_mix(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_latin, n_cjk, n_cyrillic, n_other,
+    dominant): Unicode-script composition per document — the signal a
+    multilingual 100 TB pipeline routes on BEFORE any language model
+    runs (script is cheap and unambiguous; stopword language-ID (X9)
+    only works within an alphabet it knows, and CJK/Cyrillic routing
+    to the right tokenizer/quality stack happens here).
+
+    Counts are per CHARACTER over explicit literal codepoint ranges —
+    Basic Latin letters, the CJK Unified Ideographs block
+    (U+4E00-U+9FFF), the Cyrillic block (U+0400-U+04FF) — the same
+    range literals the DuckDB oracle uses, so no engine-specific
+    \\p{script=...} class semantics are in play. n_other is the exact
+    remainder (digits, punctuation, whitespace, everything else);
+    the four counts always sum to n_chars.
+
+    `dominant` picks the largest SCRIPT count (latin/cjk/cyrillic)
+    with a deterministic tie order, or 'none' when the document has
+    no script characters at all — total order, oracle-exact.
+
+    Scale shape: a pure projection (regexp_extract_all + size per
+    class, JVM-side); no shuffle, no UDF, fuses into the scan."""
+    n_latin = F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]"), 0))
+    n_cjk = F.size(F.regexp_extract_all(
+        "text", F.lit("[一-鿿]"), 0))
+    n_cyr = F.size(F.regexp_extract_all(
+        "text", F.lit("[Ѐ-ӿ]"), 0))
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_latin.cast("bigint").alias("n_latin"),
+        n_cjk.cast("bigint").alias("n_cjk"),
+        n_cyr.cast("bigint").alias("n_cyrillic"),
+    ).withColumn(
+        "n_other",
+        F.col("n_chars") - F.col("n_latin") - F.col("n_cjk")
+        - F.col("n_cyrillic"),
+    )
+    dom = (
+        F.when((F.col("n_latin") == 0) & (F.col("n_cjk") == 0)
+               & (F.col("n_cyrillic") == 0), F.lit("none"))
+        .when((F.col("n_latin") >= F.col("n_cjk"))
+              & (F.col("n_latin") >= F.col("n_cyrillic")), F.lit("latin"))
+        .when(F.col("n_cjk") >= F.col("n_cyrillic"), F.lit("cjk"))
+        .otherwise(F.lit("cyrillic"))
+    )
+    return base.withColumn("dominant", dom)
