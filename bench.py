@@ -118,6 +118,7 @@ HEADLINE = [
     "rel_canonical",
     "canonical_groups",
     "script_mix",
+    "host_panel",
 ]
 
 

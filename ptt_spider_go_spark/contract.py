@@ -4152,15 +4152,11 @@ SELECT n.url AS url, t.cur AS final_url, CAST(t.hops AS INT) AS hops,
 FROM nodes n LEFT JOIN term t ON t.url = n.url"""
 
 
-def q_soft404(spark, sf_dir):
-    """Soft-404 detection (X75): synthetic fetch outcomes over the
-    documents table — 1/10 get a not-found phrase appended (true soft
-    404), 1/10 return a proper 404, 1/10 collapse to a tiny 'gone'
-    stub (the length signal), the rest are honest 200s — scored by
-    keyword hits + the integer-exact tiny-for-host test."""
-    from ptt_spider_go_spark.operators import soft404
-
-    docs = _t(spark, sf_dir, "documents")
+def _soft404_pages(docs):
+    """Synthetic fetch outcomes shared by X75 and the X82 host panel:
+    1/10 soft-404 phrase append, 1/10 proper 404, 1/10 tiny identical
+    'gone' stub (length signal AND a within-host duplicate), the rest
+    honest 200s, spread over 37 hosts."""
     d = F.col("doc_id").cast("string")
     url = F.concat(F.lit("http://h"),
                    (F.col("doc_id") % 37).cast("string"),
@@ -4174,13 +4170,23 @@ def q_soft404(spark, sf_dir):
         .when(m == 2, F.lit("gone"))
         .otherwise(F.col("text"))
     )
-    pages = docs.select(url.alias("url"), status.alias("status"),
-                        text.alias("text"))
-    return soft404.soft404_scores(pages)
+    return docs.select(url.alias("url"), status.alias("status"),
+                       text.alias("text"))
 
 
-SQL_SOFT404 = f"""
-WITH p AS (
+def q_soft404(spark, sf_dir):
+    """Soft-404 detection (X75): synthetic fetch outcomes over the
+    documents table — 1/10 get a not-found phrase appended (true soft
+    404), 1/10 return a proper 404, 1/10 collapse to a tiny 'gone'
+    stub (the length signal), the rest are honest 200s — scored by
+    keyword hits + the integer-exact tiny-for-host test."""
+    from ptt_spider_go_spark.operators import soft404
+
+    return soft404.soft404_scores(
+        _soft404_pages(_t(spark, sf_dir, "documents")))
+
+
+_SQL_S4_PAGES = f"""
   SELECT concat('http://h', doc_id % 37, '.example/p', doc_id) AS url,
          'h' || (doc_id % 37) || '.example' AS host,
          CASE WHEN {md5_long_sql("concat(doc_id, ':s4')")} % 10 = 1
@@ -4190,7 +4196,10 @@ WITH p AS (
                 ' Page Not Found: the requested URL does not exist'
            WHEN 2 THEN 'gone'
            ELSE text END AS text
-  FROM documents),
+  FROM documents"""
+
+SQL_SOFT404 = f"""
+WITH p AS ({_SQL_S4_PAGES}),
 b AS (
   SELECT url, host, CAST(status AS INT) AS status,
          CAST(length(text) AS BIGINT) AS n_chars,
@@ -4621,6 +4630,68 @@ SELECT doc_id, n_chars, n_latin, n_cjk, n_cyrillic,
 FROM c"""
 
 
+def q_host_panel(spark, sf_dir):
+    """Host-level quality gate (X82): X75's synthetic fetch outcomes
+    rolled into one verdict row per host — integer-ppm soft-404 and
+    duplicate-content rates (the identical 'gone' stubs are real
+    within-host duplicates), integer mean length, keep/review/drop."""
+    from ptt_spider_go_spark.operators import hostquality
+
+    return hostquality.host_quality_panel(
+        _soft404_pages(_t(spark, sf_dir, "documents")))
+
+
+_SQL_S4_KW = """(contains(lower(text), 'page not found')
+              OR contains(lower(text), '404 not found')
+              OR contains(lower(text), 'error 404')
+              OR contains(lower(text), 'does not exist')
+              OR contains(lower(text), 'no longer available'))"""
+
+SQL_HOST_PANEL = f"""
+WITH p AS ({_SQL_S4_PAGES}),
+hs AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+         CAST(sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n200,
+         CAST(sum(CASE WHEN status = 200 THEN length(text) ELSE 0 END)
+              AS BIGINT) AS len200
+  FROM p GROUP BY host),
+fl AS (
+  SELECT p.host, p.status, CAST(length(p.text) AS BIGINT) AS n_chars,
+         md5(p.text) AS hash,
+         (p.status = 200 AND ({_SQL_S4_KW}
+            OR 5 * CAST(length(p.text) AS BIGINT) * hs.n200 < hs.len200))
+           AS soft
+  FROM p JOIN hs ON hs.host = p.host),
+ph AS (
+  SELECT host, hash, CAST(count(*) AS BIGINT) AS nh,
+         CAST(sum(CASE WHEN soft THEN 1 ELSE 0 END) AS BIGINT) AS sh,
+         CAST(sum(n_chars) AS BIGINT) AS ch
+  FROM fl WHERE status = 200 GROUP BY host, hash),
+ag AS (
+  SELECT host, CAST(sum(nh) AS BIGINT) AS n200,
+         CAST(count(*) AS BIGINT) AS ndist,
+         CAST(sum(sh) AS BIGINT) AS nsoft,
+         CAST(sum(ch) AS BIGINT) AS chars
+  FROM ph GROUP BY host),
+t AS (
+  SELECT hs.host AS host, hs.n_pages,
+         coalesce(ag.n200, 0) AS n_200,
+         CASE WHEN ag.n200 > 0
+              THEN (ag.nsoft * 1000000) // ag.n200 END AS soft404_ppm,
+         CASE WHEN ag.n200 > 0
+              THEN ((ag.n200 - ag.ndist) * 1000000) // ag.n200 END
+           AS dup_ppm,
+         CASE WHEN ag.n200 > 0 THEN ag.chars // ag.n200 END AS avg_chars
+  FROM hs LEFT JOIN ag ON ag.host = hs.host)
+SELECT host, n_pages, n_200, soft404_ppm, dup_ppm, avg_chars,
+       CASE WHEN n_200 = 0 THEN 'drop'
+            WHEN soft404_ppm > 200000 OR dup_ppm > 500000 THEN 'drop'
+            WHEN soft404_ppm > 100000 OR dup_ppm > 250000 THEN 'review'
+            ELSE 'keep' END AS verdict
+FROM t"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -4762,6 +4833,7 @@ QUERIES = {
     "rel_canonical": (q_rel_canonical, SQL_REL_CANONICAL),
     "canonical_groups": (q_canonical_groups, SQL_CANONICAL_GROUPS),
     "script_mix": (q_script_mix, SQL_SCRIPT_MIX),
+    "host_panel": (q_host_panel, SQL_HOST_PANEL),
 }
 
 

@@ -47,15 +47,22 @@ SOFT404_PHRASES = (
 )
 
 
-def soft404_scores(pages: DataFrame, phrases=SOFT404_PHRASES) -> DataFrame:
-    """(url, host, status, n_chars, kw_hits, tiny, soft404) for every
-    page. `pages` needs (url, status, text); host is derived from url.
-    """
-    lowered = F.lower(F.col("text"))
+def kw_hits(text, phrases=SOFT404_PHRASES):
+    """How many of `phrases` the lower-cased `text` column contains —
+    JVM-side `contains` sums, shared with the host-level panel."""
+    lowered = F.lower(text)
     kw = None
     for p in phrases:
         hit = F.contains(lowered, F.lit(p)).cast("int")
         kw = hit if kw is None else kw + hit
+    return kw
+
+
+def soft404_scores(pages: DataFrame, phrases=SOFT404_PHRASES) -> DataFrame:
+    """(url, host, status, n_chars, kw_hits, tiny, soft404) for every
+    page. `pages` needs (url, status, text); host is derived from url.
+    """
+    kw = kw_hits(F.col("text"), phrases)
     base = pages.select(
         "url",
         url_host(F.col("url")).alias("host"),
