@@ -74,10 +74,13 @@ def resolve_redirects(edges: DataFrame, max_hops: int = 8) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    # after r rounds the horizon is 2^r steps; 2^r >= max_hops suffices
-    # (a terminal at distance d <= max_hops freezes as soon as the
-    # horizon reaches d, and frozen rows stop advancing).
-    rounds = max(1, math.ceil(math.log2(max(2, max_hops))))
+    # the seed's done flag knows only the SOURCE's terminality (a row
+    # whose cur is terminal learns it one round later, when it absorbs
+    # the terminal's own done=true seed), so after r rounds done covers
+    # distance 2^r - 1, not 2^r: r = ceil(log2(max_hops + 1)) rounds.
+    # (Caught by the seeded fuzzer: a chain of length exactly 8 at
+    # max_hops=8 was wrongly capped with ceil(log2(max_hops)) rounds.)
+    rounds = max(1, math.ceil(math.log2(max_hops + 1)))
     for _ in range(rounds):
         succ = m.select(
             F.col("url").alias("s_url"), F.col("cur").alias("s_cur"),

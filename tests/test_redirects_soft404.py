@@ -55,12 +55,22 @@ class TestResolveRedirects:
             assert out[f"u{i}"]["hops"] == 7 - i
             assert out[f"u{i}"]["final_url"] == "u7"
 
+    def test_chain_length_exactly_max_hops(self, spark):
+        # the fuzzer-caught boundary: done-freezing lags the horizon
+        # by one round (2^r - 1 coverage), so a chain of length
+        # EXACTLY max_hops must still resolve
+        chain = [(f"u{i}", f"u{i+1}") for i in range(8)]
+        out = _by_url(resolve_redirects(_edges(spark, chain), max_hops=8))
+        assert out["u0"] == {"url": "u0", "final_url": "u8", "hops": 8,
+                             "status": "ok"}
+
     def test_round_count_is_logarithmic(self, spark):
-        # max_hops=8 resolves a length-8 chain in 3 doubling rounds;
-        # the public API has no stats hook, so pin the invariant the
-        # implementation derives rounds from.
+        # max_hops=8 resolves any length-<=8 chain in 4 doubling
+        # rounds (2^4 - 1 = 15 >= 8); the public API has no stats
+        # hook, so pin the invariant the implementation derives
+        # rounds from.
         import math
-        assert math.ceil(math.log2(8)) == 3
+        assert math.ceil(math.log2(8 + 1)) == 4
 
 
 class TestSoft404:
