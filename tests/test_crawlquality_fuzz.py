@@ -158,6 +158,65 @@ class TestDustFuzz:
         assert got == self._py_dust(sorted(pages), min_support=1)
 
 
+class TestHostPanelFuzz:
+    def _py_panel(self, pages):
+        import hashlib
+
+        from ptt_spider_go_spark.operators.soft404 import SOFT404_PHRASES
+        hosts = {}
+        for url, status, text in pages:
+            host = url.split("://", 1)[1].split("/", 1)[0]
+            hosts.setdefault(host, []).append((status, text))
+        out = {}
+        for host, rows in hosts.items():
+            n_pages = len(rows)
+            ok = [(s, t) for s, t in rows if s == 200]
+            n200 = len(ok)
+            if n200 == 0:
+                out[host] = (n_pages, 0, None, None, None, "drop")
+                continue
+            total = sum(len(t) for _, t in ok)
+            nsoft = sum(
+                1 for _, t in ok
+                if any(p in t.lower() for p in SOFT404_PHRASES)
+                or 5 * len(t) * n200 < total)
+            ndist = len({hashlib.md5(t.encode()).hexdigest()
+                         for _, t in ok})
+            sppm = nsoft * 1_000_000 // n200
+            dppm = (n200 - ndist) * 1_000_000 // n200
+            if sppm > 200_000 or dppm > 500_000:
+                v = "drop"
+            elif sppm > 100_000 or dppm > 250_000:
+                v = "review"
+            else:
+                v = "keep"
+            out[host] = (n_pages, n200, sppm, dppm, total // n200, v)
+        return out
+
+    def test_random_host_populations(self, spark):
+        from ptt_spider_go_spark.operators.hostquality import (
+            host_quality_panel,
+        )
+        rng = random.Random(SEED)
+        bodies = ["long genuine body " * 9, "short", "gone",
+                  "Error 404 page not found", "mirrored body " * 6]
+        pages = []
+        for i in range(500):
+            host = f"h{rng.randrange(12)}.example"
+            status = rng.choice([200] * 8 + [404, 500])
+            body = rng.choice(bodies)
+            if rng.random() < 0.5:  # half the bodies unique
+                body += f" #{i}"
+            pages.append((f"http://{host}/p{i}", status, body))
+        got = {
+            r["host"]: (r["n_pages"], r["n_200"], r["soft404_ppm"],
+                        r["dup_ppm"], r["avg_chars"], r["verdict"])
+            for r in host_quality_panel(spark.createDataFrame(
+                pages, "url string, status int, text string")).collect()
+        }
+        assert got == self._py_panel(pages)
+
+
 class TestCanonicalFuzz:
     _R1 = re.compile(
         r'(?i)<link[^>]*rel\s*=\s*["\']?canonical["\'\s>][^>]*'
