@@ -4692,6 +4692,219 @@ SELECT host, n_pages, n_200, soft404_ppm, dup_ppm, avg_chars,
 FROM t"""
 
 
+def _mirror_pages(docs):
+    """(url, text) over 8 synthetic hosts mh0..mh7: hosts (mh0, mh4)
+    share ~90% of their slot content, (mh2, mh6) ~40%, (mh1, mh3,
+    mh5) share a sparse low-df triple, every host serves the same
+    boilerplate stub on ~1/7 of its pages (df=8 — must be cut by the
+    hot-hash cap), and everything else is per-doc unique."""
+    d = F.col("doc_id").cast("string")
+    hid = (F.col("doc_id") % 8).cast("string")
+    g = F.expr("doc_id div 8").cast("string")
+    boiler = F.pmod(md5_long(F.concat(d, F.lit(":mb"))), F.lit(7)) == 0
+    sa = F.pmod(md5_long(F.concat(g, F.lit(":ma"))), F.lit(10)) < 9
+    sb = F.pmod(md5_long(F.concat(g, F.lit(":mp"))), F.lit(10)) < 4
+    sc = F.pmod(md5_long(F.concat(g, F.lit(":mc"))), F.lit(10)) == 0
+    hin = F.col("doc_id") % 8
+    text = (
+        F.when(boiler, F.lit("boilerplate stub page"))
+        .when(hin.isin(0, 4) & sa, F.concat(F.lit("mirror-a slot "), g))
+        .when(hin.isin(2, 6) & sb, F.concat(F.lit("mirror-b slot "), g))
+        .when(hin.isin(1, 3, 5) & sc, F.concat(F.lit("tri slot "), g))
+        .otherwise(F.concat(F.lit("uniq "), d))
+    )
+    url = F.concat(F.lit("http://mh"), hid, F.lit(".example/p"), d)
+    return docs.select(url.alias("url"), text.alias("text"))
+
+
+def q_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection (X83): host pairs witnessed by shared
+    sub-cap content hashes, integer-ppm containment/Jaccard; the
+    df=8 boilerplate hash must be cut (cap 4) or every pair would be
+    witnessed."""
+    from ptt_spider_go_spark.operators import mirrors
+
+    return mirrors.mirror_pairs(
+        _mirror_pages(_t(spark, sf_dir, "documents")),
+        hot_hash_cap=4, containment_ppm=500_000)
+
+
+SQL_MIRROR_HOSTS = f"""
+WITH p AS (
+  SELECT 'mh' || (doc_id % 8) || '.example' AS host,
+         CASE
+           WHEN {md5_long_sql("concat(doc_id, ':mb')")} % 7 = 0
+             THEN 'boilerplate stub page'
+           WHEN (doc_id % 8) IN (0, 4)
+                AND {md5_long_sql("concat(doc_id // 8, ':ma')")} % 10 < 9
+             THEN 'mirror-a slot ' || (doc_id // 8)
+           WHEN (doc_id % 8) IN (2, 6)
+                AND {md5_long_sql("concat(doc_id // 8, ':mp')")} % 10 < 4
+             THEN 'mirror-b slot ' || (doc_id // 8)
+           WHEN (doc_id % 8) IN (1, 3, 5)
+                AND {md5_long_sql("concat(doc_id // 8, ':mc')")} % 10 = 0
+             THEN 'tri slot ' || (doc_id // 8)
+           ELSE 'uniq ' || doc_id
+         END AS text
+  FROM documents),
+prof AS (SELECT DISTINCT host, md5(text) AS hash FROM p),
+sizes AS (SELECT host, CAST(count(*) AS BIGINT) AS n FROM prof
+          GROUP BY host),
+kept AS (SELECT hash, host FROM prof
+         QUALIFY count(*) OVER (PARTITION BY hash) <= 4),
+pairs AS (
+  SELECT a.host AS host_a, b.host AS host_b,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM kept a JOIN kept b ON a.hash = b.hash AND a.host < b.host
+  GROUP BY 1, 2)
+SELECT host_a, host_b, shared, sa.n AS n_a, sb.n AS n_b,
+       CAST(shared * 1000000 // least(sa.n, sb.n) AS BIGINT)
+         AS containment_ppm,
+       CAST(shared * 1000000 // (sa.n + sb.n - shared) AS BIGINT)
+         AS jaccard_ppm,
+       (shared * 1000000 // least(sa.n, sb.n)) >= 500000 AS is_mirror
+FROM pairs
+JOIN sizes sa ON sa.host = pairs.host_a
+JOIN sizes sb ON sb.host = pairs.host_b"""
+
+
+def _meta_robots_pages(docs):
+    """Six spellings over a decoy-bearing head: both attribute
+    orders, unquoted name, `none`, an explicit index+follow, a
+    no-meta page, and an ALL-CAPS tag; the decoy description meta
+    contains the words noindex/nofollow and must never match."""
+    d = F.col("doc_id").cast("string")
+    m = F.pmod(md5_long(F.concat(d, F.lit(":mrb"))), F.lit(6))
+    html = F.concat(
+        F.lit('<html><head>'
+              '<meta name="description" content="noindex nofollow decoy">'),
+        F.when(m == 0, F.lit(
+            '<meta name="robots" content="noindex, nofollow">'))
+        .when(m == 1, F.lit('<meta content="nofollow" name=robots>'))
+        .when(m == 2, F.lit('<meta name=robots content="none">'))
+        .when(m == 3, F.lit('<meta name="robots" content="index, follow">'))
+        .when(m == 4, F.lit(""))
+        .otherwise(F.lit('<META NAME="ROBOTS" CONTENT="NOINDEX">')),
+        F.lit('</head><body>x</body></html>'),
+    )
+    url = F.concat(F.lit("http://rb.example/p"), d)
+    return docs.select(url.alias("url"), html.alias("html"))
+
+
+def q_meta_robots(spark, sf_dir):
+    """Page-level robots directives (X84): the oracle derives
+    noindex/nofollow INDEPENDENTLY from the branch selector while
+    Spark regex-parses the HTML (canonical/sniff_charset style)."""
+    from ptt_spider_go_spark.htmlparse import metarobots
+
+    return metarobots.robots_meta(
+        _meta_robots_pages(_t(spark, sf_dir, "documents")))
+
+
+SQL_META_ROBOTS = f"""
+SELECT 'http://rb.example/p' || doc_id AS url,
+       ({md5_long_sql("concat(doc_id, ':mrb')")} % 6) IN (0, 2, 5)
+         AS noindex,
+       ({md5_long_sql("concat(doc_id, ':mrb')")} % 6) IN (0, 1, 2)
+         AS nofollow
+FROM documents"""
+
+
+def _hreflang_pages(docs):
+    """Language variants en/fr/de per cluster g = doc_id div 3, each
+    declaring the cluster's alternate set in mixed tag spellings
+    (attribute orders, unquoted rel, uppercase hreflang) behind two
+    decoys (stylesheet link; rel=alternate RSS WITHOUT hreflang).
+    Cluster selector: s<3 full set + x-default, s=3 en/fr only,
+    s=4 silent."""
+    g = F.expr("doc_id div 3").cast("string")
+    lid = F.col("doc_id") % 3
+    lang = F.when(lid == 0, "en").when(lid == 1, "fr").otherwise("de")
+    s = F.pmod(md5_long(F.concat(g, F.lit(":hg"))), F.lit(5))
+    en = F.concat(F.lit("http://hl.example/en/p"), g)
+    fr = F.concat(F.lit("http://hl.example/fr/p"), g)
+    de = F.concat(F.lit("http://hl.example/de/p"), g)
+    en_tag = F.concat(
+        F.lit('<link rel="alternate" hreflang="en" href="'), en,
+        F.lit('">'))
+    fr_tag = F.concat(
+        F.lit('<link href="'), fr,
+        F.lit('" hreflang="FR" rel="alternate">'))
+    de_tag = F.concat(
+        F.lit('<link rel=alternate hreflang="de" href="'), de,
+        F.lit('">'))
+    xd_tag = F.concat(
+        F.lit('<link rel="alternate" hreflang="x-default" href="'), en,
+        F.lit('">'))
+    full = F.concat(en_tag, fr_tag, de_tag, xd_tag)
+    partial = F.concat(en_tag, fr_tag)
+    html = F.concat(
+        F.lit('<html><head><link rel="stylesheet" href="/s.css">'
+              '<link rel="alternate" type="application/rss+xml" '
+              'href="/feed">'),
+        F.when(s == 4, F.lit(""))
+        .when(s == 3, partial)
+        .otherwise(full),
+        F.lit("</head>"),
+    )
+    url = F.concat(F.lit("http://hl.example/"), lang, F.lit("/p"), g)
+    return docs.select(url.alias("url"), html.alias("html"))
+
+
+_SQL_HREFLANG_BASE = f"""
+  SELECT 'http://hl.example/'
+           || CASE (doc_id % 3) WHEN 0 THEN 'en' WHEN 1 THEN 'fr'
+              ELSE 'de' END || '/p' || (doc_id // 3) AS url,
+         doc_id // 3 AS g,
+         {md5_long_sql("concat(doc_id // 3, ':hg')")} % 5 AS s
+  FROM documents"""
+
+_SQL_HREFLANG_EDGES = f"""
+WITH base AS ({_SQL_HREFLANG_BASE}),
+alt AS (SELECT * FROM (VALUES (0, 'en'), (1, 'fr'), (2, 'de'),
+                              (3, 'x-default')) v(pos, hreflang)),
+edges AS (
+  SELECT b.url, a.pos, a.hreflang,
+         'http://hl.example/'
+           || CASE WHEN a.hreflang = 'x-default' THEN 'en'
+              ELSE a.hreflang END || '/p' || b.g AS href,
+         a.hreflang = 'x-default' AS is_x_default
+  FROM base b JOIN alt a
+    ON b.s < 3 OR (b.s = 3 AND a.pos < 2))"""
+
+
+def q_hreflang_edges(spark, sf_dir):
+    """hreflang alternate extraction (X85): tag-wise edges with
+    document-order pos; oracle derives the edge set independently
+    from the cluster selector."""
+    from ptt_spider_go_spark.htmlparse import hreflang
+
+    return hreflang.hreflang_edges(
+        _hreflang_pages(_t(spark, sf_dir, "documents")))
+
+
+SQL_HREFLANG_EDGES = f"""{_SQL_HREFLANG_EDGES}
+SELECT url, pos, hreflang, href, is_x_default FROM edges"""
+
+
+def q_hreflang_clusters(spark, sf_dir):
+    """hreflang cluster rollup (X85b): the lexical-min cluster key
+    must agree across reciprocal variants (and expose the
+    non-reciprocal de-page caveat on the partial branch)."""
+    from ptt_spider_go_spark.htmlparse import hreflang
+
+    return hreflang.hreflang_clusters(hreflang.hreflang_edges(
+        _hreflang_pages(_t(spark, sf_dir, "documents"))))
+
+
+SQL_HREFLANG_CLUSTERS = f"""{_SQL_HREFLANG_EDGES}
+SELECT url, CAST(count(*) AS BIGINT) AS n_alts,
+       CAST(count(DISTINCT hreflang) AS BIGINT) AS n_langs,
+       max(is_x_default) AS has_x_default,
+       least(min(href), url) AS cluster_key
+FROM edges GROUP BY url"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -4834,6 +5047,10 @@ QUERIES = {
     "canonical_groups": (q_canonical_groups, SQL_CANONICAL_GROUPS),
     "script_mix": (q_script_mix, SQL_SCRIPT_MIX),
     "host_panel": (q_host_panel, SQL_HOST_PANEL),
+    "mirror_hosts": (q_mirror_hosts, SQL_MIRROR_HOSTS),
+    "meta_robots": (q_meta_robots, SQL_META_ROBOTS),
+    "hreflang_edges": (q_hreflang_edges, SQL_HREFLANG_EDGES),
+    "hreflang_clusters": (q_hreflang_clusters, SQL_HREFLANG_CLUSTERS),
 }
 
 
