@@ -119,6 +119,12 @@ HEADLINE = [
     "canonical_groups",
     "script_mix",
     "host_panel",
+    "mirror_hosts",
+    "meta_robots",
+    "hreflang_edges",
+    "hreflang_clusters",
+    "mime_sniff",
+    "takedown_verdicts",
 ]
 
 

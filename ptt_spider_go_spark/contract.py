@@ -4905,6 +4905,214 @@ SELECT url, CAST(count(*) AS BIGINT) AS n_alts,
 FROM edges GROUP BY url"""
 
 
+def _mime_pages(docs):
+    """Ten payload branches with REAL magic bytes (unhex/encode
+    splices): PDF, GIF, PNG, JPEG, gzip, BOM+HTML, bare HTML, plain
+    text, NUL-bearing junk, WEBP — each paired with a declared
+    Content-Type that is right, wrong, absent, or octet-stream."""
+    d = F.col("doc_id").cast("string")
+    m = F.pmod(md5_long(F.concat(d, F.lit(":ms"))), F.lit(10))
+    enc = lambda c: F.encode(c, "UTF-8")  # noqa: E731
+    html = (
+        F.when(m == 0, enc(F.concat(F.lit("%PDF-1.4 obj "), d)))
+        .when(m == 1, enc(F.concat(F.lit("GIF87a"), d)))
+        .when(m == 2, F.concat(F.unhex(F.lit("89504E470D0A1A0A")),
+                               enc(d)))
+        .when(m == 3, F.concat(F.unhex(F.lit("FFD8FFE0")), enc(d)))
+        .when(m == 4, F.concat(F.unhex(F.lit("1F8B08")), enc(d)))
+        .when(m == 5, F.concat(
+            F.unhex(F.lit("EFBBBF")),
+            enc(F.lit("  <!doctype html><p>x"))))
+        .when(m == 6, enc(F.concat(F.lit("<HTML><body>"), d)))
+        .when(m == 7, enc(F.concat(F.lit("plain words "), d)))
+        .when(m == 8, F.concat(F.unhex(F.lit("000102")), enc(d),
+                               F.unhex(F.lit("00"))))
+        .otherwise(F.concat(enc(F.lit("RIFF")),
+                            F.unhex(F.lit("04030201")),
+                            enc(F.lit("WEBP")), enc(d)))
+    )
+    ct = (
+        F.when(m == 0, F.lit("application/pdf"))
+        .when(m == 1, F.lit("text/html"))
+        .when(m == 2, F.lit("image/png"))
+        .when(m == 3, F.lit(None).cast("string"))
+        .when(m == 4, F.lit("application/octet-stream"))
+        .when(m == 5, F.lit("text/plain"))
+        .when(m == 6, F.lit("text/html; charset=big5"))
+        .when(m == 7, F.lit("text/html"))
+        .when(m == 8, F.lit("image/png"))
+        .otherwise(F.lit("image/webp"))
+    )
+    url = F.concat(F.lit("http://ms.example/p"), d)
+    return docs.select(url.alias("url"), ct.alias("content_type"),
+                       html.alias("html"))
+
+
+def q_mime_sniff(spark, sf_dir):
+    """MIME sniffing (X86): Spark pattern-matches REAL spliced bytes;
+    the oracle derives mime/family/mismatch INDEPENDENTLY from the
+    branch selector (sniff_charset style — cross-check, not mirror)."""
+    from ptt_spider_go_spark.htmlparse import mimesniff
+
+    return mimesniff.sniff_mime(
+        _mime_pages(_t(spark, sf_dir, "documents")))
+
+
+SQL_MIME_SNIFF = f"""
+WITH b AS (
+  SELECT 'http://ms.example/p' || doc_id AS url,
+         {md5_long_sql("concat(doc_id, ':ms')")} % 10 AS m
+  FROM documents)
+SELECT url,
+       CASE m WHEN 0 THEN 'application/pdf' WHEN 1 THEN 'image/gif'
+              WHEN 2 THEN 'image/png' WHEN 3 THEN 'image/jpeg'
+              WHEN 4 THEN 'application/gzip' WHEN 5 THEN 'text/html'
+              WHEN 6 THEN 'text/html' WHEN 7 THEN 'text/plain'
+              WHEN 8 THEN 'application/octet-stream'
+              ELSE 'image/webp' END AS mime,
+       CASE m WHEN 0 THEN 'document' WHEN 1 THEN 'image'
+              WHEN 2 THEN 'image' WHEN 3 THEN 'image'
+              WHEN 4 THEN 'archive' WHEN 5 THEN 'html'
+              WHEN 6 THEN 'html' WHEN 7 THEN 'text'
+              WHEN 8 THEN 'binary' ELSE 'image' END AS family,
+       CASE m WHEN 0 THEN 'document' WHEN 1 THEN 'html'
+              WHEN 2 THEN 'image' WHEN 3 THEN NULL
+              WHEN 4 THEN NULL WHEN 5 THEN 'text'
+              WHEN 6 THEN 'html' WHEN 7 THEN 'html'
+              WHEN 8 THEN 'image' ELSE 'image' END AS declared_family,
+       m IN (1, 5, 7, 8) AS mismatch
+FROM b"""
+
+
+def _takedown_docs(docs):
+    """(url, text) over six td*.example hosts; ~1/9 of texts are
+    'copied payload g' rehosts shared across a decade of doc_ids (the
+    content_hash rules' target), the rest per-doc unique."""
+    d = F.col("doc_id").cast("string")
+    g = F.expr("doc_id div 10").cast("string")
+    tsel = F.pmod(md5_long(F.concat(d, F.lit(":tt"))), F.lit(9))
+    text = F.when(tsel == 0, F.concat(F.lit("copied payload "), g)) \
+        .otherwise(F.concat(F.lit("body "), d))
+    url = F.concat(F.lit("http://td"), (F.col("doc_id") % 6)
+                   .cast("string"), F.lit(".example/p"), d)
+    return docs.select(url.alias("url"), text.alias("text"))
+
+
+def _takedown_rules(spark, docs):
+    """url rules (~1/50 of pages), one host rule, content_hash rules
+    for every 4th copied-payload group, plus one never-matching rule
+    of each kind (the n_matched=0 receipt)."""
+    td = _takedown_docs(docs)
+    d = F.col("doc_id").cast("string")
+    usel = F.pmod(md5_long(F.concat(d, F.lit(":tu"))), F.lit(50)) == 0
+    url_rules = (
+        docs.filter(usel)
+        .select(F.lit("url").alias("kind"),
+                F.concat(F.lit("http://td"),
+                         (F.col("doc_id") % 6).cast("string"),
+                         F.lit(".example/p"), d).alias("key"))
+    )
+    g = F.expr("doc_id div 10")
+    tsel = F.pmod(md5_long(F.concat(d, F.lit(":tt"))), F.lit(9))
+    hash_rules = (
+        docs.filter((tsel == 0) & (g % 4 == 0))
+        .select(F.lit("content_hash").alias("kind"),
+                F.md5(F.concat(F.lit("copied payload "),
+                               g.cast("string"))).alias("key"))
+        .distinct()
+    )
+    fixed = spark.createDataFrame(
+        [("host", "td2.example"),
+         ("url", "http://never.example/x"),
+         ("content_hash", "d41d8cd98f00b204e9800998ecf8427e")],
+        "kind string, key string")
+    return url_rules.unionByName(hash_rules).unionByName(fixed)
+
+
+_SQL_TD_DOCS = f"""
+  SELECT 'http://td' || (doc_id % 6) || '.example/p' || doc_id AS url,
+         'td' || (doc_id % 6) || '.example' AS host,
+         md5(CASE WHEN {md5_long_sql("concat(doc_id, ':tt')")} % 9 = 0
+             THEN 'copied payload ' || (doc_id // 10)
+             ELSE 'body ' || doc_id END) AS hash
+  FROM documents"""
+
+_SQL_TD_RULES = f"""
+  SELECT 'url' AS kind,
+         'http://td' || (doc_id % 6) || '.example/p' || doc_id AS key
+  FROM documents
+  WHERE {md5_long_sql("concat(doc_id, ':tu')")} % 50 = 0
+  UNION
+  SELECT 'content_hash', md5('copied payload ' || (doc_id // 10))
+  FROM documents
+  WHERE {md5_long_sql("concat(doc_id, ':tt')")} % 9 = 0
+    AND (doc_id // 10) % 4 = 0
+  UNION ALL
+  SELECT * FROM (VALUES ('host', 'td2.example'),
+                        ('url', 'http://never.example/x'),
+                        ('content_hash',
+                         'd41d8cd98f00b204e9800998ecf8427e'))
+       v(kind, key)"""
+
+
+def q_takedown_verdicts(spark, sf_dir):
+    """Takedown propagation (X87): per-document deleted/reason with
+    url > host > content_hash precedence, rules broadcast onto a
+    never-shuffled corpus projection."""
+    from ptt_spider_go_spark.pipeline import retention
+
+    docs = _t(spark, sf_dir, "documents")
+    return retention.takedown_verdicts(
+        _takedown_docs(docs), _takedown_rules(spark, docs))
+
+
+SQL_TAKEDOWN_VERDICTS = f"""
+WITH d AS ({_SQL_TD_DOCS}),
+r AS ({_SQL_TD_RULES}),
+j AS (
+  -- a joined row satisfies exactly the disjunct of ITS kind, so
+  -- max(kind = k) answers "did any k-rule match this doc"
+  SELECT d.url,
+         max(r.kind = 'url') AS m_url,
+         max(r.kind = 'host') AS m_host,
+         max(r.kind = 'content_hash') AS m_hash
+  FROM d LEFT JOIN r
+    ON (r.kind = 'url' AND r.key = d.url)
+    OR (r.kind = 'host' AND r.key = d.host)
+    OR (r.kind = 'content_hash' AND r.key = d.hash)
+  GROUP BY d.url)
+SELECT url,
+       (coalesce(m_url, false) OR coalesce(m_host, false)
+        OR coalesce(m_hash, false)) AS deleted,
+       CASE WHEN m_url THEN 'url' WHEN m_host THEN 'host'
+            WHEN m_hash THEN 'content_hash' END AS reason
+FROM j"""
+
+
+def q_takedown_audit(spark, sf_dir):
+    """Takedown audit receipt (X87b): n_matched per rule including
+    the deliberate zero-match rules."""
+    from ptt_spider_go_spark.pipeline import retention
+
+    docs = _t(spark, sf_dir, "documents")
+    return retention.takedown_audit(
+        _takedown_docs(docs), _takedown_rules(spark, docs))
+
+
+SQL_TAKEDOWN_AUDIT = f"""
+WITH d AS ({_SQL_TD_DOCS}),
+r AS ({_SQL_TD_RULES})
+SELECT r.kind, r.key,
+       -- a joined d row always satisfies the disjunct of r's kind,
+       -- so counting joined rows counts that rule's matches
+       CAST(count(d.url) AS BIGINT) AS n_matched
+FROM r LEFT JOIN d
+  ON (r.kind = 'url' AND r.key = d.url)
+  OR (r.kind = 'host' AND r.key = d.host)
+  OR (r.kind = 'content_hash' AND r.key = d.hash)
+GROUP BY r.kind, r.key"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -5051,6 +5259,9 @@ QUERIES = {
     "meta_robots": (q_meta_robots, SQL_META_ROBOTS),
     "hreflang_edges": (q_hreflang_edges, SQL_HREFLANG_EDGES),
     "hreflang_clusters": (q_hreflang_clusters, SQL_HREFLANG_CLUSTERS),
+    "mime_sniff": (q_mime_sniff, SQL_MIME_SNIFF),
+    "takedown_verdicts": (q_takedown_verdicts, SQL_TAKEDOWN_VERDICTS),
+    "takedown_audit": (q_takedown_audit, SQL_TAKEDOWN_AUDIT),
 }
 
 
