@@ -125,6 +125,7 @@ HEADLINE = [
     "hreflang_clusters",
     "mime_sniff",
     "takedown_verdicts",
+    "pagination_series",
 ]
 
 

@@ -5113,6 +5113,141 @@ FROM r LEFT JOIN d
 GROUP BY r.kind, r.key"""
 
 
+def _pagination_pages(docs):
+    """Declared pagination over ~84 chains of length 1..6: chain
+    c = doc_id div 6, member p = doc_id % 6 exists when p < L(c);
+    members declare rel=next/prev in mixed attribute orders and
+    spellings ('previous' on even chains), next hrefs root-relative
+    (resolution must fire), prev hrefs absolute; ~1/17 of multi-page
+    chains close into a CYCLE (last page's next -> p0); leftover
+    doc_ids are standalone pages with no pagination at all."""
+    d = F.col("doc_id").cast("string")
+    c = F.expr("doc_id div 6")
+    cs = c.cast("string")
+    p = F.col("doc_id") % 6
+    ps = p.cast("string")
+    big_l = F.pmod(md5_long(F.concat(cs, F.lit(":pl"))), F.lit(6)) + 1
+    cyc = (F.pmod(md5_long(F.concat(cs, F.lit(":pc"))), F.lit(17)) == 0) \
+        & (big_l > 1)
+    base = F.concat(F.lit("http://pg.example/c"), cs, F.lit("/p"))
+    url_chain = F.concat(base, ps)
+    next_href = F.when(
+        p < big_l - 1,
+        F.concat(F.lit("/c"), cs, F.lit("/p"), (p + 1).cast("string")),
+    ).when(cyc & (p == big_l - 1), F.concat(F.lit("/c"), cs, F.lit("/p0")))
+    prev_abs = F.when(p > 0, F.concat(base, (p - 1).cast("string")))
+    next_tag = F.when(
+        next_href.isNull(), F.lit("")
+    ).when(
+        p % 2 == 0,
+        F.concat(F.lit('<link rel="next" href="'), next_href,
+                 F.lit('">')),
+    ).otherwise(
+        F.concat(F.lit('<link href="'), next_href,
+                 F.lit('" rel=next>')),
+    )
+    prev_rel = F.when(c % 2 == 0, F.lit("previous")).otherwise(F.lit("prev"))
+    prev_tag = F.when(
+        prev_abs.isNull(), F.lit("")
+    ).when(
+        p % 2 == 0,
+        F.concat(F.lit('<link href="'), prev_abs, F.lit('" rel="'),
+                 prev_rel, F.lit('">')),
+    ).otherwise(
+        F.concat(F.lit('<link rel="'), prev_rel, F.lit('" href="'),
+                 prev_abs, F.lit('">')),
+    )
+    html = F.concat(F.lit("<html><head>"), prev_tag, next_tag,
+                    F.lit("</head>"))
+    in_chain = p < big_l
+    url = F.when(in_chain, url_chain) \
+        .otherwise(F.concat(F.lit("http://pg.example/s"), d))
+    return docs.select(
+        url.alias("url"),
+        F.when(in_chain, html)
+        .otherwise(F.lit("<html><head></head>")).alias("html"))
+
+
+def q_pagination_claims(spark, sf_dir):
+    """rel=next/prev extraction (X88): both orders, the 'previous'
+    spelling, root-relative next resolution; oracle derives both
+    URLs independently from the chain arithmetic."""
+    from ptt_spider_go_spark.operators import pagination
+
+    return pagination.next_prev_claims(
+        _pagination_pages(_t(spark, sf_dir, "documents")))
+
+
+_SQL_PAGINATION_BASE = f"""
+  SELECT doc_id, doc_id // 6 AS c, doc_id % 6 AS p,
+         {md5_long_sql("concat(doc_id // 6, ':pl')")} % 6 + 1 AS L,
+         ({md5_long_sql("concat(doc_id // 6, ':pc')")} % 17 = 0) AS cy
+  FROM documents"""
+
+SQL_PAGINATION_CLAIMS = f"""
+WITH b AS ({_SQL_PAGINATION_BASE})
+SELECT CASE WHEN p < L THEN 'http://pg.example/c' || c || '/p' || p
+       ELSE 'http://pg.example/s' || doc_id END AS url,
+       CASE WHEN p < L AND p < L - 1
+              THEN 'http://pg.example/c' || c || '/p' || (p + 1)
+            WHEN p < L AND cy AND L > 1 AND p = L - 1
+              THEN 'http://pg.example/c' || c || '/p0'
+       END AS next_url,
+       CASE WHEN p < L AND p > 0
+              THEN 'http://pg.example/c' || c || '/p' || (p - 1)
+       END AS prev_url
+FROM b"""
+
+
+def q_pagination_series(spark, sf_dir):
+    """Pagination chain assembly (X88b): pointer-doubling head
+    resolution (the X74 engine on reversed next-edges); cycles
+    surface as status='broken', standalone pages as their own
+    singleton series."""
+    from ptt_spider_go_spark.operators import pagination
+
+    return pagination.pagination_series(pagination.next_prev_claims(
+        _pagination_pages(_t(spark, sf_dir, "documents"))))
+
+
+SQL_PAGINATION_SERIES = f"""
+WITH b AS ({_SQL_PAGINATION_BASE})
+SELECT CASE WHEN p < L THEN 'http://pg.example/c' || c || '/p' || p
+       ELSE 'http://pg.example/s' || doc_id END AS url,
+       CASE WHEN p >= L THEN 'http://pg.example/s' || doc_id
+            WHEN cy AND L > 1 THEN NULL
+            ELSE 'http://pg.example/c' || c || '/p0' END AS series_key,
+       CAST(CASE WHEN p >= L THEN 0
+                 WHEN cy AND L > 1 THEN NULL
+                 ELSE p END AS INT) AS position,
+       CASE WHEN p < L AND cy AND L > 1 THEN 'broken'
+            ELSE 'ok' END AS status
+FROM b"""
+
+
+def q_pagination_rollup(spark, sf_dir):
+    """Series rollup (X88c): n_pages/max_position/complete per ok
+    series; broken (cyclic) chains contribute nothing."""
+    from ptt_spider_go_spark.operators import pagination
+
+    return pagination.series_rollup(pagination.pagination_series(
+        pagination.next_prev_claims(
+            _pagination_pages(_t(spark, sf_dir, "documents")))))
+
+
+SQL_PAGINATION_ROLLUP = f"""
+WITH b AS ({_SQL_PAGINATION_BASE}),
+s AS (
+  SELECT CASE WHEN p >= L THEN 'http://pg.example/s' || doc_id
+              ELSE 'http://pg.example/c' || c || '/p0' END AS series_key,
+         CASE WHEN p >= L THEN 0 ELSE p END AS position
+  FROM b WHERE p >= L OR NOT (cy AND L > 1))
+SELECT series_key, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(max(position) AS INT) AS max_position,
+       max(position) = count(*) - 1 AS complete
+FROM s GROUP BY series_key"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -5262,6 +5397,9 @@ QUERIES = {
     "mime_sniff": (q_mime_sniff, SQL_MIME_SNIFF),
     "takedown_verdicts": (q_takedown_verdicts, SQL_TAKEDOWN_VERDICTS),
     "takedown_audit": (q_takedown_audit, SQL_TAKEDOWN_AUDIT),
+    "pagination_claims": (q_pagination_claims, SQL_PAGINATION_CLAIMS),
+    "pagination_series": (q_pagination_series, SQL_PAGINATION_SERIES),
+    "pagination_rollup": (q_pagination_rollup, SQL_PAGINATION_ROLLUP),
 }
 
 

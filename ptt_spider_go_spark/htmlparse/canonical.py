@@ -27,8 +27,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# the delimiter after 'canonical' must not consume '>': a malformed
+# href-less `<link rel=canonical>` would otherwise let [^>]* walk into
+# the NEXT tag and steal its href (cross-tag bug caught by the X88
+# pagination twin of this regex; pinned in test_canonical_scripts)
 _REL_FIRST = (
-    r'(?i)<link[^>]*rel\s*=\s*["\']?canonical["\'\s>][^>]*'
+    r'(?i)<link[^>]*rel\s*=\s*["\']?canonical(?:["\'\s]|(?=>))[^>]*'
     r'href\s*=\s*["\']([^"\']+)')
 _HREF_FIRST = (
     r'(?i)<link[^>]*href\s*=\s*["\']([^"\']+)["\'][^>]*'

@@ -1,0 +1,150 @@
+"""Pagination chain assembly from rel=next/prev declarations.
+
+The reference's one pagination scheme is arithmetic — board index
+pages are numbered `index{N}.html` and the crawler enumerates them
+from the probed max page (crawler.go's page loop; C8's max-page
+arithmetic). The open web paginates by DECLARATION instead: `<link
+rel="next">` / `rel="prev"` (the HTML standard's sequential link
+types, long used by search engines to stitch multi-page articles).
+A corpus pipeline wants the stitched view — a 30-page article is ONE
+logical document for dedup/packing, a comment thread's pages should
+carry one series key, and an unbounded rel=next walk (calendar pages
+generating forever) is a crawler trap that must surface as such
+rather than loop.
+
+Extraction mirrors rel=canonical (X80): both attribute orders as
+coalesced regexes per direction, quoted hrefs only, absolute /
+scheme-relative / root-relative / directory-relative resolution with
+JVM string functions.
+
+Assembly rides the SAME pointer-doubling engine as redirect
+resolution (X74, operators/redirects.py): next-edges form a
+functional graph (one next per page), so walking every page BACKWARD
+along its unique predecessor reaches the series HEAD in
+ceil(log2(max_len+1)) self-join rounds — the head (no incoming next)
+becomes the series key and the exact hop count becomes the page's
+position. Conflicting predecessors (two pages declaring the same
+next — forum software does this at page-merge seams) collapse
+deterministically to the lexical-min claimant; pagination CYCLES
+(last page pointing back to the first) reach no head, come back
+status='capped' from the engine, and surface as status='broken' with
+NULL key/position — the declarative twin of the trap gate (X58).
+
+Scale shape: extraction is a pure projection; predecessor choice is
+one groupBy(next_url) with a map-side-partial min; assembly is
+O(log max_len) equi-join rounds on a one-row-per-page mapping with
+lineage cut per round; the rollup is one groupBy(series_key). No
+driver state, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ptt_spider_go_spark.operators.redirects import resolve_redirects
+
+# the delimiter after the rel value must NOT consume '>': a bare
+# `rel=next>` tag has no href, and eating the '>' would let the
+# trailing [^>]* walk into the NEXT tag and steal its href (caught by
+# TestExtraction; same fix applied to htmlparse/canonical.py)
+_NEXT_REL_FIRST = (
+    r'(?i)<link[^>]*rel\s*=\s*["\']?next(?:["\'\s]|(?=>))[^>]*'
+    r'href\s*=\s*["\']([^"\']+)')
+_NEXT_HREF_FIRST = (
+    r'(?i)<link[^>]*href\s*=\s*["\']([^"\']+)["\'][^>]*'
+    r'rel\s*=\s*["\']?next["\'\s>]')
+_PREV_REL_FIRST = (
+    r'(?i)<link[^>]*rel\s*=\s*["\']?prev(?:ious)?(?:["\'\s]|(?=>))[^>]*'
+    r'href\s*=\s*["\']([^"\']+)')
+_PREV_HREF_FIRST = (
+    r'(?i)<link[^>]*href\s*=\s*["\']([^"\']+)["\'][^>]*'
+    r'rel\s*=\s*["\']?prev(?:ious)?["\'\s>]')
+
+
+def _resolve(href: Column) -> Column:
+    scheme = F.regexp_extract("url", r"^([a-z][a-z0-9+.\-]*):", 1)
+    origin = F.regexp_extract("url", r"^(https?://[^/]+)", 1)
+    base_dir = F.when(
+        F.col("url").rlike(r"^https?://[^/]+/"),
+        F.regexp_replace("url", r"[^/]*$", ""),
+    ).otherwise(F.concat(F.col("url"), F.lit("/")))
+    return (
+        F.when(href.isNull(), F.lit(None).cast("string"))
+        .when(href.rlike(r"^https?://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(F.concat(base_dir, href))
+    )
+
+
+def _extract(first: str, second: str) -> Column:
+    return F.nullif(
+        F.coalesce(
+            F.nullif(F.regexp_extract("html", first, 1), F.lit("")),
+            F.nullif(F.regexp_extract("html", second, 1), F.lit("")),
+        ),
+        F.lit(""),
+    )
+
+
+def next_prev_claims(pages: DataFrame) -> DataFrame:
+    """(url, next_url, prev_url) per page, resolved absolute; NULL
+    when not declared. `pages` needs (url, html: string)."""
+    nxt = _extract(_NEXT_REL_FIRST, _NEXT_HREF_FIRST)
+    prv = _extract(_PREV_REL_FIRST, _PREV_HREF_FIRST)
+    return pages.select(
+        "url",
+        _resolve(nxt).alias("next_url"),
+        _resolve(prv).alias("prev_url"),
+    )
+
+
+def pagination_series(claims: DataFrame, max_len: int = 64) -> DataFrame:
+    """(url, series_key, position, status) per page in `claims`.
+    status='ok' pages carry the head URL as series_key and their
+    exact 0-based position; cycle/over-long members are
+    status='broken' with NULLs."""
+    nexts = (
+        claims.filter(F.col("next_url").isNotNull())
+        .select(F.col("url").alias("src"),
+                F.col("next_url").alias("dst"))
+    )
+    # unique predecessor per page: conflicting claimants collapse to
+    # the lexical min so the walk stays functional and deterministic
+    rev = (
+        nexts.groupBy(F.col("dst").alias("src"))
+        .agg(F.min("src").alias("dst"))
+    )
+    heads = resolve_redirects(rev, max_hops=max_len)
+    out = (
+        claims.select("url").distinct()
+        .join(heads, "url", "left")
+    )
+    no_row = F.col("status").isNull()  # page with no pagination edges
+    ok = no_row | (F.col("status") == "ok")
+    return out.select(
+        "url",
+        F.when(no_row, F.col("url"))
+        .when(ok, F.col("final_url")).alias("series_key"),
+        F.when(no_row, F.lit(0))
+        .when(ok, F.col("hops")).cast("int").alias("position"),
+        F.when(ok, F.lit("ok")).otherwise(F.lit("broken"))
+        .alias("status"),
+    )
+
+
+def series_rollup(series: DataFrame) -> DataFrame:
+    """(series_key, n_pages, max_position, complete) over status='ok'
+    members: complete when positions are exactly 0..n-1 (positions
+    are distinct by the functional-walk property, so the check is
+    max = n-1)."""
+    return (
+        series.filter(F.col("status") == "ok")
+        .groupBy("series_key")
+        .agg(F.count("*").alias("n_pages"),
+             F.max("position").alias("max_position"))
+        .withColumn(
+            "complete",
+            F.col("max_position") == (F.col("n_pages") - F.lit(1))
+            .cast("int"))
+    )
