@@ -5225,6 +5225,36 @@ SELECT CASE WHEN p < L THEN 'http://pg.example/c' || c || '/p' || p
 FROM b"""
 
 
+def q_stitch_series(spark, sf_dir):
+    """Series stitching (X88d): ok members concatenated in position
+    order — broken chains contribute nothing, standalone pages pass
+    through as singletons."""
+    from ptt_spider_go_spark.operators import pagination
+
+    pages = _pagination_pages(_t(spark, sf_dir, "documents"))
+    docs = pages.select(
+        "url",
+        F.concat(F.lit("pg-body "), F.col("url")).alias("text"))
+    series = pagination.pagination_series(
+        pagination.next_prev_claims(pages))
+    return pagination.stitch_series(docs, series)
+
+
+SQL_STITCH_SERIES = f"""
+WITH b AS ({_SQL_PAGINATION_BASE}),
+s AS (
+  SELECT CASE WHEN p < L THEN 'http://pg.example/c' || c || '/p' || p
+         ELSE 'http://pg.example/s' || doc_id END AS url,
+         CASE WHEN p >= L THEN 'http://pg.example/s' || doc_id
+              ELSE 'http://pg.example/c' || c || '/p0' END AS series_key,
+         CASE WHEN p >= L THEN 0 ELSE p END AS position
+  FROM b WHERE p >= L OR NOT (cy AND L > 1))
+SELECT series_key, CAST(count(*) AS BIGINT) AS n_pages,
+       string_agg('pg-body ' || url, chr(10) || chr(10)
+                  ORDER BY position, url) AS text
+FROM s GROUP BY series_key"""
+
+
 def q_pagination_rollup(spark, sf_dir):
     """Series rollup (X88c): n_pages/max_position/complete per ok
     series; broken (cyclic) chains contribute nothing."""
@@ -5400,6 +5430,7 @@ QUERIES = {
     "pagination_claims": (q_pagination_claims, SQL_PAGINATION_CLAIMS),
     "pagination_series": (q_pagination_series, SQL_PAGINATION_SERIES),
     "pagination_rollup": (q_pagination_rollup, SQL_PAGINATION_ROLLUP),
+    "stitch_series": (q_stitch_series, SQL_STITCH_SERIES),
 }
 
 

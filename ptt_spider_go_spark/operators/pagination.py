@@ -133,6 +133,39 @@ def pagination_series(claims: DataFrame, max_len: int = 64) -> DataFrame:
     )
 
 
+def stitch_series(docs: DataFrame, series: DataFrame) -> DataFrame:
+    """(series_key, n_pages, text): status='ok' members concatenated
+    in position order with a blank line between pages — the stitched
+    logical document dedup/packing should see instead of N page
+    fragments (the whole point of assembling the chain). `docs`
+    needs (url, text).
+
+    Scale shape: one equi-join on url (both sides page-grain), one
+    groupBy(series_key) whose collect_list is bounded by the
+    assembler's max_len (a series longer than that was already
+    'broken'), sorted in-row by (position, text) so the result is
+    deterministic even on forked trees with duplicated positions.
+    The page texts move through ONE shuffle, already reduced to the
+    columns the stitch needs."""
+    members = (
+        series.filter(F.col("status") == "ok")
+        .join(docs.select("url", "text"), "url")
+    )
+    parts = F.array_sort(
+        F.collect_list(F.struct("position", "text")))
+    return (
+        members.groupBy("series_key")
+        .agg(F.count("*").alias("n_pages"), parts.alias("_parts"))
+        .select(
+            "series_key", "n_pages",
+            F.concat_ws(
+                "\n\n",
+                F.transform(F.col("_parts"), lambda s: s["text"]))
+            .alias("text"),
+        )
+    )
+
+
 def series_rollup(series: DataFrame) -> DataFrame:
     """(series_key, n_pages, max_position, complete) over status='ok'
     members: complete when positions are exactly 0..n-1 (positions

@@ -1,7 +1,7 @@
-"""Pagination chains (X88): extraction, assembly, rollup."""
+"""Pagination chains (X88): extraction, assembly, stitching, rollup."""
 
 from ptt_spider_go_spark.operators.pagination import (
-    next_prev_claims, pagination_series, series_rollup,
+    next_prev_claims, pagination_series, series_rollup, stitch_series,
 )
 
 
@@ -123,6 +123,21 @@ class TestRollup:
         assert bool(out["h"]["complete"]) is True
         assert (out["lone"]["n_pages"], out["lone"]["max_position"]) \
             == (1, 0)
+
+    def test_stitch_orders_by_position(self, spark):
+        series = pagination_series(_claims_df(spark, [
+            ("h", "m", None), ("m", "t", None), ("t", None, "m"),
+            ("a", "b", None), ("b", "a", None),   # broken: no stitch
+        ]))
+        docs = spark.createDataFrame(
+            [("t", "tail"), ("h", "head"), ("m", "middle"),
+             ("a", "x"), ("b", "y")],
+            "url string, text string")
+        out = {r["series_key"]: r.asDict()
+               for r in stitch_series(docs, series).collect()}
+        assert set(out) == {"h"}
+        assert out["h"]["n_pages"] == 3
+        assert out["h"]["text"] == "head\n\nmiddle\n\ntail"
 
     def test_multi_snapshot_fork_detected_as_incomplete(self, spark):
         # a union of two snapshots gives url 'f' two different next
