@@ -283,3 +283,30 @@ def canonicalize_url(url: Column) -> Column:
     return F.when(
         (auth != "") & (rest == ""), F.concat(low, F.lit("/"))
     ).otherwise(canon)
+
+
+# --- in-page href resolution (shared by canonical / pagination / hreflang) --
+
+def resolve_href(url: Column, href: Column) -> Column:
+    """Resolve an in-page href against its page URL with JVM string
+    functions: absolute, scheme-relative, root-relative and
+    directory-relative forms (dot-segments stay with the full DOM
+    kernel, htmlparse/dom.py — this is the no-Python fast path).
+    NULL href -> NULL. One shared implementation so a resolution fix
+    lands once (extracted from htmlparse/canonical.py's inline copy
+    after operators/pagination.py grew a second one)."""
+    scheme = F.regexp_extract(url, r"^([a-z][a-z0-9+.\-]*):", 1)
+    origin = F.regexp_extract(url, r"^(https?://[^/]+)", 1)
+    # directory of the page url; a host-only url gets a '/' appended
+    # so relative hrefs never eat the authority
+    base_dir = F.when(
+        url.rlike(r"^https?://[^/]+/"),
+        F.regexp_replace(url, r"[^/]*$", ""),
+    ).otherwise(F.concat(url, F.lit("/")))
+    return (
+        F.when(href.isNull(), F.lit(None).cast("string"))
+        .when(href.rlike(r"^https?://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(F.concat(base_dir, href))
+    )

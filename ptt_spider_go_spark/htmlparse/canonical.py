@@ -27,16 +27,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ptt_spider_go_spark.functions.columns import resolve_href
+
 # the delimiter after 'canonical' must not consume '>': a malformed
 # href-less `<link rel=canonical>` would otherwise let [^>]* walk into
 # the NEXT tag and steal its href (cross-tag bug caught by the X88
 # pagination twin of this regex; pinned in test_canonical_scripts)
 _REL_FIRST = (
     r'(?i)<link[^>]*rel\s*=\s*["\']?canonical(?:["\'\s]|(?=>))[^>]*'
-    r'href\s*=\s*["\']([^"\']+)')
+    r'href\s*=\s*["\']([^"\'>]+)')
+# the trailing delimiter keeps rel tokens that merely START with
+# 'canonical' (e.g. rel="canonicalized-view") from claiming; the href
+# capture excludes '>' so an unterminated quote cannot run past the
+# tag boundary (both pinned in tests)
 _HREF_FIRST = (
-    r'(?i)<link[^>]*href\s*=\s*["\']([^"\']+)["\'][^>]*'
-    r'rel\s*=\s*["\']?canonical')
+    r'(?i)<link[^>]*href\s*=\s*["\']([^"\'>]+)["\'][^>]*'
+    r'rel\s*=\s*["\']?canonical(?:["\'\s]|(?=>))')
 
 
 def canonical_claims(pages: DataFrame) -> DataFrame:
@@ -50,21 +56,7 @@ def canonical_claims(pages: DataFrame) -> DataFrame:
         ),
         F.lit(""),
     )
-    scheme = F.regexp_extract("url", r"^([a-z][a-z0-9+.\-]*):", 1)
-    origin = F.regexp_extract("url", r"^(https?://[^/]+)", 1)
-    # directory of the page url; a host-only url gets a '/' appended
-    # so relative hrefs never eat the authority
-    base_dir = F.when(
-        F.col("url").rlike(r"^https?://[^/]+/"),
-        F.regexp_replace("url", r"[^/]*$", ""),
-    ).otherwise(F.concat(F.col("url"), F.lit("/")))
-    resolved = (
-        F.when(href.isNull(), F.lit(None).cast("string"))
-        .when(href.rlike(r"^https?://"), href)
-        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
-        .when(href.startswith("/"), F.concat(origin, href))
-        .otherwise(F.concat(base_dir, href))
-    )
+    resolved = resolve_href(F.col("url"), href)
     return pages.select(
         "url",
         F.coalesce(resolved, F.col("url")).alias("canonical"),

@@ -34,12 +34,15 @@ short edge rows. No Python anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
+
+from ptt_spider_go_spark.functions.columns import resolve_href
 
 _TAG = r"(?i)<link[^>]*>"
 _REL_ALT = r"(?i)rel\s*=\s*[\"']?([a-z\- ]*\balternate\b)"
-_LANG = r"(?i)hreflang\s*=\s*[\"']([^\"']+)[\"']"
-_HREF = r"(?i)href\s*=\s*[\"']([^\"']+)[\"']"
+# captures exclude '>' so an unterminated quote stays tag-bounded
+_LANG = r"(?i)hreflang\s*=\s*[\"']([^\"'>]+)[\"']"
+_HREF = r"(?i)href\s*=\s*[\"']([^\"'>]+)[\"']"
 
 
 def hreflang_edges(pages: DataFrame) -> DataFrame:
@@ -56,11 +59,18 @@ def hreflang_edges(pages: DataFrame) -> DataFrame:
     edges = pages.select(
         "url", F.posexplode(alts).alias("pos", "tag"))
     lang = F.lower(F.regexp_extract("tag", _LANG, 1))
+    # resolve relative hrefs against the declaring page (shared
+    # helper): without this, '/fr/p' sorts before any 'http://...'
+    # and cluster keys diverge between variants that declare the
+    # same set in different spellings — and bare-path keys would
+    # collide ACROSS hosts
+    href = resolve_href(F.col("url"),
+                        F.regexp_extract("tag", _HREF, 1))
     return edges.select(
         "url",
         "pos",
         lang.alias("hreflang"),
-        F.regexp_extract("tag", _HREF, 1).alias("href"),
+        href.alias("href"),
         (lang == "x-default").alias("is_x_default"),
     )
 

@@ -30,23 +30,33 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+# content captures exclude '>' so an unterminated quote cannot run
+# past the tag boundary and harvest directive-looking words from body
+# text (pinned). A name-first tag can only match the first pattern
+# and a content-first tag only the second, so concatenating both
+# regexp_extract_all results walks every robots meta exactly once.
 _NAME_FIRST = (
     r'(?i)<meta[^>]*name\s*=\s*["\']?robots["\'\s][^>]*'
-    r'content\s*=\s*["\']([^"\']*)')
+    r'content\s*=\s*["\']([^"\'>]*)')
 _CONTENT_FIRST = (
-    r'(?i)<meta[^>]*content\s*=\s*["\']([^"\']*)["\'][^>]*'
+    r'(?i)<meta[^>]*content\s*=\s*["\']([^"\'>]*)["\'][^>]*'
     r'name\s*=\s*["\']?robots["\'\s>]')
 
 
 def _directives(html: Column) -> Column:
-    """Lower-cased token array of the first robots meta's content;
-    empty array when the page carries none."""
-    raw = F.coalesce(
-        F.nullif(F.regexp_extract(html, _NAME_FIRST, 1), F.lit("")),
-        F.nullif(F.regexp_extract(html, _CONTENT_FIRST, 1), F.lit("")),
+    """Lower-cased token array over the UNION of every robots meta's
+    content — when a page carries several (CMS plugins stack them),
+    the restrictive union is the semantics search engines apply, so
+    one 'noindex' among them wins whatever the others say. Empty
+    array when the page carries none."""
+    h = F.coalesce(html, F.lit(""))  # a NULL page has no directives
+    contents = F.concat(
+        F.regexp_extract_all(h, F.lit(_NAME_FIRST), F.lit(1)),
+        F.regexp_extract_all(h, F.lit(_CONTENT_FIRST), F.lit(1)),
     )
     toks = F.filter(
-        F.split(F.lower(F.coalesce(raw, F.lit(""))), r"[,\s]+"),
+        F.flatten(F.transform(
+            contents, lambda c: F.split(F.lower(c), r"[,\s]+"))),
         lambda t: t != "",
     )
     return toks

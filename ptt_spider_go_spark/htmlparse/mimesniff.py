@@ -68,7 +68,8 @@ def _family(mime):
     out = F.lit("binary")
     for m, fam in _FAMILY.items():
         out = F.when(mime == m, F.lit(fam)).otherwise(out)
-    return out
+    return F.when(mime.isNull(), F.lit(None).cast("string")) \
+        .otherwise(out)
 
 
 def sniff_mime(responses: DataFrame) -> DataFrame:
@@ -91,8 +92,11 @@ def sniff_mime(responses: DataFrame) -> DataFrame:
     webp = riff & (F.hex(F.expr("substring(html, 9, 4)")) == "57454250")
     has_nul = F.instr(head, "\x00") > 0
     mime = (
-        F.when(F.expr("substring(html, 1, 5)").cast("string") == "%PDF-",
-               F.lit("application/pdf"))
+        # a missing payload (failed fetch) sniffs as nothing — NULL,
+        # never 'text/plain', and never a mismatch (pinned)
+        F.when(F.col("html").isNull(), F.lit(None).cast("string"))
+        .when(F.expr("substring(html, 1, 5)").cast("string") == "%PDF-",
+              F.lit("application/pdf"))
         .when(F.expr("substring(html, 1, 6)").cast("string")
               .isin("GIF87a", "GIF89a"), F.lit("image/gif"))
         .when(hex4 == "89504E47", F.lit("image/png"))
@@ -113,6 +117,13 @@ def sniff_mime(responses: DataFrame) -> DataFrame:
               F.lit(None).cast("string"))
         .when(declared.rlike("^text/html$|^application/xhtml"),
               F.lit("html"))
+        # text-based application/* types (json, xml, javascript and
+        # their +suffix forms) are the 'text' family: their bodies
+        # correctly sniff as text/plain, and mapping them to 'binary'
+        # would flag every healthy JSON/XML/JS response as corrupt
+        .when(declared.rlike(r"^application/(json|xml|javascript|"
+                             r"ecmascript)$|\+(json|xml)$"),
+              F.lit("text"))
         .when(declared.startswith("text/"), F.lit("text"))
         .when(declared.startswith("image/"), F.lit("image"))
         .when(declared == "application/pdf", F.lit("document"))
@@ -126,6 +137,7 @@ def sniff_mime(responses: DataFrame) -> DataFrame:
         mime.alias("mime"),
         fam.alias("family"),
         declared_family.alias("declared_family"),
-        (declared_family.isNotNull() & (declared_family != fam))
+        (declared_family.isNotNull() & fam.isNotNull()
+         & (declared_family != fam))
         .alias("mismatch"),
     )

@@ -41,40 +41,27 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ptt_spider_go_spark.functions.columns import resolve_href
 from ptt_spider_go_spark.operators.redirects import resolve_redirects
 
 # the delimiter after the rel value must NOT consume '>': a bare
 # `rel=next>` tag has no href, and eating the '>' would let the
 # trailing [^>]* walk into the NEXT tag and steal its href (caught by
-# TestExtraction; same fix applied to htmlparse/canonical.py)
+# TestExtraction; same fix applied to htmlparse/canonical.py). The
+# href captures exclude '>' so an unterminated quote cannot run past
+# the tag boundary.
 _NEXT_REL_FIRST = (
     r'(?i)<link[^>]*rel\s*=\s*["\']?next(?:["\'\s]|(?=>))[^>]*'
-    r'href\s*=\s*["\']([^"\']+)')
+    r'href\s*=\s*["\']([^"\'>]+)')
 _NEXT_HREF_FIRST = (
-    r'(?i)<link[^>]*href\s*=\s*["\']([^"\']+)["\'][^>]*'
+    r'(?i)<link[^>]*href\s*=\s*["\']([^"\'>]+)["\'][^>]*'
     r'rel\s*=\s*["\']?next["\'\s>]')
 _PREV_REL_FIRST = (
     r'(?i)<link[^>]*rel\s*=\s*["\']?prev(?:ious)?(?:["\'\s]|(?=>))[^>]*'
-    r'href\s*=\s*["\']([^"\']+)')
+    r'href\s*=\s*["\']([^"\'>]+)')
 _PREV_HREF_FIRST = (
-    r'(?i)<link[^>]*href\s*=\s*["\']([^"\']+)["\'][^>]*'
+    r'(?i)<link[^>]*href\s*=\s*["\']([^"\'>]+)["\'][^>]*'
     r'rel\s*=\s*["\']?prev(?:ious)?["\'\s>]')
-
-
-def _resolve(href: Column) -> Column:
-    scheme = F.regexp_extract("url", r"^([a-z][a-z0-9+.\-]*):", 1)
-    origin = F.regexp_extract("url", r"^(https?://[^/]+)", 1)
-    base_dir = F.when(
-        F.col("url").rlike(r"^https?://[^/]+/"),
-        F.regexp_replace("url", r"[^/]*$", ""),
-    ).otherwise(F.concat(F.col("url"), F.lit("/")))
-    return (
-        F.when(href.isNull(), F.lit(None).cast("string"))
-        .when(href.rlike(r"^https?://"), href)
-        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
-        .when(href.startswith("/"), F.concat(origin, href))
-        .otherwise(F.concat(base_dir, href))
-    )
 
 
 def _extract(first: str, second: str) -> Column:
@@ -92,10 +79,11 @@ def next_prev_claims(pages: DataFrame) -> DataFrame:
     when not declared. `pages` needs (url, html: string)."""
     nxt = _extract(_NEXT_REL_FIRST, _NEXT_HREF_FIRST)
     prv = _extract(_PREV_REL_FIRST, _PREV_HREF_FIRST)
+    u = F.col("url")
     return pages.select(
         "url",
-        _resolve(nxt).alias("next_url"),
-        _resolve(prv).alias("prev_url"),
+        resolve_href(u, nxt).alias("next_url"),
+        resolve_href(u, prv).alias("prev_url"),
     )
 
 
@@ -103,17 +91,29 @@ def pagination_series(claims: DataFrame, max_len: int = 64) -> DataFrame:
     """(url, series_key, position, status) per page in `claims`.
     status='ok' pages carry the head URL as series_key and their
     exact 0-based position; cycle/over-long members are
-    status='broken' with NULLs."""
-    nexts = (
+    status='broken' with NULLs.
+
+    Predecessor evidence comes from BOTH directions — a next-edge
+    q->p says q precedes p, and p's own prev declaration says the
+    same thing from the other side — so prev-only sites (rel=prev
+    without rel=next exists in the wild) still assemble, and on
+    consistent sites the two sources agree and dedup in the min."""
+    from_next = (
         claims.filter(F.col("next_url").isNotNull())
-        .select(F.col("url").alias("src"),
-                F.col("next_url").alias("dst"))
+        .select(F.col("next_url").alias("page"),
+                F.col("url").alias("pred"))
+    )
+    from_prev = (
+        claims.filter(F.col("prev_url").isNotNull())
+        .select(F.col("url").alias("page"),
+                F.col("prev_url").alias("pred"))
     )
     # unique predecessor per page: conflicting claimants collapse to
     # the lexical min so the walk stays functional and deterministic
     rev = (
-        nexts.groupBy(F.col("dst").alias("src"))
-        .agg(F.min("src").alias("dst"))
+        from_next.unionByName(from_prev)
+        .groupBy(F.col("page").alias("src"))
+        .agg(F.min("pred").alias("dst"))
     )
     heads = resolve_redirects(rev, max_hops=max_len)
     out = (

@@ -88,15 +88,19 @@ def takedown_audit(docs: DataFrame, rules: DataFrame) -> DataFrame:
     two rules hit counts for both: each requester gets a truthful
     receipt)."""
     keyed = _keyed(docs)
-    probes = (
-        keyed.select(F.lit("url").alias("kind"),
-                     F.col("url").alias("key"))
-        .unionByName(keyed.select(
-            F.lit("host").alias("kind"), F.col("_host").alias("key")))
-        .unionByName(keyed.select(
-            F.lit("content_hash").alias("kind"),
-            F.col("_hash").alias("key")))
-    )
+    # one corpus scan: explode each document into its three probe
+    # rows (a 3-way union would re-read the billion-row corpus once
+    # per kind)
+    probes = keyed.select(
+        F.explode(F.array(
+            F.struct(F.lit("url").alias("kind"),
+                     F.col("url").alias("key")),
+            F.struct(F.lit("host").alias("kind"),
+                     F.col("_host").alias("key")),
+            F.struct(F.lit("content_hash").alias("kind"),
+                     F.col("_hash").alias("key")),
+        )).alias("p")
+    ).select("p.kind", "p.key")
     hits = (
         probes.join(F.broadcast(rules.select("kind", "key").distinct()),
                     ["kind", "key"])
