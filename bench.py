@@ -126,6 +126,7 @@ HEADLINE = [
     "mime_sniff",
     "takedown_verdicts",
     "pagination_series",
+    "crawl_gate_funnel",
 ]
 
 

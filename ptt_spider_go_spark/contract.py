@@ -5298,6 +5298,185 @@ SELECT series_key, CAST(count(*) AS BIGINT) AS n_pages,
 FROM s GROUP BY series_key"""
 
 
+def _gate_pages(docs):
+    """(url, status, text, html) over 8 gw*.example hosts: gw0/gw4
+    mirror ~90% of their slots, gw5 answers 2/3 of its pages with a
+    200 'page not found' stub (soft-404 drop), ~1/10 of fetches are
+    404/503, ~1/6 of pages carry a robots noindex meta, the rest are
+    per-doc unique bodies."""
+    d = F.col("doc_id").cast("string")
+    h = F.col("doc_id") % 8
+    g = F.expr("doc_id div 8").cast("string")
+    gs = F.pmod(md5_long(F.concat(d, F.lit(":gs"))), F.lit(20))
+    status = (F.when(gs == 0, 404).when(gs == 1, 503).otherwise(200))
+    sm = F.pmod(md5_long(F.concat(g, F.lit(":gm"))), F.lit(10)) < 9
+    s4 = F.pmod(md5_long(F.concat(d, F.lit(":g4"))), F.lit(3)) < 2
+    text = (
+        F.when(h.isin(0, 4) & sm, F.concat(F.lit("gw-mirror "), g))
+        .when((h == 5) & s4, F.lit("page not found"))
+        .otherwise(F.concat(F.lit("gw-uniq "), d))
+    )
+    noindex = F.pmod(md5_long(F.concat(d, F.lit(":gn"))), F.lit(6)) == 0
+    html = F.when(noindex, F.lit(
+        '<meta name="robots" content="noindex">')) \
+        .otherwise(F.lit("<p>x</p>"))
+    url = F.concat(F.lit("http://gw"), h.cast("string"),
+                   F.lit(".example/p"), d)
+    return docs.select(url.alias("url"),
+                       status.cast("int").alias("status"),
+                       text.alias("text"), html.alias("html"))
+
+
+def _gate_rules(spark, docs):
+    """Takedown rules for the gate funnel: ~1/40 single-url rules,
+    one host-wide rule (gw3), content-hash rules for every 5th
+    mirror slot, one never-matching url rule."""
+    d = F.col("doc_id").cast("string")
+    h = (F.col("doc_id") % 8).cast("string")
+    url_rules = (
+        docs.filter(
+            F.pmod(md5_long(F.concat(d, F.lit(":gu"))), F.lit(40)) == 0)
+        .select(F.lit("url").alias("kind"),
+                F.concat(F.lit("http://gw"), h, F.lit(".example/p"),
+                         d).alias("key"))
+    )
+    g = F.expr("doc_id div 8")
+    hash_rules = (
+        docs.filter(g % 5 == 0)
+        .select(F.lit("content_hash").alias("kind"),
+                F.md5(F.concat(F.lit("gw-mirror "),
+                               g.cast("string"))).alias("key"))
+        .distinct()
+    )
+    fixed = spark.createDataFrame(
+        [("host", "gw3.example"), ("url", "http://never.example/x")],
+        "kind string, key string")
+    return url_rules.unionByName(hash_rules).unionByName(fixed)
+
+
+def q_crawl_gate_funnel(spark, sf_dir):
+    """Crawl-quality gate funnel (X89): robots-meta -> host-quality
+    -> mirror-drop -> takedown, cumulative attrition with exact char
+    mass; the oracle nests the X82/X83/X84/X87 component derivations
+    (composition certification, the X43 pattern)."""
+    from ptt_spider_go_spark.pipeline import webgates
+
+    docs = _t(spark, sf_dir, "documents")
+    return webgates.crawl_gate_funnel(
+        _gate_pages(docs), _gate_rules(spark, docs),
+        hot_hash_cap=4, containment_ppm=500_000)
+
+
+SQL_CRAWL_GATE_FUNNEL = f"""
+WITH b AS (
+  SELECT doc_id,
+         'gw' || (doc_id % 8) || '.example' AS host,
+         'http://gw' || (doc_id % 8) || '.example/p' || doc_id AS url,
+         CASE {md5_long_sql("concat(doc_id, ':gs')")} % 20
+           WHEN 0 THEN 404 WHEN 1 THEN 503 ELSE 200 END AS status,
+         CASE WHEN (doc_id % 8) IN (0, 4)
+                   AND {md5_long_sql("concat(doc_id // 8, ':gm')")} % 10 < 9
+                THEN 'gw-mirror ' || (doc_id // 8)
+              WHEN (doc_id % 8) = 5
+                   AND {md5_long_sql("concat(doc_id, ':g4')")} % 3 < 2
+                THEN 'page not found'
+              ELSE 'gw-uniq ' || doc_id END AS text,
+         ({md5_long_sql("concat(doc_id, ':gn')")} % 6 = 0) AS noindex
+  FROM documents),
+hs AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+         CAST(sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n200,
+         CAST(sum(CASE WHEN status = 200 THEN length(text) ELSE 0 END)
+              AS BIGINT) AS len200
+  FROM b GROUP BY host),
+fl AS (
+  SELECT p.host, p.status, CAST(length(p.text) AS BIGINT) AS n_chars,
+         md5(p.text) AS hash,
+         (p.status = 200 AND ({_SQL_S4_KW}
+            OR 5 * CAST(length(p.text) AS BIGINT) * hs.n200 < hs.len200))
+           AS soft
+  FROM b p JOIN hs ON hs.host = p.host),
+ph AS (
+  SELECT host, hash, CAST(count(*) AS BIGINT) AS nh,
+         CAST(sum(CASE WHEN soft THEN 1 ELSE 0 END) AS BIGINT) AS sh
+  FROM fl WHERE status = 200 GROUP BY host, hash),
+ag AS (
+  SELECT host, CAST(sum(nh) AS BIGINT) AS n200,
+         CAST(count(*) AS BIGINT) AS ndist,
+         CAST(sum(sh) AS BIGINT) AS nsoft
+  FROM ph GROUP BY host),
+hv AS (
+  SELECT hs.host,
+         (coalesce(ag.n200, 0) > 0
+          AND (ag.nsoft * 1000000) // ag.n200 <= 200000
+          AND ((ag.n200 - ag.ndist) * 1000000) // ag.n200 <= 500000)
+           AS host_keep
+  FROM hs LEFT JOIN ag ON ag.host = hs.host),
+prof AS (SELECT DISTINCT host, md5(text) AS hash FROM b),
+sizes AS (SELECT host, CAST(count(*) AS BIGINT) AS n FROM prof
+          GROUP BY host),
+kept AS (SELECT hash, host FROM prof
+         QUALIFY count(*) OVER (PARTITION BY hash) <= 4),
+pairs AS (
+  SELECT a.host AS host_a, b2.host AS host_b,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM kept a JOIN kept b2 ON a.hash = b2.hash AND a.host < b2.host
+  GROUP BY 1, 2),
+mdrop AS (
+  SELECT DISTINCT pairs.host_b AS host
+  FROM pairs
+  JOIN sizes sa ON sa.host = pairs.host_a
+  JOIN sizes sb ON sb.host = pairs.host_b
+  WHERE (shared * 1000000 // least(sa.n, sb.n)) >= 500000),
+r AS (
+  SELECT 'url' AS kind,
+         'http://gw' || (doc_id % 8) || '.example/p' || doc_id AS key
+  FROM documents
+  WHERE {md5_long_sql("concat(doc_id, ':gu')")} % 40 = 0
+  UNION
+  SELECT 'content_hash', md5('gw-mirror ' || (doc_id // 8))
+  FROM documents WHERE (doc_id // 8) % 5 = 0
+  UNION ALL
+  SELECT * FROM (VALUES ('host', 'gw3.example'),
+                        ('url', 'http://never.example/x'))
+       v(kind, key)),
+del AS (
+  SELECT b2.url, count(r.kind) > 0 AS deleted
+  FROM b b2 LEFT JOIN r
+    ON (r.kind = 'url' AND r.key = b2.url)
+    OR (r.kind = 'host' AND r.key = b2.host)
+    OR (r.kind = 'content_hash' AND r.key = md5(b2.text))
+  GROUP BY b2.url),
+flags AS (
+  SELECT b.url, CAST(length(b.text) AS BIGINT) AS n_chars, b.noindex,
+         hv.host_keep, (md.host IS NOT NULL) AS mdropped, del.deleted
+  FROM b JOIN hv ON hv.host = b.host
+  LEFT JOIN mdrop md ON md.host = b.host
+  JOIN del ON del.url = b.url),
+st AS (SELECT * FROM (VALUES (1, 'raw'), (2, 'indexable'),
+                             (3, 'host_ok'), (4, 'unmirrored'),
+                             (5, 'retained')) v(stage_id, stage)),
+sv AS (
+  SELECT st.stage_id, st.stage, f.n_chars,
+         CASE st.stage_id
+           WHEN 1 THEN true
+           WHEN 2 THEN NOT f.noindex
+           WHEN 3 THEN NOT f.noindex AND f.host_keep
+           WHEN 4 THEN NOT f.noindex AND f.host_keep
+                       AND NOT f.mdropped
+           ELSE NOT f.noindex AND f.host_keep AND NOT f.mdropped
+                AND NOT f.deleted
+         END AS surv
+  FROM flags f CROSS JOIN st)
+SELECT stage_id, stage,
+       CAST(sum(CASE WHEN surv THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pages,
+       CAST(sum(CASE WHEN surv THEN n_chars ELSE 0 END) AS BIGINT)
+         AS n_chars
+FROM sv GROUP BY stage_id, stage"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -5451,6 +5630,7 @@ QUERIES = {
     "pagination_series": (q_pagination_series, SQL_PAGINATION_SERIES),
     "pagination_rollup": (q_pagination_rollup, SQL_PAGINATION_ROLLUP),
     "stitch_series": (q_stitch_series, SQL_STITCH_SERIES),
+    "crawl_gate_funnel": (q_crawl_gate_funnel, SQL_CRAWL_GATE_FUNNEL),
 }
 
 
