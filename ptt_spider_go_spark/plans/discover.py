@@ -51,12 +51,27 @@ def discover_frontier(pages: DataFrame, seen: DataFrame | None,
                       blooms: "BloomShardSet | None" = None,
                       cuckoos: "CuckooShardSet | None" = None,
                       url_col: str = "url",
-                      html_col: str = "html") -> DataFrame:
+                      html_col: str = "html",
+                      honor_nofollow: bool = False) -> DataFrame:
     """pages(url, html) -> one `url` column of canonical, unblocked,
     never-seen outlink targets — the next superstep's raw frontier
     (priority/politeness ordering is the scheduler's job, not
     discovery's). See module docstring for the stage-by-stage shape.
-    """
+
+    `honor_nofollow=True` (opt-in, default off — pinned outputs
+    untouched) drops pages whose robots META declares nofollow (X84)
+    BEFORE outlink extraction — cheaper than filtering edges, since
+    it skips the mapInPandas pass for those pages entirely. Expects
+    `html_col` to be a decoded string column (route binary payloads
+    through the charset sniffer first)."""
+    if honor_nofollow:
+        from ptt_spider_go_spark.htmlparse.metarobots import robots_meta
+
+        meta = robots_meta(pages.select(
+            F.col(url_col).alias("url"), F.col(html_col).alias("html")))
+        follow = meta.filter(~F.col("nofollow")) \
+            .select(F.col("url").alias(url_col))
+        pages = pages.join(follow, url_col, "left_semi")
     cand = (
         outlinks_from_pages(pages, url_col=url_col, html_col=html_col)
         .select(canonicalize_url(F.col("url")).alias("url"))

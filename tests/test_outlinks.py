@@ -149,6 +149,30 @@ def test_discover_frontier_stages(spark):
     assert got == {"http://new.example/p"}
 
 
+def test_discover_frontier_honor_nofollow(spark):
+    """Opt-in X84 gate: a nofollow page contributes no outlinks;
+    default-off parity preserved."""
+    from ptt_spider_go_spark.plans.discover import discover_frontier
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.example/i",
+             '<meta name="robots" content="nofollow">'
+             '<a href="http://dontfollow.example/p">x</a>'),
+            ("http://b.example/i",
+             '<a href="http://follow.example/p">y</a>'),
+        ],
+        "url string, html string",
+    )
+    seen = spark.createDataFrame([], "url string")
+    on = {r["url"] for r in discover_frontier(
+        pages, seen, honor_nofollow=True).collect()}
+    assert on == {"http://follow.example/p"}
+    off = {r["url"] for r in discover_frontier(pages, seen).collect()}
+    assert off == {"http://follow.example/p",
+                   "http://dontfollow.example/p"}
+
+
 def test_discover_frontier_bloom_layers_exact(spark):
     """The Bloom(+cuckoo) layers never change the discovered set —
     false-positive-prone filters are verification-backed."""
