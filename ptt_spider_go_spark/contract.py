@@ -5477,6 +5477,88 @@ SELECT stage_id, stage,
 FROM sv GROUP BY stage_id, stage"""
 
 
+def q_robots_wildcards(spark, sf_dir):
+    """RFC 9309 full wildcard matching (X90): `*` spans, trailing `$`
+    anchors, longest-pattern-wins precedence with Allow beating
+    Disallow at equal length (politeness.robots_wildcard_verdicts),
+    rules parsed from a real robots.txt body through the Arrow kernel
+    (sources.robots.wildcard_rules_from_pages). Eight path shapes per
+    doc_id exercise: wildcard rescue by a longer Allow (m=0), plain
+    wildcard block (1), `$`-anchored extension block (2), the anchor
+    NOT matching a longer path (3), exact-path `$` block (4) vs its
+    one-char-longer sibling (5), an equal-length Allow/Disallow tie
+    (6), and literal regex metachars in a pattern (7). The oracle
+    derives verdicts independently from the branch selector."""
+    from ptt_spider_go_spark.operators.politeness import robots_wildcard_verdicts
+    from ptt_spider_go_spark.sources.robots import wildcard_rules_from_pages
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    m = F.pmod(md5_long(F.concat(d, F.lit(":wc"))), F.lit(8))
+    path = (
+        F.when(m == 0, F.concat(F.lit("/private/doc"), d, F.lit(".html")))
+        .when(m == 1, F.concat(F.lit("/private/doc"), d, F.lit(".txt")))
+        .when(m == 2, F.concat(F.lit("/files/doc"), d, F.lit(".php")))
+        .when(m == 3, F.concat(F.lit("/files/doc"), d, F.lit(".php.bak")))
+        .when(m == 4, F.lit("/a"))
+        .when(m == 5, F.lit("/ab"))
+        .when(m == 6, F.concat(F.lit("/t/x"), d))
+        .otherwise(F.concat(F.lit("/q(1)/doc"), d))
+    )
+    frontier = docs.select(
+        F.concat(F.lit("http://wc.example"), path).alias("url")
+    )
+    body = "\n".join(
+        [
+            "User-agent: *",
+            "Disallow: /private/*",
+            "Allow: /private/*.html$",
+            "Disallow: /files/*.php$",
+            "Disallow: /a$",
+            "Allow: /t/x*",
+            "Disallow: /t/x*",
+            "Disallow: /q(1)/",
+        ]
+    )
+    pages = spark.createDataFrame(
+        [("http://wc.example/robots.txt", body)], "url string, text string"
+    )
+    rules = wildcard_rules_from_pages(pages)
+    return robots_wildcard_verdicts(frontier, rules).distinct()
+
+
+SQL_ROBOTS_WILDCARDS = f"""
+WITH s AS (
+  SELECT doc_id,
+         {md5_long_sql("concat(doc_id, ':wc')")} % 8 AS m
+  FROM documents),
+v AS (
+  SELECT m,
+         CASE m
+           WHEN 0 THEN '/private/doc' || doc_id || '.html'
+           WHEN 1 THEN '/private/doc' || doc_id || '.txt'
+           WHEN 2 THEN '/files/doc' || doc_id || '.php'
+           WHEN 3 THEN '/files/doc' || doc_id || '.php.bak'
+           WHEN 4 THEN '/a'
+           WHEN 5 THEN '/ab'
+           WHEN 6 THEN '/t/x' || doc_id
+           ELSE '/q(1)/doc' || doc_id
+         END AS path
+  FROM s)
+SELECT DISTINCT
+       'http://wc.example' || path AS url,
+       m IN (0, 3, 5, 6) AS allowed,
+       CASE m
+         WHEN 0 THEN '/private/*.html$'
+         WHEN 1 THEN '/private/*'
+         WHEN 2 THEN '/files/*.php$'
+         WHEN 4 THEN '/a$'
+         WHEN 6 THEN '/t/x*'
+         WHEN 7 THEN '/q(1)/'
+       END AS rule
+FROM v"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -5631,6 +5713,7 @@ QUERIES = {
     "pagination_rollup": (q_pagination_rollup, SQL_PAGINATION_ROLLUP),
     "stitch_series": (q_stitch_series, SQL_STITCH_SERIES),
     "crawl_gate_funnel": (q_crawl_gate_funnel, SQL_CRAWL_GATE_FUNNEL),
+    "robots_wildcards": (q_robots_wildcards, SQL_ROBOTS_WILDCARDS),
 }
 
 

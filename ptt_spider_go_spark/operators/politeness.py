@@ -240,3 +240,91 @@ def trap_suspects(frontier: DataFrame,
         frontier.select("url"), max_depth, dup_segments, max_params,
         max_url_len,
     ).withColumnRenamed("trap_reason", "reason")
+
+
+# --- X90: RFC 9309 wildcard matching ----------------------------------------
+
+def robots_pattern_rx(pattern):
+    """Column chain translating a robots path pattern to an anchored
+    regex (RFC 9309 §2.2.3): trailing `$` anchors, `*` -> `.*`, every
+    other metachar escaped. JVM-side twin of
+    sources.robots.robots_pattern_regex (parity-pinned); output is
+    valid in BOTH Java regex and RE2 so the DuckDB oracle can run the
+    identical translated pattern."""
+    anchored = pattern.endswith("$")
+    core = F.when(
+        anchored, pattern.substr(F.lit(1), F.length(pattern) - 1)
+    ).otherwise(pattern)
+    esc = F.regexp_replace(core, r"([.^$+?()\[\]{}|\\])", r"\\$1")
+    star = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(
+        F.lit("^"), star, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def robots_wildcard_verdicts(frontier: DataFrame, rules: DataFrame) -> DataFrame:
+    """Frontier rows + (host, pattern, allowed) wildcard rules ->
+    frontier columns + (allowed boolean, rule string).
+
+    RFC 9309 §2.2.2 precedence over FULL wildcard patterns: among
+    matching rules the one with the most pattern octets decides; at
+    equal length Allow beats Disallow (the "least restrictive" rule);
+    no matching rule (or no rules for the host) -> allowed, rule NULL.
+    Matching runs against path + '?query' when a query string is
+    present (the REP matches the URL after the authority, so
+    `Disallow: /*?sessionid=` style rules work).
+
+    Scale shape: the rule table is |hosts| x avg_rules — broadcast by
+    construction; translation is a JVM regexp_replace chain evaluated
+    once per joined row, the match one non-foldable RLIKE (Spark
+    compiles per row — acceptable because rules-per-host is small and
+    the join is broadcast; the 10^10-row side never shuffles). The
+    dedup window partitions by url, matching apply_robots: the
+    frontier is distinct-by-url after the seen anti-join.
+    """
+    qs = F.try_parse_url(F.col("url"), F.lit("QUERY"))
+    path = F.concat(
+        F.coalesce(F.try_parse_url(F.col("url"), F.lit("PATH")), F.lit("/")),
+        F.when(qs.isNotNull(), F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    f = frontier.withColumn("_host", url_host(F.col("url"))).withColumn(
+        "_path", path
+    )
+    r = rules.select(
+        F.col("host").alias("_host"),
+        F.col("pattern").alias("_pat"),
+        robots_pattern_rx(F.col("pattern")).alias("_rx"),
+        F.col("allowed").alias("_allowed"),
+    )
+    joined = f.join(F.broadcast(r), on="_host", how="left")
+    # Column.rlike only takes a literal; RLIKE with a per-row pattern
+    # column is SQL-expression territory.
+    hit = F.col("_pat").isNotNull() & F.expr("_path rlike _rx")
+    joined = joined.withColumn(
+        "_mlen", F.when(hit, F.length(F.col("_pat"))).otherwise(F.lit(-1))
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.col("_mlen").desc(), F.col("_allowed").desc_nulls_last()
+    )
+    best = joined.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") == 1
+    )
+    return best.select(
+        *[c for c in frontier.columns],
+        F.when(F.col("_mlen") >= 0, F.col("_allowed"))
+        .otherwise(F.lit(True))
+        .alias("allowed"),
+        F.when(F.col("_mlen") >= 0, F.col("_pat")).alias("rule"),
+    )
+
+
+def apply_robots_wildcard(frontier: DataFrame,
+                          rules: DataFrame | None) -> DataFrame:
+    """Drop frontier rows a wildcard robots rule disallows — the
+    RFC 9309 full-matching upgrade of apply_robots (which handles the
+    prefix-only subset); same broadcast shape, same allowed-on-no-rule
+    default."""
+    if rules is None:
+        return frontier
+    v = robots_wildcard_verdicts(frontier, rules)
+    return v.filter(F.col("allowed")).drop("allowed", "rule")

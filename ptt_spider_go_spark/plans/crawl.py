@@ -53,6 +53,7 @@ from ptt_spider_go_spark.operators.dedup import (
 from ptt_spider_go_spark.operators.politeness import (
     aimd_budgets,
     apply_robots,
+    apply_robots_wildcard,
     budget_gate,
     with_trap_flags,
 )
@@ -153,6 +154,7 @@ def run_crawl(
     blocklist: DataFrame | None = None,
     seed_from_sitemaps: bool = False,
     aimd: bool = False,
+    robots_wildcards: bool = False,
 ) -> CrawlResult:
     """Run the crawl to fixpoint (or cfg.max_supersteps) and assemble
     outputs. `checkpoint_dir` enables snapshot/resume; with
@@ -342,8 +344,21 @@ def run_crawl(
             )
             frontier = bl.filter(~F.col("blocked")).select(FRONTIER_COLS)
 
-        # 1. robots + 2. politeness budget
-        allowed = apply_robots(frontier, robots)
+        # 1. robots + 2. politeness budget. `robots_wildcards` (opt-in,
+        # default off — the trap_filter pattern) reads the rule table's
+        # path column as RFC 9309 full wildcard patterns (X90) instead
+        # of plain prefixes; on metachar-free rules the two matchers
+        # are provably identical (parity-pinned), so flipping the flag
+        # never changes a prefix-rule crawl.
+        if robots_wildcards and robots is not None:
+            r = (
+                robots
+                if "pattern" in robots.columns
+                else robots.withColumnRenamed("path_prefix", "pattern")
+            )
+            allowed = apply_robots_wildcard(frontier, r)
+        else:
+            allowed = apply_robots(frontier, robots)
         admitted, deferred = budget_gate(
             allowed, cfg.host_budget_per_superstep, cfg.host_salt,
             host_budgets=cur_budgets,

@@ -191,3 +191,51 @@ def sitemap_directives(robots_pages: DataFrame) -> DataFrame:
     return robots_pages.select(
         "host", F.explode(urls).alias("sitemap_url")
     )
+
+
+# --- X90: RFC 9309 wildcard patterns ---------------------------------------
+
+WILDCARD_RULES_SCHEMA = "host string, pattern string, allowed boolean"
+
+
+def robots_pattern_regex(pattern: str) -> str:
+    """Robots path pattern -> anchored regex, RFC 9309 §2.2.3 full
+    matching: `*` matches any octet span, a TRAILING `$` anchors the
+    end (a `$` anywhere else is a literal), every other char literal.
+
+    Pure-Python twin of politeness.robots_pattern_rx (the JVM chain the
+    operator uses); a parity test pins the two byte-identical over a
+    generated pattern corpus. The output uses only `^ .* \\ $`-escape
+    constructs valid in BOTH Java regex and RE2, so Spark's RLIKE and
+    DuckDB's regexp_matches agree on every translated pattern.
+    """
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    out = ["^"]
+    for ch in core:
+        if ch == "*":
+            out.append(".*")
+        elif ch in ".^$+?()[]{}|\\":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    if anchored:
+        out.append("$")
+    return "".join(out)
+
+
+def wildcard_rules_from_pages(pages: DataFrame, agent: str = "*") -> DataFrame:
+    """pages rows whose url path is /robots.txt -> wildcard rule table
+    (host, pattern, allowed) for politeness.apply_robots_wildcard.
+
+    Group/agent selection is IDENTICAL to the prefix subset
+    (parse_robots_txt — RFC 9309 §2.2.1 grouping is matching-agnostic);
+    only the downstream MATCHING differs, so this is a rename
+    projection over the same Arrow kernel: patterns flow through
+    verbatim, `*`/`$` uninterpreted until match time. Rule order =
+    file order (stable downstream tie-breaks), one tiny row set per
+    host — broadcast-sized at 10^10-URL scale exactly like the prefix
+    table."""
+    return robots_rules_from_pages(pages, agent).select(
+        "host", F.col("path_prefix").alias("pattern"), "allowed"
+    )
