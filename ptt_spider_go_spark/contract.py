@@ -5559,6 +5559,140 @@ SELECT DISTINCT
 FROM v"""
 
 
+def q_surt_keys(spark, sf_dir):
+    """SURT canonical keys (X91, functions/surt.py): host lowercased
+    + www\\d*-stripped + label-reversed, path case-folded ('' -> '/'),
+    query params sorted with empties dropped. Five host shapes x five
+    path/query shapes per doc_id; the oracle rebuilds the key from the
+    same branch selectors with DuckDB list ops — independent of
+    Spark's URL parser."""
+    from ptt_spider_go_spark.functions.surt import surt_key
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    hm = F.pmod(md5_long(F.concat(d, F.lit(":sh"))), F.lit(5))
+    pm = F.pmod(md5_long(F.concat(d, F.lit(":sp"))), F.lit(5))
+    host = (
+        F.when(hm == 0, F.lit("www.Example.COM"))
+        .when(hm == 1, F.lit("sub.News.example.co.uk"))
+        .when(hm == 2, F.lit("www2.Mixed.Org"))
+        .when(hm == 3, F.lit("example.com"))
+        .otherwise(F.lit("a.b.example.com"))
+    )
+    tail = (
+        F.when(pm == 0, F.concat(F.lit("/A/B"), d))
+        .when(pm == 1, F.lit(""))
+        .when(pm == 2, F.lit("/x?b=2&a=1&c=3"))
+        .when(pm == 3, F.concat(F.lit("/y"), d, F.lit("?ONE=1")))
+        .otherwise(F.lit("/z?"))
+    )
+    urls = docs.select(
+        F.concat(F.lit("http://"), host, tail).alias("url")
+    )
+    return urls.select("url", surt_key(F.col("url")).alias("surt"))
+
+
+SQL_SURT_KEYS = f"""
+WITH s AS (
+  SELECT doc_id,
+         {md5_long_sql("concat(doc_id, ':sh')")} % 5 AS hm,
+         {md5_long_sql("concat(doc_id, ':sp')")} % 5 AS pm
+  FROM documents),
+p AS (
+  SELECT doc_id, hm, pm,
+         CASE hm
+           WHEN 0 THEN 'www.Example.COM'
+           WHEN 1 THEN 'sub.News.example.co.uk'
+           WHEN 2 THEN 'www2.Mixed.Org'
+           WHEN 3 THEN 'example.com'
+           ELSE 'a.b.example.com'
+         END AS host,
+         CASE pm
+           WHEN 0 THEN '/A/B' || doc_id
+           WHEN 1 THEN ''
+           WHEN 2 THEN '/x?b=2&a=1&c=3'
+           WHEN 3 THEN '/y' || doc_id || '?ONE=1'
+           ELSE '/z?'
+         END AS tail,
+         CASE hm
+           WHEN 0 THEN 'com,example'
+           WHEN 1 THEN 'uk,co,example,news,sub'
+           WHEN 2 THEN 'org,mixed'
+           WHEN 3 THEN 'com,example'
+           ELSE 'com,example,b,a'
+         END AS hostrev,
+         CASE pm
+           WHEN 0 THEN '/a/b' || doc_id
+           WHEN 1 THEN '/'
+           WHEN 2 THEN '/x?a=1&b=2&c=3'
+           WHEN 3 THEN '/y' || doc_id || '?one=1'
+           ELSE '/z'
+         END AS keytail
+  FROM s)
+SELECT 'http://' || host || tail AS url,
+       hostrev || ')' || keytail AS surt
+FROM p"""
+
+
+def q_cdx_index(spark, sf_dir):
+    """CDX capture index (X91, sinks/cdx.py cdx_from_positions): SURT
+    key + ts14 + md5 digest + (filename, offset, length) with offsets
+    reconstructed as the per-file running sum of payload octets — one
+    window partitioned by shard filename, never global. URLs carry an
+    unsorted query so the SURT canonicalization is exercised inside
+    the index build; the oracle reruns the layout arithmetic as a SQL
+    window over the same synthesized records."""
+    from ptt_spider_go_spark.sinks.cdx import cdx_from_positions
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    status = F.when(
+        F.pmod(md5_long(F.concat(d, F.lit(":cs"))), F.lit(10)) < 8,
+        F.lit(200),
+    ).otherwise(F.lit(404))
+    records = docs.select(
+        F.concat(F.lit("shard-"), (F.col("doc_id") % 4).cast("string"))
+        .alias("filename"),
+        F.col("doc_id").alias("position"),
+        F.concat(F.lit("http://www.CDX.example/p"), d, F.lit("?b=1&a=2"))
+        .alias("url"),
+        F.expr(
+            "timestamp'2026-08-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, CAST(doc_id % 7 AS INT))"
+        ).alias("warc_ts"),
+        F.lit("text/html").alias("mime"),
+        status.alias("status"),
+        F.col("text").alias("payload"),
+    )
+    return cdx_from_positions(records)
+
+
+SQL_CDX_INDEX = f"""
+WITH r AS (
+  SELECT 'shard-' || (doc_id % 4) AS filename,
+         doc_id AS position,
+         'http://www.CDX.example/p' || doc_id || '?b=1&a=2' AS url,
+         TIMESTAMP '2026-08-01 00:00:00'
+           + INTERVAL (doc_id % 7) HOUR AS ts,
+         CASE WHEN {md5_long_sql("concat(doc_id, ':cs')")} % 10 < 8
+              THEN 200 ELSE 404 END AS status,
+         text
+  FROM documents)
+SELECT 'example,cdx)/p' || position || '?a=2&b=1' AS surt,
+       strftime(ts, '%Y%m%d%H%M%S') AS ts14,
+       url,
+       'text/html' AS mime,
+       status,
+       md5(text) AS digest,
+       CAST(strlen(text) AS BIGINT) AS length,
+       CAST(coalesce(sum(strlen(text)) OVER (
+         PARTITION BY filename ORDER BY position
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS offset,
+       filename
+FROM r"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -5714,6 +5848,8 @@ QUERIES = {
     "stitch_series": (q_stitch_series, SQL_STITCH_SERIES),
     "crawl_gate_funnel": (q_crawl_gate_funnel, SQL_CRAWL_GATE_FUNNEL),
     "robots_wildcards": (q_robots_wildcards, SQL_ROBOTS_WILDCARDS),
+    "surt_keys": (q_surt_keys, SQL_SURT_KEYS),
+    "cdx_index": (q_cdx_index, SQL_CDX_INDEX),
 }
 
 

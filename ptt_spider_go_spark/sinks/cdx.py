@@ -1,0 +1,108 @@
+"""CDX capture-index generation over archive records (X91).
+
+A WARC corpus is unusable for lookup without its index: the CDX file
+(Common Crawl's cdx-*.gz, wayback's index shards) maps a SURT key +
+14-digit timestamp to the exact (filename, offset, length) byte span
+holding the capture. The reference has nothing like it (single-host,
+in-memory seen map); at 10^10 URLs the index IS the random-access
+layer over the archive.
+
+Two builders, one render:
+
+- `cdx_records`: over rows that already carry their true byte span —
+  what sources.warc.read_warc(with_offsets=True) emits straight from
+  its framing walk. Pure projection: surt key, ts14, md5 digest —
+  zero shuffles.
+- `cdx_from_positions`: over rows that carry only (filename,
+  position, payload) — offsets reconstructed as the running sum of
+  payload octet lengths per file (one window, partitioned by
+  filename: bounded by shard size, never global).
+- `cdx_lines`: the classic space-separated 9-field CDX line
+  (` N b a m s k S V g` order), one string column ready for
+  write.text — the same zero-shuffle text-sink shape as
+  sinks/markdown.py.
+
+Digest is md5 (hex) rather than Common Crawl's sha1-base32 so the
+DuckDB oracle can reproduce it bit-exactly; the field contract is
+identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ptt_spider_go_spark.functions.surt import surt_key
+
+CDX_COLS = [
+    "surt", "ts14", "url", "mime", "status", "digest",
+    "length", "offset", "filename",
+]
+
+
+def _ts14(records: DataFrame):
+    ts = (
+        F.col("warc_ts")
+        if "warc_ts" in records.columns
+        else F.to_timestamp(F.col("warc_date"))
+    )
+    return F.date_format(ts, "yyyyMMddHHmmss")
+
+
+def cdx_records(records: DataFrame) -> DataFrame:
+    """(url, warc_ts|warc_date, mime, status, payload, filename,
+    offset, record_len) -> CDX rows. The span columns come from the
+    WARC parser's framing walk, so `offset/length` slice the shard to
+    the standalone record (pinned by the byte-slice test)."""
+    return records.select(
+        surt_key(F.col("url")).alias("surt"),
+        _ts14(records).alias("ts14"),
+        "url",
+        "mime",
+        F.col("status").cast("int").alias("status"),
+        F.md5(F.col("payload")).alias("digest"),
+        F.col("record_len").cast("long").alias("length"),
+        F.col("offset").cast("long").alias("offset"),
+        "filename",
+    )
+
+
+def cdx_from_positions(records: DataFrame) -> DataFrame:
+    """Same output contract, offsets derived: records laid out
+    back-to-back per file in `position` order, length = payload
+    octets. One window partitioned by filename — per-shard state only,
+    the 100 TB-safe shape (a shard is ~1 GB by construction)."""
+    length = F.octet_length(F.col("payload"))
+    w = (
+        Window.partitionBy("filename")
+        .orderBy("position")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum(length).over(w), F.lit(0))
+    return records.select(
+        surt_key(F.col("url")).alias("surt"),
+        _ts14(records).alias("ts14"),
+        "url",
+        "mime",
+        F.col("status").cast("int").alias("status"),
+        F.md5(F.col("payload")).alias("digest"),
+        length.cast("long").alias("length"),
+        offset.cast("long").alias("offset"),
+        "filename",
+    )
+
+
+def cdx_lines(cdx: DataFrame) -> DataFrame:
+    """CDX rows -> one `line` string column (space-separated, the
+    classic plain-CDX field order); write with df.write.text."""
+    return cdx.select(
+        F.concat_ws(
+            " ",
+            "surt", "ts14", "url", "mime",
+            F.col("status").cast("string"),
+            "digest",
+            F.col("length").cast("string"),
+            F.col("offset").cast("string"),
+            "filename",
+        ).alias("line")
+    )

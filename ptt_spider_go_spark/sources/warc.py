@@ -122,17 +122,25 @@ def write_warc(pages: DataFrame, path: str,
 
 
 def _parse_warc_bytes(blob: bytes) -> Iterator[
-        tuple[int, str, str, int, str, str]]:
+        tuple[int, str, str, int, str, str, int, int]]:
     """Parse one WARC shard's bytes into records. Header names are
     case-insensitive (ISO 28500 §4); blocks are framed by
     Content-Length octets only — never by searching for the next
-    record marker."""
+    record marker.
+
+    Each yield carries (…, offset, record_len): the byte span of the
+    record within the shard, INCLUDING the two terminating CRLFs when
+    present — blob[offset:offset+record_len] is a standalone parseable
+    record, which is exactly the contract a CDX index needs
+    (sinks/cdx.py) and what range-requests against an archive shard
+    serve."""
     i, n = 0, len(blob)
     while i < n:
         while i < n and blob[i:i + 1] in (b"\r", b"\n"):
             i += 1  # inter-record CRLFs (and text-sink newlines)
         if i >= n:
             break
+        rec_start = i
         j = blob.index(b"\r\n", i)
         magic = blob[i:j]
         if magic not in (b"WARC/1.1", b"WARC/1.0"):
@@ -150,6 +158,7 @@ def _parse_warc_bytes(blob: bytes) -> Iterator[
         length = int(headers["content-length"])
         block = blob[i:i + length]
         i += length
+        rec_len = i - rec_start + (4 if blob[i:i + 4] == b"\r\n\r\n" else 0)
         if headers.get("warc-type") != "response":
             continue  # warcinfo/request/metadata records: skip
         # --- embedded HTTP message ---
@@ -171,32 +180,56 @@ def _parse_warc_bytes(blob: bytes) -> Iterator[
         rid = headers.get("warc-record-id", "")
         doc_id = int(rid.removeprefix("<urn:doc:").rstrip(">"))
         yield (doc_id, headers.get("warc-target-uri", ""),
-               headers.get("warc-date", ""), status, mime, payload)
+               headers.get("warc-date", ""), status, mime, payload,
+               rec_start, rec_len)
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(spark: SparkSession, path: str,
+              with_offsets: bool = False) -> DataFrame:
     """Read a directory of WARC shard files as (doc_id, url,
     warc_date, status, mime, payload). File-per-task via binaryFile
     (module docstring: the split contract real WARC processing has),
-    parsed in one Arrow-batched mapInPandas pass."""
+    parsed in one Arrow-batched mapInPandas pass.
+
+    `with_offsets=True` appends (filename, offset, record_len): the
+    shard basename and the record's exact byte span within it, straight
+    from the parser's framing walk — the capture-location triple a CDX
+    index row points at (sinks/cdx.py), with no cumulative-sum
+    reconstruction needed."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "part-*")
         .load(path)
-        .select("content")
+        .select("path", "content")
     )
+    base_cols = ["doc_id", "url", "warc_date", "status", "mime", "payload"]
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [
-                rec
-                for blob in pdf["content"]
-                for rec in _parse_warc_bytes(bytes(blob))
-            ]
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "url", "warc_date", "status", "mime",
-                         "payload"],
+            rows = []
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                fname = fpath.rsplit("/", 1)[-1]
+                for rec in _parse_warc_bytes(bytes(blob)):
+                    rows.append(
+                        rec[:6] + (fname, rec[6], rec[7])
+                        if with_offsets
+                        else rec[:6]
+                    )
+            cols = base_cols + (
+                ["filename", "offset", "record_len"] if with_offsets else []
             )
+            yield pd.DataFrame(rows, columns=cols)
 
-    return files.mapInPandas(parse, schema=WARC_SCHEMA)
+    schema = (
+        WARC_SCHEMA
+        if not with_offsets
+        else StructType(
+            WARC_SCHEMA.fields
+            + [
+                StructField("filename", StringType()),
+                StructField("offset", LongType()),
+                StructField("record_len", LongType()),
+            ]
+        )
+    )
+    return files.mapInPandas(parse, schema=schema)

@@ -84,9 +84,11 @@ def test_header_case_insensitive_and_1_0_magic():
            b"warc-date: 2026-01-01T00:00:00Z\r\n"
            b"content-length: " + str(len(http)).encode() + b"\r\n"
            b"\r\n" + http + b"\r\n\r\n")
-    [(doc_id, url, date, status, mime, body)] = list(_parse_warc_bytes(rec))
+    [(doc_id, url, date, status, mime, body, off, rlen)] = list(
+        _parse_warc_bytes(rec))
     assert (doc_id, url, status, mime, body) == (
         9, "http://x.example/", 404, "text/plain", "hi there")
+    assert (off, rlen) == (0, len(rec))
 
 
 def test_non_response_records_skipped():
