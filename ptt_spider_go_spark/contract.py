@@ -5693,6 +5693,93 @@ SELECT 'example,cdx)/p' || position || '?a=2&b=1' AS surt,
 FROM r"""
 
 
+def q_cache_freshness(spark, sf_dir):
+    """RFC 9111 freshness lifetimes (X92, operators/recrawl.py
+    cache_freshness): s-maxage > max-age > Expires-Date > heuristic
+    (Last-Modified delta / 10, capped), no-store/no-cache -> 0,
+    unparseable Expires -> already expired, nothing declared -> NULL.
+    Eight header shapes per doc_id including a quoted max-age with a
+    decoy directive, the s-maxage precedence pair, and a heuristic
+    branch that crosses the 24 h cap; the oracle reruns the arithmetic
+    from the branch selectors."""
+    from ptt_spider_go_spark.operators.recrawl import cache_freshness
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    m = F.pmod(md5_long(F.concat(d, F.lit(":cf"))), F.lit(8))
+    fetched = F.expr("timestamp'2026-08-15 10:00:00'")
+    cc = (
+        F.when(m == 0, F.lit("max-age=3600"))
+        .when(m == 1,
+              F.lit('private, max-age="600", stale-while-revalidate=30'))
+        .when(m == 2, F.lit("s-maxage=300, max-age=3600"))
+        .when(m == 3,
+              F.when(F.col("doc_id") % 2 == 0, F.lit("no-store"))
+              .otherwise(F.lit("public, no-cache")))
+    )
+    expires = (
+        F.when(m == 4, F.lit("Sat, 15 Aug 2026 12:00:00 GMT"))
+        .when(m == 5, F.lit("0"))
+    )
+    date_hdr = F.when(m == 4, F.lit("Sat, 15 Aug 2026 10:00:00 GMT"))
+    n_hours = (F.col("doc_id") % 300 + 1).cast("int")
+    lm = F.when(
+        m == 6,
+        F.date_format(
+            F.expr(
+                "timestamp'2026-08-15 10:00:00'"
+                " - make_interval(0, 0, 0, 0, CAST(doc_id % 300 + 1 AS INT))"
+            ),
+            "EEE, dd MMM yyyy HH:mm:ss 'GMT'",
+        ),
+    )
+    log = docs.select(
+        F.concat(F.lit("http://cf.example/u"), d).alias("url"),
+        fetched.alias("fetched_at"),
+        cc.alias("cache_control"),
+        expires.alias("expires"),
+        date_hdr.alias("date_hdr"),
+        lm.alias("last_modified"),
+    )
+    return cache_freshness(log).select(
+        "url", "lifetime_s", "source", "next_fetch_at"
+    )
+
+
+SQL_CACHE_FRESHNESS = f"""
+WITH s AS (
+  SELECT doc_id,
+         {md5_long_sql("concat(doc_id, ':cf')")} % 8 AS m
+  FROM documents),
+v AS (
+  SELECT doc_id, m,
+         CASE
+           WHEN m = 0 THEN 3600
+           WHEN m = 1 THEN 600
+           WHEN m = 2 THEN 300
+           WHEN m = 3 THEN 0
+           WHEN m = 4 THEN 7200
+           WHEN m = 5 THEN 0
+           WHEN m = 6 THEN least(86400, (doc_id % 300 + 1) * 360)
+         END AS lifetime_s,
+         CASE
+           WHEN m = 0 OR m = 1 THEN 'max-age'
+           WHEN m = 2 THEN 's-maxage'
+           WHEN m = 3 THEN 'no-store'
+           WHEN m = 4 OR m = 5 THEN 'expires'
+           WHEN m = 6 THEN 'heuristic'
+         END AS source
+  FROM s)
+SELECT 'http://cf.example/u' || doc_id AS url,
+       CAST(lifetime_s AS BIGINT) AS lifetime_s,
+       source,
+       CASE WHEN lifetime_s IS NOT NULL
+            THEN TIMESTAMP '2026-08-15 10:00:00'
+                 + lifetime_s * INTERVAL 1 SECOND
+       END AS next_fetch_at
+FROM v"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -5850,6 +5937,7 @@ QUERIES = {
     "robots_wildcards": (q_robots_wildcards, SQL_ROBOTS_WILDCARDS),
     "surt_keys": (q_surt_keys, SQL_SURT_KEYS),
     "cdx_index": (q_cdx_index, SQL_CDX_INDEX),
+    "cache_freshness": (q_cache_freshness, SQL_CACHE_FRESHNESS),
 }
 
 

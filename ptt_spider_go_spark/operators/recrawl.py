@@ -272,3 +272,132 @@ def revalidation_plan(fetch_log: DataFrame) -> DataFrame:
         .otherwise(F.lit("unconditional")).alias("mode"),
         F.coalesce(etag, lm).alias("validator"),
     )
+
+
+#: IMF-fixdate (RFC 9110 §5.6.7), the only HTTP date format senders
+#: may generate; obs-date forms degrade to NULL -> the next rung.
+#: Spark >= 3 rejects 'E' in PARSE patterns, so the (fixed-width,
+#: informationally redundant) day-name prefix is stripped first.
+_HTTP_DATE_FMT = "dd MMM yyyy HH:mm:ss 'GMT'"
+
+
+def _http_date(col: F.Column) -> F.Column:
+    bare = F.regexp_replace(col, r"^[A-Za-z]{3}, ", "")
+    return F.try_to_timestamp(bare, F.lit(_HTTP_DATE_FMT))
+
+
+def cache_freshness(fetch_log: DataFrame,
+                    heuristic_cap_s: int = 86400,
+                    heuristic_den: int = 10) -> DataFrame:
+    """RFC 9111 §4.2 freshness lifetime per fetched URL (X92): how
+    long the origin says a capture stays fresh — the declared-policy
+    rung ABOVE sitemap lastmod (X72) and change-rate TTLs (X68) in
+    the recrawl stack. The reference refetches nothing (one-shot BFS,
+    spider.go); a continuous crawler that ignores Cache-Control
+    re-downloads CDN-pinned assets and hammers origins that already
+    said "fresh for a day".
+
+    `fetch_log` needs (url, fetched_at, cache_control, expires,
+    date_hdr, last_modified) — header columns nullable. Precedence
+    (§4.2.1, shared-cache rules):
+
+    1. no-store / no-cache directive        -> 0 (always stale)
+    2. s-maxage=N  (shared caches outrank)  -> N
+    3. max-age=N                            -> N
+    4. Expires - Date (Date absent -> fetched_at); an UNPARSEABLE
+       Expires (e.g. "0", the classic idiom) counts as already
+       expired (§5.3)                        -> max(0, delta)
+    5. heuristic (§4.2.2): (ref - Last-Modified)/heuristic_den,
+       capped at heuristic_cap_s             -> min(cap, delta/10)
+    6. nothing                               -> NULL lifetime (caller
+       falls back to kind TTLs / change-rate TTLs)
+
+    Output: url + (lifetime_s BIGINT, source STRING in {no-store,
+    s-maxage, max-age, expires, heuristic} or NULL, next_fetch_at =
+    fetched_at + lifetime) + the remaining input columns (so
+    compositions like cache_recrawl_due stay join-free projections).
+    Integer-exact: lifetimes derive from
+    unix_micros subtraction and integer division, directive values by
+    regexp over the lowercased header (token boundaries, optional
+    quoting) — every branch is a JVM projection, zero shuffles, and
+    the DuckDB oracle reruns the arithmetic bit-for-bit.
+    """
+    cc = F.lower(F.coalesce(F.col("cache_control"), F.lit("")))
+    no_store = cc.rlike(r"(^|[,\s])no-(store|cache)($|[,;\s])")
+    s_max = F.regexp_extract(cc, r'(^|[,\s])s-maxage\s*=\s*"?(\d+)', 2)
+    max_age = F.regexp_extract(cc, r'(^|[,\s])max-age\s*=\s*"?(\d+)', 2)
+
+    fetched_us = F.unix_micros(F.col("fetched_at").cast("timestamp"))
+    date_ts = _http_date(F.col("date_hdr"))
+    ref_us = F.coalesce(F.unix_micros(date_ts), fetched_us)
+    exp_ts = _http_date(F.col("expires"))
+    exp_life = F.greatest(
+        F.lit(0).cast("long"),
+        ((F.unix_micros(exp_ts) - ref_us) / F.lit(1_000_000))
+        .cast("long"),
+    )
+    lm_us = F.unix_micros(_http_date(F.col("last_modified")))
+    heur = F.least(
+        F.lit(heuristic_cap_s).cast("long"),
+        ((ref_us - lm_us) / F.lit(heuristic_den) / F.lit(1_000_000))
+        .cast("long"),
+    )
+
+    lifetime = (
+        F.when(no_store, F.lit(0).cast("long"))
+        .when(s_max != "", s_max.cast("long"))
+        .when(max_age != "", max_age.cast("long"))
+        .when(
+            F.col("expires").isNotNull(),
+            F.coalesce(exp_life, F.lit(0).cast("long")),
+        )
+        .when(lm_us.isNotNull() & (ref_us >= lm_us), heur)
+    )
+    source = (
+        F.when(no_store, F.lit("no-store"))
+        .when(s_max != "", F.lit("s-maxage"))
+        .when(max_age != "", F.lit("max-age"))
+        .when(F.col("expires").isNotNull(), F.lit("expires"))
+        .when(lm_us.isNotNull() & (ref_us >= lm_us), F.lit("heuristic"))
+    )
+    return fetch_log.select(
+        "url",
+        lifetime.alias("lifetime_s"),
+        source.alias("source"),
+        F.when(
+            lifetime.isNotNull(),
+            F.timestamp_add("SECOND", lifetime, F.col("fetched_at")),
+        ).alias("next_fetch_at"),
+        *[c for c in fetch_log.columns if c != "url"],
+    )
+
+
+def cache_recrawl_due(fetch_log: DataFrame, now_ts: str,
+                      ttls_s: dict[int, int] | None = None) -> DataFrame:
+    """recrawl_due with the origin's declared freshness taking
+    precedence: rows whose cache_freshness lifetime is known are due
+    when age >= lifetime; rows with no declared policy fall back to
+    the kind-TTL schedule (recrawl_due). Same output contract
+    (url, kind_rank, age_s, overdue_periods); a no-store row has
+    lifetime 0 and is always due with overdue_periods capped to
+    age_s (per-second periods, the natural degenerate reading).
+    Composition stays two narrow projections + one filter each —
+    no shuffle."""
+    base = cache_freshness(fetch_log).drop("source", "next_fetch_at")
+    t_us = F.unix_micros(F.col("fetched_at").cast("timestamp"))
+    now_us = F.unix_micros(F.lit(now_ts).cast("timestamp"))
+    age_us = now_us - t_us
+    life_us = F.col("lifetime_s") * F.lit(1_000_000)
+    declared = base.filter(F.col("lifetime_s").isNotNull()).select(
+        "url", "kind_rank",
+        (age_us / 1_000_000).cast("long").alias("age_s"),
+        F.floor(age_us / F.greatest(life_us, F.lit(1_000_000)))
+        .cast("long").alias("overdue_periods"),
+        age_us.alias("_age_us"), life_us.alias("_life_us"),
+    ).filter(F.col("_age_us") >= F.col("_life_us")) \
+        .drop("_age_us", "_life_us")
+    fallback = recrawl_due(
+        base.filter(F.col("lifetime_s").isNull()).drop("lifetime_s"),
+        now_ts, ttls_s,
+    )
+    return declared.unionByName(fallback)
