@@ -5780,6 +5780,76 @@ SELECT 'http://cf.example/u' || doc_id AS url,
 FROM v"""
 
 
+def q_cdx_revisits(spark, sf_dir):
+    """WARC revisit detection (X93, sinks/cdx.py mark_revisits) over
+    the CDX layer: groups of four captures of one URL where members
+    0/1/3 share a payload digest and member 2 differs — expected
+    verdicts: 0 response, 1 revisit->0, 2 response (new digest),
+    3 revisit->0 (an intervening change does NOT reset the
+    identical-payload chain). Runs the full composition records ->
+    cdx_from_positions -> mark_revisits; the oracle re-derives
+    verdicts and refer-targets directly from (group, member) and
+    reruns only the offset layout window."""
+    from ptt_spider_go_spark.sinks.cdx import cdx_from_positions, mark_revisits
+
+    docs = _t(spark, sf_dir, "documents")
+    g = (F.col("doc_id") / 4).cast("long")
+    k = F.col("doc_id") % 4
+    payload = F.concat(
+        F.lit("content-"),
+        g.cast("string"),
+        F.when(k == 2, F.lit("-new")).otherwise(F.lit("")),
+    )
+    records = docs.select(
+        F.concat(F.lit("shard-"), (F.col("doc_id") % 2).cast("string"))
+        .alias("filename"),
+        F.col("doc_id").alias("position"),
+        F.concat(F.lit("http://rv2.example/p"), g.cast("string"))
+        .alias("url"),
+        F.expr(
+            "timestamp'2026-08-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, CAST(doc_id % 4 AS INT))"
+        ).alias("warc_ts"),
+        F.lit("text/html").alias("mime"),
+        F.lit(200).alias("status"),
+        payload.alias("payload"),
+    )
+    return mark_revisits(cdx_from_positions(records))
+
+
+SQL_CDX_REVISITS = """
+WITH r AS (
+  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS k,
+         'shard-' || (doc_id % 2) AS filename,
+         'content-' || (doc_id // 4)
+           || CASE WHEN doc_id % 4 = 2 THEN '-new' ELSE '' END AS payload
+  FROM documents),
+o AS (
+  SELECT doc_id, g, k, filename, payload,
+         CAST(strlen(payload) AS BIGINT) AS length,
+         CAST(coalesce(sum(strlen(payload)) OVER (
+           PARTITION BY filename ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS offset
+  FROM r)
+SELECT 'example,rv2)/p' || a.g AS surt,
+       strftime(TIMESTAMP '2026-08-01 00:00:00'
+                + a.k * INTERVAL 1 HOUR, '%Y%m%d%H%M%S') AS ts14,
+       'http://rv2.example/p' || a.g AS url,
+       'text/html' AS mime,
+       200 AS status,
+       md5(a.payload) AS digest,
+       a.length, a.offset, a.filename,
+       CASE WHEN a.k IN (0, 2) THEN 'response'
+            ELSE 'revisit' END AS record_type,
+       CASE WHEN a.k IN (1, 3)
+            THEN strftime(TIMESTAMP '2026-08-01 00:00:00',
+                          '%Y%m%d%H%M%S') END AS refers_to_ts14,
+       CASE WHEN a.k IN (1, 3) THEN b.filename END AS refers_to_filename,
+       CASE WHEN a.k IN (1, 3) THEN b.offset END AS refers_to_offset
+FROM o a LEFT JOIN o b ON b.doc_id = a.g * 4"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -5938,6 +6008,7 @@ QUERIES = {
     "surt_keys": (q_surt_keys, SQL_SURT_KEYS),
     "cdx_index": (q_cdx_index, SQL_CDX_INDEX),
     "cache_freshness": (q_cache_freshness, SQL_CACHE_FRESHNESS),
+    "cdx_revisits": (q_cdx_revisits, SQL_CDX_REVISITS),
 }
 
 

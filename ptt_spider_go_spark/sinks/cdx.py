@@ -106,3 +106,56 @@ def cdx_lines(cdx: DataFrame) -> DataFrame:
             "filename",
         ).alias("line")
     )
+
+
+def mark_revisits(cdx: DataFrame) -> DataFrame:
+    """WARC revisit detection over CDX rows (X93): per (surt, digest),
+    the FIRST capture (by ts14, tie-broken filename/offset for
+    determinism) is the stored `response`; every later byte-identical
+    capture is a `revisit` referring back to it — ISO 28500's
+    identical-payload-digest dedup profile, the mechanism that keeps
+    Common Crawl from re-storing the unchanged 90% of the web each
+    month. An intervening DIFFERENT digest does not reset the chain
+    (the profile keys on payload identity, not adjacency).
+
+    Adds (record_type, refers_to_ts14, refers_to_filename,
+    refers_to_offset); refers_* are NULL on responses. One window
+    partitioned by (surt, digest) — key cardinality ~ distinct
+    captures, bounded by per-URL capture counts, never global.
+    """
+    w = (
+        Window.partitionBy("surt", "digest")
+        .orderBy("ts14", "filename", "offset")
+    )
+    rn = F.row_number().over(w)
+    revisit = rn > 1
+    return cdx.select(
+        "*",
+        F.when(revisit, F.lit("revisit"))
+        .otherwise(F.lit("response"))
+        .alias("record_type"),
+        F.when(revisit, F.first("ts14").over(w)).alias("refers_to_ts14"),
+        F.when(revisit, F.first("filename").over(w))
+        .alias("refers_to_filename"),
+        F.when(revisit, F.first("offset").over(w))
+        .alias("refers_to_offset"),
+    )
+
+
+def revisit_savings(marked: DataFrame) -> DataFrame:
+    """Storage the revisit profile saves, per shard filename: bytes
+    and records that became pointers instead of payload copies. One
+    narrow groupBy over the already-marked rows."""
+    return marked.groupBy("filename").agg(
+        F.count(F.when(F.col("record_type") == "revisit", 1))
+        .alias("n_revisits"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("record_type") == "revisit", F.col("length")
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("bytes_saved"),
+        F.count(F.lit(1)).alias("n_records"),
+    )

@@ -159,3 +159,80 @@ def test_unparseable_url_yields_null_surt(spark):
     )
     [r] = cdx_from_positions(df).collect()
     assert r["surt"] is None  # quarantine-able, never a wrong key
+
+
+def _cdx_rows(spark, rows):
+    """rows: (surt, ts14, digest, length, offset, filename)"""
+    df = spark.createDataFrame(
+        rows, "surt string, ts14 string, digest string, length long, "
+              "offset long, filename string"
+    )
+    return df.select(
+        "surt", "ts14", F.lit("http://u").alias("url"),
+        F.lit("text/html").alias("mime"), F.lit(200).alias("status"),
+        "digest", "length", "offset", "filename",
+    )
+
+
+def test_mark_revisits_chain_and_intervening_change(spark):
+    from ptt_spider_go_spark.sinks.cdx import mark_revisits
+
+    rows = [
+        ("s)/p", "20260801000000", "d1", 10, 0, "f0"),   # original
+        ("s)/p", "20260801010000", "d1", 10, 10, "f0"),  # revisit -> orig
+        ("s)/p", "20260801020000", "d2", 11, 20, "f0"),  # changed
+        ("s)/p", "20260801030000", "d1", 10, 31, "f0"),  # STILL -> orig
+        ("s)/p", "20260801040000", "d2", 11, 41, "f0"),  # revisit -> d2
+        ("s)/q", "20260801000000", "d1", 10, 0, "f1"),   # other URL: own key
+    ]
+    got = {
+        (r["ts14"], r["surt"]): (
+            r["record_type"], r["refers_to_ts14"], r["refers_to_offset"])
+        for r in mark_revisits(_cdx_rows(spark, rows)).collect()
+    }
+    assert got[("20260801000000", "s)/p")] == ("response", None, None)
+    assert got[("20260801010000", "s)/p")] == (
+        "revisit", "20260801000000", 0)
+    assert got[("20260801020000", "s)/p")] == ("response", None, None)
+    # intervening d2 capture does NOT reset the d1 chain
+    assert got[("20260801030000", "s)/p")] == (
+        "revisit", "20260801000000", 0)
+    assert got[("20260801040000", "s)/p")] == (
+        "revisit", "20260801020000", 20)
+    # same digest under a different surt is its own response
+    assert got[("20260801000000", "s)/q")] == ("response", None, None)
+
+
+def test_mark_revisits_tie_breaks_on_filename_offset(spark):
+    from ptt_spider_go_spark.sinks.cdx import mark_revisits
+
+    rows = [
+        ("s)/p", "20260801000000", "d1", 10, 50, "f1"),
+        ("s)/p", "20260801000000", "d1", 10, 0, "f0"),  # wins: f0 < f1
+    ]
+    got = {
+        r["offset"]: (r["record_type"], r["refers_to_filename"],
+                      r["refers_to_offset"])
+        for r in mark_revisits(_cdx_rows(spark, rows)).collect()
+    }
+    assert got[0] == ("response", None, None)
+    assert got[50] == ("revisit", "f0", 0)
+
+
+def test_revisit_savings_rollup(spark):
+    from ptt_spider_go_spark.sinks.cdx import mark_revisits, revisit_savings
+
+    rows = [
+        ("s)/p", "20260801000000", "d1", 10, 0, "f0"),
+        ("s)/p", "20260801010000", "d1", 10, 10, "f0"),
+        ("s)/p", "20260801020000", "d1", 10, 20, "f1"),
+        ("s)/q", "20260801000000", "d9", 7, 30, "f1"),
+    ]
+    got = {
+        r["filename"]: (r["n_revisits"], r["bytes_saved"], r["n_records"])
+        for r in revisit_savings(
+            mark_revisits(_cdx_rows(spark, rows))
+        ).collect()
+    }
+    assert got["f0"] == (1, 10, 2)
+    assert got["f1"] == (1, 10, 2)  # d9 capture is a response, saves 0
