@@ -127,6 +127,12 @@ HEADLINE = [
     "takedown_verdicts",
     "pagination_series",
     "crawl_gate_funnel",
+    # r5 final-session archive/index/policy additions
+    "robots_wildcards",
+    "surt_keys",
+    "cdx_index",
+    "cdx_revisits",
+    "cache_freshness",
 ]
 
 

@@ -5850,6 +5850,59 @@ SELECT 'example,rv2)/p' || a.g AS surt,
 FROM o a LEFT JOIN o b ON b.doc_id = a.g * 4"""
 
 
+def q_frontier_depths(spark, sf_dir):
+    """BFS crawl depth (X94, operators/linkrank.py frontier_depths):
+    min hop count from the seed set within a depth cap, over a
+    synthesized graph mixing chains (broken every 7th node), forward
+    shortcuts (every 13th), and back edges forming cycles (every
+    11th). Level-synchronous BFS with per-round localCheckpoint; the
+    oracle is a bounded recursive CTE taking min(depth) — an
+    INDEPENDENT algorithm (path enumeration vs level sync) that must
+    agree exactly."""
+    from ptt_spider_go_spark.operators.linkrank import frontier_depths
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    u = F.concat(F.lit("u"), i.cast("string"))
+
+    def tgt(off):
+        return F.concat(F.lit("u"), (i + off).cast("string"))
+
+    chain = docs.filter(i % 7 < 5).select(
+        u.alias("src"), tgt(1).alias("dst")
+    )
+    shortcut = docs.filter(i % 13 == 0).select(
+        u.alias("src"), tgt(10).alias("dst")
+    )
+    back = docs.filter((i % 11 == 0) & (i >= 3)).select(
+        u.alias("src"), tgt(-3).alias("dst")
+    )
+    edges = chain.unionByName(shortcut).unionByName(back)
+    seeds = docs.filter(i % 23 == 0).select(u.alias("url"))
+    return frontier_depths(edges, seeds, max_depth=6)
+
+
+SQL_FRONTIER_DEPTHS = """
+WITH RECURSIVE e AS (
+  SELECT 'u' || doc_id AS src, 'u' || (doc_id + 1) AS dst
+  FROM documents WHERE doc_id % 7 < 5
+  UNION ALL
+  SELECT 'u' || doc_id, 'u' || (doc_id + 10)
+  FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT 'u' || doc_id, 'u' || (doc_id - 3)
+  FROM documents WHERE doc_id % 11 = 0 AND doc_id >= 3),
+s AS (SELECT 'u' || doc_id AS url FROM documents WHERE doc_id % 23 = 0),
+walk(url, depth) AS (
+  SELECT url, 0 FROM s
+  UNION
+  SELECT e.dst, w.depth + 1
+  FROM walk w JOIN e ON e.src = w.url
+  WHERE w.depth < 6)
+SELECT url, CAST(min(depth) AS BIGINT) AS depth
+FROM walk GROUP BY url"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -6009,6 +6062,7 @@ QUERIES = {
     "cdx_index": (q_cdx_index, SQL_CDX_INDEX),
     "cache_freshness": (q_cache_freshness, SQL_CACHE_FRESHNESS),
     "cdx_revisits": (q_cdx_revisits, SQL_CDX_REVISITS),
+    "frontier_depths": (q_frontier_depths, SQL_FRONTIER_DEPTHS),
 }
 
 

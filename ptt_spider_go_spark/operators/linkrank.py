@@ -336,3 +336,62 @@ def graph_stats(edges: DataFrame) -> DataFrame:
     return vals.groupBy("metric").agg(
         F.sum("value").cast("long").alias("value")
     )
+
+
+def frontier_depths(edges: DataFrame, seeds: DataFrame,
+                    max_depth: int) -> DataFrame:
+    """BFS crawl depth from the seed set over the link graph (X94):
+    (url, depth) for every URL reachable within `max_depth` hops,
+    depth = MINIMUM hop count — the generic form of the reference's
+    fixed two-level board->article depth (spider.go walks index pages
+    then stops at articles; an open-web crawler caps depth explicitly,
+    the classic anti-trap budget the trap detector (X58) heuristically
+    approximates).
+
+    Level-synchronous BFS: round r discovers exactly the depth-r
+    nodes (candidates = last level x edges, minus everything already
+    labeled), so first-reach IS min-depth — no min() re-aggregation
+    across rounds needed, only a distinct inside the round. max_depth
+    joins total, each new level localCheckpoint'd (the
+    connected_components idiom) so lineage stays flat; early exit on
+    an empty level via a one-row count probe (the approved scalar
+    collect). Cycles terminate by construction: a cycle node is
+    labeled at its first reach and anti-joined away after.
+
+    At 10^10 URLs each round is one equi-join on src + one anti-join
+    on url — shuffle-partitioned by the same key, no global
+    structure; depth caps in practice are single digits.
+    """
+    e = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    level = seeds.select(
+        F.col("url").cast("string").alias("url")
+    ).distinct().localCheckpoint(eager=True)
+    done = level.withColumn("depth", F.lit(0).cast("long"))
+    for r in range(1, max_depth + 1):
+        nxt = (
+            level.join(e, level["url"] == e["src"])
+            .select(F.col("dst").alias("url"))
+            .distinct()
+            .join(done.select("url"), "url", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        done = done.unionByName(
+            nxt.withColumn("depth", F.lit(r).cast("long"))
+        ).localCheckpoint(eager=True)
+        level = nxt
+    return done
+
+
+def depth_gate(frontier: DataFrame, depths: DataFrame,
+               max_depth: int) -> DataFrame:
+    """Keep frontier rows whose BFS depth from the seeds is known and
+    <= max_depth — unreached URLs (no depth row) are NOT admitted:
+    a URL the seed graph cannot reach within the cap is exactly what
+    a depth budget exists to exclude."""
+    ok = depths.filter(F.col("depth") <= max_depth).select("url")
+    return frontier.join(ok, "url", "left_semi")

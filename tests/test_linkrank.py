@@ -294,3 +294,57 @@ def test_graph_stats_empty_metrics_report_zero(spark):
     got = {r["metric"]: r["value"] for r in graph_stats(edges).collect()}
     assert got["n_recip"] == 0 and got["n_sources"] == 1 \
         and got["n_dangling"] == 1 and got["n_hosts"] == 3
+
+
+# --- X94: BFS crawl depth ---------------------------------------------------
+
+def test_frontier_depths_min_depth_with_cycle_and_shortcut(spark):
+    from ptt_spider_go_spark.operators.linkrank import frontier_depths
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+            ("a", "d"),            # shortcut: d at depth 1, not 3
+            ("e", "b"),            # cycle back: must not loop/relabel
+            ("x", "y"),            # disconnected from seeds
+        ],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "url string")
+    got = {r["url"]: r["depth"]
+           for r in frontier_depths(edges, seeds, max_depth=10).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 1, "e": 2}
+    # 'x'/'y' unreachable -> absent, cycle terminated (call returned)
+
+
+def test_frontier_depths_cap_and_multi_seed(spark):
+    from ptt_spider_go_spark.operators.linkrank import frontier_depths
+
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(10)], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("n0",), ("n7",)], "url string")
+    got = {r["url"]: r["depth"]
+           for r in frontier_depths(chain, seeds, max_depth=2).collect()}
+    # two BFS fronts; n8/n9 labeled from the CLOSER seed n7
+    assert got == {"n0": 0, "n7": 0, "n1": 1, "n8": 1, "n2": 2, "n9": 2}
+    assert "n3" not in got  # beyond the cap
+
+
+def test_depth_gate_admits_only_reached_within_cap(spark):
+    from ptt_spider_go_spark.operators.linkrank import (
+        depth_gate, frontier_depths)
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "url string")
+    depths = frontier_depths(edges, seeds, max_depth=5)
+    frontier = spark.createDataFrame(
+        [("a", 1), ("c", 2), ("zz", 3)], "url string, k int"
+    )
+    out = depth_gate(frontier, depths, max_depth=1)
+    assert sorted((r["url"], r["k"]) for r in out.collect()) == [("a", 1)]
+    out2 = depth_gate(frontier, depths, max_depth=2)
+    assert sorted(r["url"] for r in out2.collect()) == ["a", "c"]
+    # 'zz' never admitted: no depth row means unreached, not depth-0
