@@ -133,6 +133,7 @@ HEADLINE = [
     "cdx_index",
     "cdx_revisits",
     "cache_freshness",
+    "frontier_depths",
 ]
 
 

@@ -87,6 +87,7 @@ class CrawlResult:
     trapped: DataFrame | None = None
     blocked: DataFrame | None = None
     host_budget_log: DataFrame | None = None
+    archive_cdx: DataFrame | None = None
     timings: dict = field(default_factory=dict)
     supersteps: int = 0
     wall_secs: float = 0.0
@@ -155,6 +156,7 @@ def run_crawl(
     seed_from_sitemaps: bool = False,
     aimd: bool = False,
     robots_wildcards: bool = False,
+    archive_dir: str | None = None,
 ) -> CrawlResult:
     """Run the crawl to fixpoint (or cfg.max_supersteps) and assemble
     outputs. `checkpoint_dir` enables snapshot/resume; with
@@ -642,6 +644,24 @@ def run_crawl(
     )
 
     # No global orderBy on the result tables: a total sort of the
+    # Opt-in archive stage (X95, default off): write the successfully
+    # fetched pages as WARC shards + their CDX index under archive_dir
+    # — the publish shape of a production crawl cycle. Pure side
+    # output: nothing downstream reads it, so pinned results are
+    # untouched (the trap_filter pattern).
+    archive_cdx = None
+    if archive_dir is not None:
+        from ptt_spider_go_spark.sinks.cdx import archive_captures
+
+        fetched = fetch_log.filter(F.col("status") == 200) \
+            .select("url").distinct()
+        caps = pages.join(fetched, "url", "left_semi").select(
+            "url", "warc_ts",
+            F.lit(200).alias("status"),
+            F.col("html").cast("string").alias("payload"),
+        )
+        archive_cdx = archive_captures(caps, archive_dir)
+
     # articles table is a full range-partition shuffle that buys nothing
     # at scale (consumers sort-or-window what they need; the contract
     # pins an order-insensitive hash; tests order explicitly).
@@ -676,6 +696,7 @@ def run_crawl(
         )
         if aimd
         else None,
+        archive_cdx=archive_cdx,
         supersteps=step - start_step,
         wall_secs=time.time() - t0,
         timings=timings,

@@ -159,3 +159,36 @@ def revisit_savings(marked: DataFrame) -> DataFrame:
         ).cast("long").alias("bytes_saved"),
         F.count(F.lit(1)).alias("n_records"),
     )
+
+
+def archive_captures(captures: DataFrame, out_dir: str,
+                     n_files: int | None = None) -> DataFrame:
+    """Write captures as a WARC archive AND its CDX index (X95): the
+    production shape — shards first, then one indexing pass over the
+    written bytes so offsets are the REAL file spans (cdx_records over
+    read_warc(with_offsets=True)), exactly how Common Crawl publishes
+    warc/ next to cc-index/. Returns the CDX DataFrame read back from
+    `{out_dir}/cdx` (parquet).
+
+    `captures` needs (url, warc_ts timestamp, status int,
+    payload string); record ids derive from md5_long(url) so the
+    archive is deterministic for a given capture set.
+    """
+    from ptt_spider_go_spark.pipeline.common import md5_long
+    from ptt_spider_go_spark.sources.warc import read_warc, write_warc
+
+    spark = captures.sparkSession
+    rows = captures.select(
+        md5_long(F.col("url")).alias("doc_id"),
+        "url",
+        F.date_format(
+            F.col("warc_ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        ).alias("warc_date"),
+        F.col("status").cast("int").alias("status"),
+        F.col("payload").cast("string").alias("payload"),
+    )
+    write_warc(rows, f"{out_dir}/warc", n_files=n_files)
+    cdx = cdx_records(read_warc(spark, f"{out_dir}/warc",
+                                with_offsets=True))
+    cdx.write.mode("overwrite").parquet(f"{out_dir}/cdx")
+    return spark.read.parquet(f"{out_dir}/cdx")

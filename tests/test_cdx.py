@@ -236,3 +236,47 @@ def test_revisit_savings_rollup(spark):
     }
     assert got["f0"] == (1, 10, 2)
     assert got["f1"] == (1, 10, 2)  # d9 capture is a response, saves 0
+
+
+def test_archive_crawl_e2e(spark, tmp_path):
+    """X95: run_crawl(archive_dir=...) publishes WARC shards + a CDX
+    parquet of every 200-fetched page; index rows cover exactly the
+    distinct fetched URLs, each offset slices the shard bytes to a
+    standalone record for that URL, and article outputs are identical
+    to the archive-off run (pure side output)."""
+    from ptt_spider_go_spark.config import CrawlConfig
+    from ptt_spider_go_spark.datagen import pages_pandas
+    from ptt_spider_go_spark.plans.crawl import run_crawl
+
+    dataset = pages_pandas(boards=("Beauty",), pages_per_board=2,
+                           slots_per_page=4)
+    pages = spark.createDataFrame(dataset)
+    cfg = CrawlConfig(board="Beauty", pages=2, push_rate=0,
+                      host_salt=2, max_supersteps=4)
+    adir = str(tmp_path / "archive")
+    res = run_crawl(spark, pages, cfg, archive_dir=adir)
+    res_off = run_crawl(spark, pages, cfg)
+    assert res_off.archive_cdx is None
+
+    fetched = {
+        r["url"]
+        for r in res.fetch_log.filter(F.col("status") == 200)
+        .select("url").distinct().collect()
+    }
+    cdx_rows = res.archive_cdx.collect()
+    assert {r["url"] for r in cdx_rows} == fetched
+    assert len(cdx_rows) == len(fetched)
+    # offsets slice the written shards to standalone records
+    shards = {
+        p.rsplit("/", 1)[-1]: open(p, "rb").read()
+        for p in glob.glob(f"{adir}/warc/part-*")
+    }
+    for r in cdx_rows[:5]:
+        span = shards[r["filename"]][r["offset"]: r["offset"] + r["length"]]
+        [rec] = list(warc._parse_warc_bytes(span))
+        assert rec[1] == r["url"]
+    # surt keys site-major and well-formed
+    assert all(r["surt"].startswith("cc,ptt)/") for r in cdx_rows)
+    # pure side output: article set identical with the stage off
+    assert sorted(map(tuple, res.articles.collect())) == \
+        sorted(map(tuple, res_off.articles.collect()))
