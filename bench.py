@@ -134,6 +134,13 @@ HEADLINE = [
     "cdx_revisits",
     "cache_freshness",
     "frontier_depths",
+    # r5c RFC 3986 / scheduling additions
+    "url_rfc3986_normalize",
+    "robots_fetch_plan",
+    "path_subtrees",
+    "ip_budgets",
+    "robots_refresh_plan",
+    "drain_plan",
 ]
 
 

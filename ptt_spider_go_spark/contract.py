@@ -5903,6 +5903,429 @@ SELECT url, CAST(min(depth) AS BIGINT) AS depth
 FROM walk GROUP BY url"""
 
 
+def q_url_rfc3986_normalize(spark, sf_dir):
+    """Full RFC 3986 syntax-based URL normalization (X96,
+    functions/columns.py normalize_url_rfc3986): the canonicalize_url
+    subset PLUS percent-encoding normalization (§6.2.2.2: hex
+    uppercased, unreserved escapes decoded, reserved/malformed escapes
+    untouched) and dot-segment removal (§5.2.4) — the frontier-key
+    collapse a URL-seen set needs before the Bloom probe. 10 synthetic
+    variants from orders exercise every rule: dot segments (mid,
+    leading, trailing, beyond-root), %-case folding, unreserved decode
+    (%41/%7E/%2E), reserved non-decode (%2F/%2B), malformed escapes
+    (%g1, trailing %5), and the decode-then-dot-removal ordering
+    (%2E%2E becoming a poppable '..'). The Spark side is a Catalyst
+    `aggregate` segment-stack fold; the oracle is an INDEPENDENT
+    algorithm — a recursive-CTE fixpoint over leftmost-first rewrite
+    rules — that must agree byte-for-byte. ASCII-only escapes by
+    construction (DuckDB's decode() rejects non-UTF-8 bytes)."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    url = (
+        F.when(k % 10 == 0,
+               F.concat(F.lit("HTTP://Ex.COM:80/a/./b/../c"), ks))
+        .when(k % 10 == 1,
+              F.concat(F.lit("https://h.example/%7euser/%41%42/"), ks))
+        .when(k % 10 == 2,
+              F.concat(F.lit("https://h.example/a%2fb/"), ks))
+        .when(k % 10 == 3,
+              F.concat(F.lit("http://h.example/a/b/../../../x"), ks))
+        .when(k % 10 == 4,
+              F.concat(F.lit("http://h.example/p%g1/"), ks, F.lit("%5")))
+        .when(k % 10 == 5,
+              F.concat(F.lit("http://h.example/"), ks, F.lit("/b/.")))
+        .when(k % 10 == 6,
+              F.concat(F.lit("http://h.example/../a"), ks))
+        .when(k % 10 == 7,
+              F.concat(F.lit("http://h.example/a//b/../c?q=%61%2b&r="), ks))
+        .when(k % 10 == 8,
+              F.concat(F.lit("HTTPS://H.example:443/%7E/"), ks, F.lit("/./")))
+        .otherwise(F.concat(F.lit("http://h.example/%2e%2e/a/"), ks))
+    )
+    return o.select(k.alias("o_orderkey"), url.alias("url"),
+                    C.normalize_url_rfc3986(url).alias("norm_url"))
+
+
+# leftmost-first single-rewrite step for the remove_dot_segments
+# fixpoint oracle. The '/seg/../' rules must not let seg itself be
+# '.' or '..' (RE2 has no lookahead, so "not '.' / not '..'" is
+# spelled as an explicit alternation over segment shapes).
+_SEG_NOT_DOTS = "(?:|[^/.]|[^/.][^/]|\\.[^/.]|[^/]{3,})"
+
+
+def _dots_step_sql(p: str) -> str:
+    seg = _SEG_NOT_DOTS
+    return (
+        "CASE "
+        f"WHEN {p} LIKE '%/./%' THEN regexp_replace({p}, '/\\./', '/') "
+        f"WHEN {p} LIKE '%/.' AND NOT {p} LIKE '%/..' "
+        f"THEN substr({p}, 1, length({p}) - 1) "
+        f"WHEN {p} = '/..' OR {p} LIKE '/../%' THEN '/' || substr({p}, 5) "
+        f"WHEN regexp_matches({p}, '/{seg}/\\.\\./') "
+        f"THEN regexp_replace({p}, '/{seg}/\\.\\./', '/') "
+        f"WHEN regexp_matches({p}, '/{seg}/\\.\\.$') "
+        f"THEN regexp_replace({p}, '/{seg}/\\.\\.$', '/') "
+        f"ELSE {p} END"
+    )
+
+
+def _pct_sql(s: str) -> str:
+    """Percent-normalization of one string expression, mirroring the
+    split-on-'%' transform shape (head + fixed tail segments)."""
+    h2 = "substr(seg, 1, 2)"
+    ch = "decode(from_hex(substr(seg, 1, 2)))"
+    # coalesce: DuckDB's array_to_string([], '') is NULL, not ''
+    return (
+        f"string_split({s}, '%')[1] || coalesce(array_to_string("
+        f"list_transform("
+        f"string_split({s}, '%')[2:], seg -> "
+        f"CASE WHEN regexp_matches({h2}, '^[0-9A-Fa-f]{{2}}$') THEN "
+        f"(CASE WHEN regexp_matches({ch}, '^[A-Za-z0-9._~-]$') "
+        f"THEN {ch} || substr(seg, 3) "
+        f"ELSE '%' || upper({h2}) || substr(seg, 3) END) "
+        f"ELSE '%' || seg END), ''), '')"
+    )
+
+
+_AUTH_RX = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+
+SQL_URL_RFC3986_NORMALIZE = f"""
+WITH RECURSIVE raw AS (
+  SELECT o_orderkey,
+    CASE o_orderkey % 10
+      WHEN 0 THEN 'HTTP://Ex.COM:80/a/./b/../c' || o_orderkey
+      WHEN 1 THEN 'https://h.example/%7euser/%41%42/' || o_orderkey
+      WHEN 2 THEN 'https://h.example/a%2fb/' || o_orderkey
+      WHEN 3 THEN 'http://h.example/a/b/../../../x' || o_orderkey
+      WHEN 4 THEN 'http://h.example/p%g1/' || o_orderkey || '%5'
+      WHEN 5 THEN 'http://h.example/' || o_orderkey || '/b/.'
+      WHEN 6 THEN 'http://h.example/../a' || o_orderkey
+      WHEN 7 THEN 'http://h.example/a//b/../c?q=%61%2b&r=' || o_orderkey
+      WHEN 8 THEN 'HTTPS://H.example:443/%7E/' || o_orderkey || '/./'
+      ELSE 'http://h.example/%2e%2e/a/' || o_orderkey
+    END AS url
+  FROM orders),
+a0 AS (
+  SELECT o_orderkey, url,
+         lower(regexp_extract(url, '{_AUTH_RX}', 1)) AS lauth,
+         substr(url, length(regexp_extract(url, '{_AUTH_RX}', 1)) + 1)
+           AS rest
+  FROM raw),
+a1 AS (
+  SELECT o_orderkey, url, rest,
+         CASE WHEN lauth LIKE 'http://%'
+              THEN regexp_replace(lauth, ':80$', '')
+              WHEN lauth LIKE 'https://%'
+              THEN regexp_replace(lauth, ':443$', '')
+              ELSE lauth END AS lauth
+  FROM a0),
+sp AS (
+  SELECT o_orderkey, url, lauth,
+         regexp_extract(rest, '^([^?#]*)', 1) AS path,
+         substr(rest, length(regexp_extract(rest, '^([^?#]*)', 1)) + 1)
+           AS qtail
+  FROM a1),
+pc AS (
+  SELECT o_orderkey, url, lauth,
+         {_pct_sql('path')} AS p,
+         {_pct_sql('qtail')} AS qt
+  FROM sp),
+dots AS (
+  SELECT o_orderkey, p FROM pc
+  UNION ALL
+  SELECT o_orderkey, {_dots_step_sql('p')} AS p
+  FROM dots WHERE {_dots_step_sql('p')} <> p)
+SELECT c.o_orderkey, c.url, c.lauth || d.p || c.qt AS norm_url
+FROM pc c JOIN dots d ON c.o_orderkey = d.o_orderkey
+WHERE {_dots_step_sql('d.p')} = d.p
+"""
+
+
+def q_robots_fetch_plan(spark, sf_dir):
+    """Robots-fetch-first frontier scheduling (X97,
+    operators/politeness.py robots_fetch_plan): RFC 9309 requires the
+    robots file BEFORE any page fetch on a host, so unknown-robots
+    hosts emit one robots_fetch task carrying the host's best frontier
+    priority and defer their page rows; known hosts fetch. Frontier =
+    13 synthetic hosts from orders; known-robots cache = the 5 region
+    hosts (h0..h4)."""
+    from ptt_spider_go_spark.operators import politeness
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    frontier = o.select(
+        F.concat(F.lit("https://h"), F.pmod(k, F.lit(13)).cast("string"),
+                 F.lit(".example/p/"), k.cast("string")).alias("url"),
+        F.pmod(k, F.lit(101)).alias("priority"),
+    )
+    known = _t(spark, sf_dir, "region").select(
+        F.concat(F.lit("h"), F.col("r_regionkey").cast("string"),
+                 F.lit(".example")).alias("host"))
+    return politeness.robots_fetch_plan(frontier, known)
+
+
+SQL_ROBOTS_FETCH_PLAN = """
+WITH frontier AS (
+  SELECT 'https://h' || (o_orderkey % 13) || '.example/p/' || o_orderkey
+           AS url,
+         'h' || (o_orderkey % 13) || '.example' AS host,
+         o_orderkey % 101 AS priority
+  FROM orders),
+known AS (
+  SELECT DISTINCT 'h' || r_regionkey || '.example' AS host FROM region),
+pages AS (
+  SELECT f.url, f.host,
+         CASE WHEN k.host IS NOT NULL THEN 'fetch' ELSE 'defer' END
+           AS action,
+         f.priority
+  FROM frontier f LEFT JOIN known k USING (host)),
+robots AS (
+  SELECT 'https://' || host || '/robots.txt' AS url, host,
+         'robots_fetch' AS action, min(priority) AS priority
+  FROM frontier
+  WHERE host NOT IN (SELECT host FROM known)
+  GROUP BY host)
+SELECT url, host, action, priority FROM pages
+UNION ALL
+SELECT url, host, action, priority FROM robots
+"""
+
+
+def q_path_subtrees(spark, sf_dir):
+    """Per-host path-subtree heavy-hitter rollup (X98,
+    operators/politeness.py path_subtrees): every URL contributes its
+    path prefixes to depth 2; a (host, prefix) subtree with >= 20 URLs
+    and >= 30% of its host's frontier is flagged heavy — the subtree-
+    level trap/skew signal per-URL rules can't see. Synthetic frontier
+    from documents: 5 hosts, 3 first-level segments, optional second/
+    third levels, and a root-only slice (doc_id % 17) that counts
+    toward host totals but emits no prefix rows."""
+    from ptt_spider_go_spark.operators import politeness
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), F.pmod(d, F.lit(5)).cast("string"),
+        F.lit(".example"),
+        F.when(F.pmod(d, F.lit(17)) == 0, F.lit("/")).otherwise(
+            F.concat(
+                F.lit("/s"), F.pmod(d, F.lit(3)).cast("string"),
+                F.when(
+                    F.pmod(d, F.lit(2)) == 0,
+                    F.concat(F.lit("/t"), F.pmod(d, F.lit(7)).cast("string")),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.pmod(d, F.lit(4)) == 0,
+                    F.concat(F.lit("/u"), F.pmod(d, F.lit(11)).cast("string")),
+                ).otherwise(F.lit("")),
+            )
+        ),
+    )
+    frontier = docs.select(url.alias("url"))
+    return politeness.path_subtrees(
+        frontier, max_depth=2, min_urls=20, min_share=0.3)
+
+
+SQL_PATH_SUBTREES = """
+WITH frontier AS (
+  SELECT 'https://h' || (doc_id % 5) || '.example' ||
+         CASE WHEN doc_id % 17 = 0 THEN '/'
+              ELSE '/s' || (doc_id % 3) ||
+                   CASE WHEN doc_id % 2 = 0
+                        THEN '/t' || (doc_id % 7) ELSE '' END ||
+                   CASE WHEN doc_id % 4 = 0
+                        THEN '/u' || (doc_id % 11) ELSE '' END
+         END AS url
+  FROM documents),
+p AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+         list_filter(string_split(
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1), '/'),
+           s -> s <> '') AS segs
+  FROM frontier),
+tot AS (SELECT host, count(*) AS host_urls FROM p GROUP BY host),
+ex0 AS (
+  SELECT host, segs,
+         unnest(generate_series(1, least(len(segs), 2))) AS i
+  FROM p),
+ex AS (
+  SELECT host, CAST(i AS INT) AS depth,
+         '/' || array_to_string(segs[1:i], '/') AS prefix
+  FROM ex0),
+r AS (
+  SELECT host, prefix, depth, count(*) AS n_urls
+  FROM ex GROUP BY host, prefix, depth)
+SELECT r.host, r.prefix, r.depth, r.n_urls, t.host_urls,
+       round(r.n_urls / t.host_urls, 4) AS share,
+       (r.n_urls >= 20 AND round(r.n_urls / t.host_urls, 4) >= 0.3)
+         AS is_heavy
+FROM r JOIN tot t USING (host)
+"""
+
+
+def q_ip_budgets(spark, sf_dir):
+    """Per-IP politeness groups (X99, operators/politeness.py
+    ip_group_budgets): hosts resolving to one IP share one politeness
+    envelope (Heritrix queue-by-IP) — group budget = MIN member
+    budget, re-split by exact largest-remainder. 25 synthetic hosts
+    from nation; DNS resolves only n_nationkey % 5 != 0 (the rest are
+    unresolved singletons); 7 IPs force multi-host groups."""
+    from ptt_spider_go_spark.operators import politeness
+
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("long")
+    host = F.concat(F.lit("h"), k.cast("string"), F.lit(".example"))
+    budgets = n.select(host.alias("host"),
+                       F.pmod(k * 13, F.lit(50)).alias("budget"))
+    dns = n.where(k % 5 != 0).select(
+        host.alias("host"),
+        F.concat(F.lit("10.0.0."), F.pmod(k, F.lit(7)).cast("string"))
+        .alias("ip"),
+    )
+    return politeness.ip_group_budgets(budgets, dns)
+
+
+SQL_IP_BUDGETS = """
+WITH b AS (
+  SELECT 'h' || n_nationkey || '.example' AS host,
+         CAST(n_nationkey * 13 % 50 AS BIGINT) AS budget,
+         CASE WHEN n_nationkey % 5 <> 0
+              THEN '10.0.0.' || (n_nationkey % 7)
+              ELSE 'unresolved:h' || n_nationkey || '.example' END AS ip
+  FROM nation),
+g AS (
+  SELECT ip, min(budget) AS ip_budget, sum(budget) AS w_total
+  FROM b GROUP BY ip),
+alloc AS (
+  SELECT b.host, b.ip, g.ip_budget,
+         CASE WHEN g.w_total > 0
+              THEN (g.ip_budget * b.budget) // g.w_total
+              ELSE 0 END AS base,
+         CASE WHEN g.w_total > 0
+              THEN (g.ip_budget * b.budget) % g.w_total
+              ELSE 0 END AS rem
+  FROM b JOIN g USING (ip)),
+lo AS (
+  SELECT ip, any_value(ip_budget) - sum(base) AS leftover
+  FROM alloc GROUP BY ip),
+rk AS (
+  SELECT a.*, l.leftover,
+         row_number() OVER (PARTITION BY a.ip
+                            ORDER BY a.rem DESC, a.host ASC) AS r
+  FROM alloc a JOIN lo l USING (ip))
+SELECT host, ip, ip_budget,
+       CAST(base + CASE WHEN r <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS budget
+FROM rk
+"""
+
+
+def q_robots_refresh_plan(spark, sf_dir):
+    """Robots cache expiry feeding the fetch-first plan (X100,
+    operators/politeness.py robots_refresh_plan): cached hosts h0..h9
+    carry fetched_at = 1995-01-01 + 40*host days; now = 1995-06-01,
+    ttl = 100 days, so h0/h1 are EXPIRED (same plan as unknown) while
+    h10..h12 are cache misses. Day-granular margins make the
+    integer-second boundary engine-skew-proof."""
+    from ptt_spider_go_spark.operators import politeness
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    frontier = o.select(
+        F.concat(F.lit("https://h"), F.pmod(k, F.lit(13)).cast("string"),
+                 F.lit(".example/p/"), k.cast("string")).alias("url"),
+        F.pmod(k, F.lit(101)).alias("priority"),
+    )
+    n = _t(spark, sf_dir, "nation")
+    h = F.col("n_nationkey").cast("int")
+    cache = n.where(h < 10).select(
+        F.concat(F.lit("h"), h.cast("string"), F.lit(".example"))
+        .alias("host"),
+        F.to_timestamp(
+            F.date_add(F.lit("1995-01-01").cast("date"), h * 40)
+        ).alias("fetched_at"),
+    )
+    now_epoch = 801_964_800  # 1995-06-01T00:00:00Z
+    return politeness.robots_refresh_plan(
+        frontier, cache, now_epoch, ttl_s=100 * 86_400)
+
+
+SQL_ROBOTS_REFRESH_PLAN = """
+WITH frontier AS (
+  SELECT 'https://h' || (o_orderkey % 13) || '.example/p/' || o_orderkey
+           AS url,
+         'h' || (o_orderkey % 13) || '.example' AS host,
+         o_orderkey % 101 AS priority
+  FROM orders),
+valid AS (
+  SELECT 'h' || n_nationkey || '.example' AS host
+  FROM nation
+  WHERE n_nationkey < 10
+    AND epoch(TIMESTAMP '1995-01-01'
+              + to_days(CAST(n_nationkey * 40 AS INT)))
+        > 801964800 - 100 * 86400),
+pages AS (
+  SELECT f.url, f.host,
+         CASE WHEN v.host IS NOT NULL THEN 'fetch' ELSE 'defer' END
+           AS action,
+         f.priority
+  FROM frontier f LEFT JOIN valid v USING (host)),
+robots AS (
+  SELECT 'https://' || host || '/robots.txt' AS url, host,
+         'robots_fetch' AS action, min(priority) AS priority
+  FROM frontier
+  WHERE host NOT IN (SELECT host FROM valid)
+  GROUP BY host)
+SELECT url, host, action, priority FROM pages
+UNION ALL
+SELECT url, host, action, priority FROM robots
+"""
+
+
+def q_drain_plan(spark, sf_dir):
+    """Frontier drain planner (X101, operators/politeness.py
+    drain_plan): ceil(n_urls/budget) supersteps per host in exact
+    integer arithmetic, NULL + is_starved for unbudgeted hosts,
+    is_critical on the cycle's critical path. 13 synthetic hosts from
+    orders; only the 5 even region hosts carry budgets."""
+    from ptt_spider_go_spark.operators import politeness
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    frontier = o.select(
+        F.concat(F.lit("https://h"), F.pmod(k, F.lit(13)).cast("string"),
+                 F.lit(".example/p/"), k.cast("string")).alias("url"))
+    budgets = _t(spark, sf_dir, "region").select(
+        F.concat(F.lit("h"), (F.col("r_regionkey") * 2).cast("string"),
+                 F.lit(".example")).alias("host"),
+        ((F.col("r_regionkey") + 1).cast("long") * 100).alias("budget"),
+    )
+    return politeness.drain_plan(frontier, budgets)
+
+
+SQL_DRAIN_PLAN = """
+WITH counts AS (
+  SELECT 'h' || (o_orderkey % 13) || '.example' AS host,
+         count(*) AS n_urls
+  FROM orders GROUP BY 1),
+b AS (
+  SELECT 'h' || (r_regionkey * 2) || '.example' AS host,
+         CAST((r_regionkey + 1) * 100 AS BIGINT) AS budget
+  FROM region),
+j AS (
+  SELECT c.host, c.n_urls, b.budget,
+         CASE WHEN b.budget > 0
+              THEN (c.n_urls + b.budget - 1) // b.budget END AS supersteps
+  FROM counts c LEFT JOIN b USING (host))
+SELECT host, n_urls, budget, supersteps,
+       supersteps IS NULL AS is_starved,
+       coalesce(supersteps = (SELECT max(supersteps) FROM j), FALSE)
+         AS is_critical
+FROM j
+"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -6063,6 +6486,13 @@ QUERIES = {
     "cache_freshness": (q_cache_freshness, SQL_CACHE_FRESHNESS),
     "cdx_revisits": (q_cdx_revisits, SQL_CDX_REVISITS),
     "frontier_depths": (q_frontier_depths, SQL_FRONTIER_DEPTHS),
+    "url_rfc3986_normalize": (q_url_rfc3986_normalize,
+                              SQL_URL_RFC3986_NORMALIZE),
+    "robots_fetch_plan": (q_robots_fetch_plan, SQL_ROBOTS_FETCH_PLAN),
+    "path_subtrees": (q_path_subtrees, SQL_PATH_SUBTREES),
+    "ip_budgets": (q_ip_budgets, SQL_IP_BUDGETS),
+    "robots_refresh_plan": (q_robots_refresh_plan, SQL_ROBOTS_REFRESH_PLAN),
+    "drain_plan": (q_drain_plan, SQL_DRAIN_PLAN),
 }
 
 

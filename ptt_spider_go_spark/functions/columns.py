@@ -310,3 +310,103 @@ def resolve_href(url: Column, href: Column) -> Column:
         .when(href.startswith("/"), F.concat(origin, href))
         .otherwise(F.concat(base_dir, href))
     )
+
+
+# --- RFC 3986 full syntax-based normalization (X96) -----------------------
+
+def pct_normalize(s: Column) -> Column:
+    """RFC 3986 §6.2.2.1-6.2.2.2 percent-encoding normalization, pure
+    JVM-side: uppercase the hex digits of every percent-escape and
+    DECODE escapes of unreserved characters (ALPHA / DIGIT / '-' / '.'
+    / '_' / '~') — '%41' -> 'A', '%7e' -> '~' — while leaving every
+    reserved or non-ASCII escape intact ('%2F' stays '%2F': decoding it
+    would change which servers treat the path as one segment).
+    Malformed escapes ('%G1', trailing '%') pass through byte-for-byte.
+
+    Shape: split on '%', transform the tail segments (each one starts
+    with the two chars that followed a '%'), re-join — one
+    split+transform+array_join projection, no Python. The reference has
+    no URL normalizer (crawler/crawler.go builds URLs from a template);
+    rule choice follows RFC 3986 §6.2.2. The DuckDB oracle mirrors the
+    split/transform shape with list_transform + from_hex."""
+    parts = F.split(s, "%", -1)
+    head = F.element_at(parts, 1)
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+
+    def fix(seg: Column) -> Column:
+        h2 = F.substring(seg, 1, 2)
+        rest = F.substring(seg, 3, 1_000_000)
+        is_hex = h2.rlike("^[0-9A-Fa-f]{2}$")
+        ch = F.char(F.conv(h2, 16, 10).cast("long"))
+        # nested when: conv() must only run on hex-verified segments
+        # (ANSI mode; '&' does not short-circuit inside one condition)
+        return F.when(
+            is_hex,
+            F.when(ch.rlike("^[A-Za-z0-9._~-]$"), F.concat(ch, rest))
+            .otherwise(F.concat(F.lit("%"), F.upper(h2), rest)),
+        ).otherwise(F.concat(F.lit("%"), seg))
+
+    return F.concat(head, F.array_join(F.transform(tail, fix), ""))
+
+
+def remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 remove_dot_segments for absolute paths (leading
+    '/'), as ONE Catalyst `aggregate` fold over the split segments — no
+    Python, no loop in the driver. Stack semantics: '.' is dropped,
+    '..' pops (never below root), anything else (including the empty
+    segment of '//') pushes; a trailing '.' or '..' leaves a trailing
+    '/'. '/a/b/../c/./d' -> '/a/c/d', '/a/b/..' -> '/a/', leading
+    '/../' collapses to '/'. Non-absolute or NULL input is returned
+    unchanged (request-target paths in a frontier are always absolute).
+    """
+    segs = F.split(path, "/", -1)
+    # drop the leading '' produced by the leading '/'
+    rest = F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(0)))
+    acc0 = F.struct(
+        F.expr("CAST(array() AS ARRAY<STRING>)").alias("st"),
+        F.lit(False).alias("tr"),
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        st = acc["st"]
+        return F.struct(
+            F.when(s == ".", st)
+            .when(s == "..",
+                  F.slice(st, 1, F.greatest(F.size(st) - 1, F.lit(0))))
+            .otherwise(F.concat(st, F.array(s)))
+            .alias("st"),
+            ((s == ".") | (s == "..")).alias("tr"),
+        )
+
+    def finish(acc: Column) -> Column:
+        joined = F.array_join(acc["st"], "/")
+        return F.when(
+            acc["tr"] & (F.size(acc["st"]) > 0),
+            F.concat(F.lit("/"), joined, F.lit("/")),
+        ).otherwise(F.concat(F.lit("/"), joined))
+
+    folded = F.aggregate(rest, acc0, step, finish)
+    return F.when(path.rlike("^/"), folded).otherwise(path)
+
+
+def normalize_url_rfc3986(url: Column) -> Column:
+    """Full RFC 3986 syntax-based normalization for frontier keys: the
+    canonicalize_url subset (§6.2.2.3/§6.2.3: fragment strip,
+    scheme+host lowercase, default-port drop, empty path -> '/') PLUS
+    the two rules canonicalize_url deliberately omits — percent-
+    encoding normalization (§6.2.2.2, pct_normalize) on the path and
+    query, and dot-segment removal (§5.2.4, remove_dot_segments) on
+    the path. Together these collapse every syntax-only spelling of a
+    resource to one URL-seen key, shrinking the frontier before the
+    Bloom/cuckoo probe. Still a pure JVM projection."""
+    canon = canonicalize_url(url)
+    head = F.regexp_extract(
+        canon, "^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*)", 1)
+    after = F.substring(canon, F.length(head) + 1, F.lit(1_000_000))
+    path = F.regexp_extract(after, "^([^?#]*)", 1)
+    qtail = F.substring(after, F.length(path) + 1, F.lit(1_000_000))
+    norm_path = F.when(
+        path == "", F.lit("")
+    ).otherwise(remove_dot_segments(pct_normalize(path)))
+    return F.when(head == "", pct_normalize(canon)).otherwise(
+        F.concat(head, norm_path, pct_normalize(qtail)))

@@ -328,3 +328,243 @@ def apply_robots_wildcard(frontier: DataFrame,
         return frontier
     v = robots_wildcard_verdicts(frontier, rules)
     return v.filter(F.col("allowed")).drop("allowed", "rule")
+
+
+# --- X97: robots-fetch-first scheduling --------------------------------------
+
+def robots_fetch_plan(frontier: DataFrame,
+                      robots_hosts: DataFrame) -> DataFrame:
+    """(url, host, action, priority): split a frontier into what may be
+    fetched NOW vs what must wait for robots.txt — RFC 9309 requires a
+    crawler to consult a host's robots file before fetching any of its
+    URLs, so a host whose robots is not yet cached contributes one
+    `robots_fetch` task (scheme://host/robots.txt, carrying the host's
+    BEST frontier priority so the permission check never queues behind
+    the pages it gates) and all of its page rows as `defer`; hosts in
+    `robots_hosts` (one `host` column — the already-fetched cache) pass
+    through as `fetch`.
+
+    The reference never fetches robots.txt (SURVEY §2 R1 is an
+    extension); this is the scheduling half that makes the R1 rule
+    table OBTAINABLE in a real crawl loop. Scale shape: `robots_hosts`
+    is host-level tiny -> broadcast left join (no frontier shuffle for
+    the known/unknown split); the synthetic robots rows are one
+    groupBy(host) over only the unknown-host slice. Deferred rows are
+    kept, never dropped — the same defer-not-drop contract as
+    budget_gate."""
+    known = F.broadcast(
+        robots_hosts.select(F.col("host").alias("_kh")).distinct())
+    x = frontier.withColumn("host", url_host(F.col("url")))
+    flagged = x.join(known, x["host"] == known["_kh"], "left")
+    pages = flagged.select(
+        "url", "host",
+        F.when(F.col("_kh").isNotNull(), F.lit("fetch"))
+        .otherwise(F.lit("defer")).alias("action"),
+        F.col("priority"),
+    )
+    unknown = flagged.where(F.col("_kh").isNull())
+    robots_rows = (
+        unknown.groupBy("host")
+        .agg(
+            F.min("priority").alias("priority"),
+            F.min(F.regexp_extract(F.col("url"), "^([a-z]+)://", 1))
+            .alias("_scheme"),
+        )
+        .select(
+            F.concat(F.col("_scheme"), F.lit("://"), F.col("host"),
+                     F.lit("/robots.txt")).alias("url"),
+            "host",
+            F.lit("robots_fetch").alias("action"),
+            "priority",
+        )
+    )
+    return pages.unionByName(robots_rows)
+
+
+# --- X98: per-host path-subtree rollup ---------------------------------------
+
+def path_subtrees(frontier: DataFrame,
+                  max_depth: int = 3,
+                  min_urls: int = 100,
+                  min_share: float = 0.5) -> DataFrame:
+    """(host, prefix, depth, n_urls, host_urls, share, is_heavy):
+    heavy-hitter rollup over URL path PREFIXES — every frontier URL
+    contributes its /s1, /s1/s2, ... prefixes up to `max_depth`, and a
+    (host, prefix) subtree holding >= `min_urls` URLs AND >=
+    `min_share` of its host's frontier is flagged heavy. This is the
+    subtree-level complement of trap_suspects' per-URL rules: a
+    calendar loop or faceted-search cross product concentrates a
+    host's frontier under one shallow prefix long before any single
+    URL trips a per-URL rule (Heritrix's PathologicalPath works per
+    URL; frontier-share analysis is how large crawls spot the subtree
+    itself).
+
+    Scale shape: one bounded explode (<= max_depth rows per URL), one
+    groupBy(host, prefix) with map-side combine, host totals from a
+    separate tiny groupBy(host) broadcast back — no window over the
+    exploded relation, no per-URL state. Root-path URLs ('/') have no
+    prefix rows but still count toward host_urls."""
+    path = F.regexp_extract(F.col("url"), "^[a-z]+://[^/?#]+([^?#]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda x: x != "")
+    depths = F.when(
+        F.size(segs) > 0,
+        F.sequence(F.lit(1), F.least(F.size(segs), F.lit(max_depth))),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+    prefixes = F.transform(
+        depths,
+        lambda i: F.struct(
+            i.alias("depth"),
+            F.concat(F.lit("/"), F.array_join(F.slice(segs, F.lit(1), i),
+                                              "/")).alias("prefix"),
+        ),
+    )
+    x = frontier.select(url_host(F.col("url")).alias("host"),
+                        prefixes.alias("_pfx"))
+    totals = x.groupBy("host").agg(F.count("*").alias("host_urls"))
+    rolled = (
+        x.select("host", F.explode("_pfx").alias("p"))
+        .groupBy("host", F.col("p.prefix").alias("prefix"),
+                 F.col("p.depth").alias("depth"))
+        .agg(F.count("*").alias("n_urls"))
+    )
+    return (
+        rolled.join(F.broadcast(totals), "host")
+        .withColumn(
+            "share", F.round(F.col("n_urls") / F.col("host_urls"), 4))
+        .withColumn(
+            "is_heavy",
+            (F.col("n_urls") >= F.lit(min_urls))
+            & (F.col("share") >= F.lit(min_share)),
+        )
+        .select("host", "prefix", "depth", "n_urls", "host_urls",
+                "share", "is_heavy")
+    )
+
+
+# --- X99: per-IP politeness groups -------------------------------------------
+
+def ip_group_budgets(host_budgets: DataFrame, dns: DataFrame) -> DataFrame:
+    """(host, ip, ip_budget, budget): regroup per-host politeness
+    budgets by resolved IP — Heritrix's queue-by-IP: virtual hosts
+    sharing one server must share one politeness envelope, or a
+    crawler that is polite per hostname hammers the box 50 hostnames
+    at a time. The group's envelope is the MIN member budget (the
+    most restrictive member's pace — a shared server is only as
+    tolerant as its strictest tenant), re-split across the group's
+    hosts proportionally to their original budgets by the exact
+    largest-remainder method (authority_budgets' arithmetic:
+    base = B*w DIV W, leftover to the largest B*w % W remainders,
+    ties by host asc — BIGINT end to end, per-group sums EXACT).
+    Hosts absent from `dns` form singleton groups (key
+    'unresolved:<host>') and keep their budget unchanged.
+
+    Scale shape: `dns` and `host_budgets` are host-level dimensions
+    (tiny) — broadcast join, two tiny groupBys, one window
+    PARTITIONED by ip over the host-level relation. Nothing
+    frontier-sized is touched."""
+    x = (
+        host_budgets.join(F.broadcast(dns), "host", "left")
+        .withColumn(
+            "ip",
+            F.coalesce(F.col("ip"),
+                       F.concat(F.lit("unresolved:"), F.col("host"))),
+        )
+    )
+    grp = x.groupBy("ip").agg(
+        F.min("budget").alias("ip_budget"),
+        F.sum("budget").alias("w_total"),
+    )
+    alloc = (
+        x.join(F.broadcast(grp), "ip")
+        .withColumn(
+            "base",
+            F.when(F.col("w_total") > 0,
+                   F.expr("ip_budget * budget DIV w_total"))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "rem",
+            F.when(F.col("w_total") > 0,
+                   F.expr("ip_budget * budget % w_total"))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+    )
+    leftovers = alloc.groupBy("ip").agg(
+        (F.first("ip_budget") - F.sum("base")).alias("leftover"))
+    w = Window.partitionBy("ip").orderBy(F.col("rem").desc(),
+                                         F.col("host").asc())
+    return (
+        alloc.join(F.broadcast(leftovers), "ip")
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            "host", "ip", "ip_budget",
+            (F.col("base")
+             + F.when(F.col("_rk") <= F.col("leftover"), F.lit(1))
+             .otherwise(F.lit(0))).cast("long").alias("budget"),
+        )
+    )
+
+
+# --- X100: robots cache expiry -> refresh plan --------------------------------
+
+def robots_refresh_plan(frontier: DataFrame, cache: DataFrame,
+                        now_epoch_s: int,
+                        ttl_s: int = 86_400) -> DataFrame:
+    """robots_fetch_plan with cache EXPIRY (RFC 9309 §2.4: cached
+    robots files must be refreshed; 24 h is the conventional
+    lifetime): `cache` carries (host, fetched_at timestamp), and a
+    host whose copy is older than `ttl_s` counts as UNKNOWN — its
+    pages defer and one prioritized robots_fetch task is emitted,
+    exactly the cache-miss path. Integer-second comparison
+    (unix_timestamp > now - ttl), so the boundary is exact and
+    oracle-reproducible. The cache is host-level tiny; the filter
+    runs before the broadcast, the frontier never shuffles."""
+    valid = cache.where(
+        F.unix_timestamp(F.col("fetched_at"))
+        > F.lit(int(now_epoch_s) - int(ttl_s))
+    ).select("host")
+    return robots_fetch_plan(frontier, valid)
+
+
+# --- X101: frontier drain planner ---------------------------------------------
+
+def drain_plan(frontier: DataFrame, host_budgets: DataFrame) -> DataFrame:
+    """(host, n_urls, budget, supersteps, is_starved, is_critical):
+    how many politeness-bounded supersteps each host needs to drain
+    its frontier slice — supersteps = ceil(n_urls / budget) in exact
+    integer arithmetic ((n + b - 1) DIV b), NULL plus is_starved for
+    hosts with no (or zero) budget, is_critical on the host(s) whose
+    drain time IS the cycle's critical path (max supersteps). The
+    crawl-cycle capacity report a scheduler reads before deciding
+    budgets were fair: the reference's fixed worker pool has a single
+    implicit drain time, a 10^10-URL frontier has one per host.
+
+    Scale shape: one groupBy(host) with map-side combine over the
+    frontier (its only shuffle), broadcast budget join, and the max
+    via one tiny agg cross-joined back (host-level relation) — no
+    global window, no driver loop."""
+    counts = (
+        frontier.select(url_host(F.col("url")).alias("host"))
+        .groupBy("host").agg(F.count("*").alias("n_urls"))
+    )
+    j = (
+        counts.join(F.broadcast(host_budgets), "host", "left")
+        .withColumn(
+            "supersteps",
+            F.when(
+                F.col("budget") > 0,
+                F.expr("(n_urls + budget - 1) DIV budget"),
+            ).cast("long"),
+        )
+        .withColumn("is_starved", F.col("supersteps").isNull())
+    )
+    mx = j.agg(F.max("supersteps").alias("_max_ss"))
+    return (
+        j.crossJoin(F.broadcast(mx))
+        .select(
+            "host", "n_urls", "budget", "supersteps", "is_starved",
+            (F.col("supersteps").isNotNull()
+             & (F.col("supersteps") == F.col("_max_ss")))
+            .alias("is_critical"),
+        )
+    )
