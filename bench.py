@@ -141,6 +141,11 @@ HEADLINE = [
     "ip_budgets",
     "robots_refresh_plan",
     "drain_plan",
+    # r5d spam-demotion / crawl-order additions
+    "trust_rank",
+    "spam_mass",
+    "opic_importance",
+    "demoted_budgets",
 ]
 
 

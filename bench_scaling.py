@@ -141,8 +141,13 @@ def run_once(cpus: int, pages_path: str, boards: list[str], ppb: int,
     # Untimed warmup: JIT + Python worker pool + parquet footer cache.
     _crawl(spark, pages, boards[:1], 3, cpus, strategy)
 
-    cal = _calibrate(spark, cpus)
-    cal_stream = _calibrate_stream(spark, cpus)
+    # Best of 3 per probe: a calibration estimates a hardware CEILING,
+    # so the max (least-contended observation) is the right statistic —
+    # one transiently depressed probe run otherwise poisons the
+    # normalization (a measured "super-linear hardware ceiling" is by
+    # definition probe noise, not physics).
+    cal = max(_calibrate(spark, cpus) for _ in range(3))
+    cal_stream = max(_calibrate_stream(spark, cpus) for _ in range(3))
 
     # Best of 2 timed runs: single-machine wall clocks are ~±10% noisy
     # (page cache, turbo states); min is the standard steady-state
@@ -216,8 +221,14 @@ def main():
     # Hardware ceiling: what a PERFECTLY parallel job achieves N->4N on
     # this box (turbo clocks sag as occupancy rises; a real cluster
     # adds machines at constant clocks, so its ceiling is ~1.0).
-    eff_ceiling = hi["calib_tasks_per_sec"] / (4 * lo["calib_tasks_per_sec"])
-    eff_stream = hi["calib_stream_gbs"] / (4 * lo["calib_stream_gbs"])
+    # A ceiling efficiency cannot exceed 1.0 in steady state (4x cores
+    # never yields >4x of the SAME shared hardware resource); clamp so
+    # residual probe noise can only make the normalization CONSERVATIVE
+    # (normalized >= raw never follows from noise).
+    eff_ceiling = min(
+        1.0, hi["calib_tasks_per_sec"] / (4 * lo["calib_tasks_per_sec"]))
+    eff_stream = min(
+        1.0, hi["calib_stream_gbs"] / (4 * lo["calib_stream_gbs"]))
     out = {
         "metric": "crawl scaling efficiency N->4N (local parallelism)",
         "n": args.n,

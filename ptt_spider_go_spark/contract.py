@@ -6326,6 +6326,266 @@ FROM j
 """
 
 
+def q_trust_rank(spark, sf_dir):
+    """TrustRank (X102): 3-iteration seed-biased integer PageRank
+    (Gyongyi et al. VLDB'04) over the deterministic md5-derived host
+    link graph — trust mass starts on the h<13k> seed hosts and flows
+    only along links, so spam neighborhoods accumulate ~none
+    (operators/linkrank.py trust_rank)."""
+    from ptt_spider_go_spark.operators import linkrank
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = linkrank.host_edges_from_documents(docs)
+    return linkrank.trust_rank(edges, linkrank.seed_hosts(edges))
+
+
+def _graph_prefix_sql(n_hosts: int = 97, outlinks: int = 3) -> str:
+    """Shared CTE prefix for the host link-graph oracles: the
+    md5-derived edge list + nodes + outdeg (the _link_rank_sql
+    shape, extracted for the X102-X104 builders)."""
+    parts = []
+    for j in range(outlinks):
+        h = md5_long_sql(f"concat(doc_id, ':', {j})")
+        parts.append(f"concat('h', {h} % {n_hosts})")
+    dsts = ", ".join(parts)
+    return f"""
+WITH raw_e AS (
+  SELECT concat('h', doc_id % {n_hosts}) AS src,
+         unnest([{dsts}]) AS dst
+  FROM documents),
+edges AS (SELECT src, dst FROM raw_e WHERE src <> dst),
+nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)"""
+
+
+def _trust_ctes(iters: int = 3, modulus: int = 13,
+                scale: int = 1_000_000_000) -> str:
+    """Unrolled TrustRank rounds as CTEs t0..t<iters> (appended to
+    the graph prefix): seed set = hosts h<k> with k % modulus == 0,
+    per-seed start scale//n_seeds, per-seed teleport
+    (15*scale//100)//n_seeds, update (is_seed ? tele : 0) +
+    85*inflow//100 — the exact trust_rank arithmetic."""
+    tele_total = 15 * scale // 100
+    sql = f""",
+seeds AS (
+  SELECT host FROM nodes
+  WHERE CAST(substr(host, 2) AS BIGINT) % {modulus} = 0),
+ns AS (SELECT count(*) AS n_seeds FROM seeds),
+t0 AS (
+  SELECT nodes.host,
+         CAST(CASE WHEN s.host IS NOT NULL THEN {scale} // n_seeds
+              ELSE 0 END AS BIGINT) AS trust_micro
+  FROM nodes CROSS JOIN ns LEFT JOIN seeds s ON s.host = nodes.host)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+tc{i} AS (
+  SELECT dst, CAST(sum(trust_micro // outdeg) AS BIGINT) AS inflow
+  FROM edges JOIN outdeg USING (src)
+  JOIN t{i - 1} ON t{i - 1}.host = edges.src
+  GROUP BY dst),
+t{i} AS (
+  SELECT nodes.host,
+         CAST(CASE WHEN s.host IS NOT NULL
+                   THEN {tele_total} // n_seeds ELSE 0 END
+              + (85 * coalesce(inflow, 0)) // 100 AS BIGINT)
+           AS trust_micro
+  FROM nodes CROSS JOIN ns
+  LEFT JOIN tc{i} ON tc{i}.dst = nodes.host
+  LEFT JOIN seeds s ON s.host = nodes.host)"""
+    return sql
+
+
+SQL_TRUST_RANK = (
+    _graph_prefix_sql() + _trust_ctes()
+    + "\nSELECT host, trust_micro FROM t3"
+)
+
+
+def q_spam_mass(spark, sf_dir):
+    """Spam mass (X103): the fraction of each host's PageRank NOT
+    explained by trust flow (Gyongyi et al. VLDB'06), integer-ppm,
+    composing host_rank + trust_rank over the same graph; candidates
+    = high mass AND above-uniform rank (operators/linkrank.py
+    spam_mass)."""
+    from ptt_spider_go_spark.operators import linkrank
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = linkrank.host_edges_from_documents(docs)
+    return linkrank.spam_mass(
+        linkrank.host_rank(edges),
+        linkrank.trust_rank(edges, linkrank.seed_hosts(edges)),
+        # md5-uniform synthetic graph: mass spreads tightly, so the
+        # contract pins a threshold that makes BOTH candidate branches
+        # fire (top ~15% of above-floor hosts flag true).
+        threshold_ppm=250_000,
+    )
+
+
+def _rank_ctes(iters: int = 3) -> str:
+    """Unrolled host_rank rounds r0..r<iters> (the _link_rank_sql
+    body) against the shared graph prefix."""
+    sql = """,
+r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+c{i} AS (
+  SELECT dst, CAST(sum(rank_micro // outdeg) AS BIGINT) AS inflow
+  FROM edges JOIN outdeg USING (src)
+  JOIN r{i - 1} ON r{i - 1}.host = edges.src
+  GROUP BY dst),
+r{i} AS (
+  SELECT host,
+         CAST(150000 + (85 * coalesce(inflow, 0)) // 100 AS BIGINT)
+           AS rank_micro
+  FROM nodes LEFT JOIN c{i} ON c{i}.dst = nodes.host)"""
+    return sql
+
+
+SQL_SPAM_MASS = (
+    _graph_prefix_sql() + _rank_ctes() + _trust_ctes()
+    + """,
+tot AS (
+  SELECT (SELECT sum(rank_micro) FROM r3) AS pr_total,
+         (SELECT sum(trust_micro) FROM t3) AS tr_total),
+j AS (
+  SELECT r3.host, rank_micro,
+         CAST(coalesce(trust_micro, 0) AS BIGINT) AS trust_micro
+  FROM r3 LEFT JOIN t3 USING (host)),
+sc AS (
+  SELECT host, rank_micro,
+         CAST(trust_micro * pr_total // tr_total AS BIGINT)
+           AS trust_scaled
+  FROM j CROSS JOIN tot),
+m AS (
+  SELECT host, rank_micro, trust_scaled,
+         CAST(CASE WHEN rank_micro > 0
+              THEN greatest(0, rank_micro - trust_scaled) * 1000000
+                   // rank_micro
+              ELSE 0 END AS BIGINT) AS spam_mass_ppm
+  FROM sc)
+SELECT host, rank_micro, trust_scaled, spam_mass_ppm,
+       spam_mass_ppm >= 250000 AND rank_micro >= 1000000
+         AS is_spam_candidate
+FROM m"""
+)
+
+
+def q_opic_importance(spark, sf_dir):
+    """OPIC (X104): On-line Page Importance Computation (Abiteboul et
+    al. WWW'03, Nutch's crawl-order policy) — 4 synchronous cash
+    rounds with dangling mass recycled through the virtual root;
+    banked history is the anytime importance estimate a frontier
+    scheduler reads without waiting for convergence
+    (operators/linkrank.py opic_importance)."""
+    from ptt_spider_go_spark.operators import linkrank
+
+    docs = _t(spark, sf_dir, "documents")
+    return linkrank.opic_importance(
+        linkrank.host_edges_from_documents(docs)
+    )
+
+
+def _opic_sql(iters: int = 4, scale: int = 1_000_000_000) -> str:
+    """DuckDB twin of opic_importance: unrolled cash/history rounds
+    with per-round dangling-total CTEs, all-BIGINT."""
+    sql = _graph_prefix_sql() + f""",
+nh AS (SELECT count(*) AS n FROM nodes),
+s0 AS (
+  SELECT host, CAST(0 AS BIGINT) AS history_micro,
+         CAST({scale} // n AS BIGINT) AS cash_micro
+  FROM nodes CROSS JOIN nh)"""
+    for i in range(1, iters + 1):
+        p = f"s{i - 1}"
+        sql += f""",
+d{i} AS (
+  SELECT CAST(coalesce(sum(cash_micro), 0) AS BIGINT) AS dang
+  FROM {p} LEFT JOIN outdeg ON outdeg.src = {p}.host
+  WHERE outdeg.src IS NULL),
+oc{i} AS (
+  SELECT dst, CAST(sum(cash_micro // outdeg) AS BIGINT) AS inflow
+  FROM edges JOIN outdeg USING (src)
+  JOIN {p} ON {p}.host = edges.src
+  GROUP BY dst),
+s{i} AS (
+  SELECT {p}.host,
+         CAST(history_micro + cash_micro AS BIGINT) AS history_micro,
+         CAST(coalesce(inflow, 0) + dang // n AS BIGINT) AS cash_micro
+  FROM {p} CROSS JOIN d{i} CROSS JOIN nh
+  LEFT JOIN oc{i} ON oc{i}.dst = {p}.host)"""
+    return sql + f"""
+SELECT host, history_micro, cash_micro FROM s{iters}"""
+
+
+SQL_OPIC_IMPORTANCE = _opic_sql()
+
+
+
+def q_demoted_budgets(spark, sf_dir):
+    """Spam-demoted authority budgets (X105): the composition where
+    X103's signal changes crawler behavior — flagged hosts are removed
+    from the largest-remainder apportionment (their share
+    redistributes to clean hosts, budgets still sum exactly) and
+    re-emitted as auditable zero-budget rows
+    (operators/linkrank.py demoted_budgets)."""
+    from ptt_spider_go_spark.operators import linkrank
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = linkrank.host_edges_from_documents(docs)
+    spam = linkrank.spam_mass(
+        linkrank.host_rank(edges),
+        linkrank.trust_rank(edges, linkrank.seed_hosts(edges)),
+        threshold_ppm=250_000,
+    )
+    return linkrank.demoted_budgets(
+        linkrank.host_rank(edges), spam, total_budget=1000
+    )
+
+
+SQL_DEMOTED_BUDGETS = (
+    _graph_prefix_sql() + _rank_ctes() + _trust_ctes()
+    + """,
+tot AS (
+  SELECT (SELECT sum(rank_micro) FROM r3) AS pr_total,
+         (SELECT sum(trust_micro) FROM t3) AS tr_total),
+sc AS (
+  SELECT r3.host, rank_micro,
+         CAST(coalesce(trust_micro, 0) * pr_total // tr_total AS BIGINT)
+           AS trust_scaled
+  FROM r3 LEFT JOIN t3 USING (host) CROSS JOIN tot),
+m AS (
+  SELECT host, rank_micro,
+         CAST(CASE WHEN rank_micro > 0
+              THEN greatest(0, rank_micro - trust_scaled) * 1000000
+                   // rank_micro
+              ELSE 0 END AS BIGINT) AS spam_mass_ppm
+  FROM sc),
+cand AS (
+  SELECT host FROM m
+  WHERE spam_mass_ppm >= 250000 AND rank_micro >= 1000000),
+clean AS (
+  SELECT r3.host, rank_micro
+  FROM r3 LEFT JOIN cand USING (host) WHERE cand.host IS NULL),
+alloc AS (
+  SELECT host,
+         (1000 * rank_micro) // t.rt AS base,
+         (1000 * rank_micro) % t.rt AS rem
+  FROM clean,
+       (SELECT CAST(sum(rank_micro) AS BIGINT) AS rt FROM clean) t),
+lo AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS l FROM alloc),
+rankedb AS (
+  SELECT host, base, row_number() OVER (ORDER BY rem DESC, host) AS rn
+  FROM alloc)
+SELECT host,
+       CAST(base + CASE WHEN rn <= lo.l THEN 1 ELSE 0 END AS BIGINT)
+         AS budget,
+       FALSE AS demoted
+FROM rankedb, lo
+UNION ALL
+SELECT host, CAST(0 AS BIGINT) AS budget, TRUE AS demoted FROM cand"""
+)
+
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -6493,6 +6753,10 @@ QUERIES = {
     "ip_budgets": (q_ip_budgets, SQL_IP_BUDGETS),
     "robots_refresh_plan": (q_robots_refresh_plan, SQL_ROBOTS_REFRESH_PLAN),
     "drain_plan": (q_drain_plan, SQL_DRAIN_PLAN),
+    "trust_rank": (q_trust_rank, SQL_TRUST_RANK),
+    "spam_mass": (q_spam_mass, SQL_SPAM_MASS),
+    "opic_importance": (q_opic_importance, SQL_OPIC_IMPORTANCE),
+    "demoted_budgets": (q_demoted_budgets, SQL_DEMOTED_BUDGETS),
 }
 
 

@@ -395,3 +395,299 @@ def depth_gate(frontier: DataFrame, depths: DataFrame,
     a depth budget exists to exclude."""
     ok = depths.filter(F.col("depth") <= max_depth).select("url")
     return frontier.join(ok, "url", "left_semi")
+
+
+#: TrustRank seed-mass scale: the total teleport/initial mass split
+#: across the seed set each round. Chosen so the spam-mass
+#: cross-multiply trust_micro * pr_total stays far under 2^63 at test
+#: scale (trust <= ~1e9, pr_total ~ 1.5e8 at 97 hosts -> ~1.5e17).
+#: A 40M-host production graph multiplies pr_total by ~4e5; there the
+#: cross-multiply escalates to decimal(38,0) in BOTH engines (same
+#: semantics, documented envelope) — the BIGINT fast path is correct
+#: whenever trust_micro * pr_total < 2^63.
+TRUST_SCALE = 1_000_000_000
+#: teleport fraction: same 15/100 damping split as host_rank.
+TRUST_TELEPORT_TOTAL = 15 * TRUST_SCALE // 100
+
+
+def seed_hosts(edges: DataFrame, modulus: int = 13) -> DataFrame:
+    """Deterministic trusted-seed selection over the graph's node set
+    for the contract query and its oracle: hosts 'h<k>' where
+    k % modulus == 0. A real deployment feeds a curated allowlist
+    (Wikipedia, .gov, the Gyongyi et al. VLDB'04 inverse-PageRank
+    oracle-review pick); the selection mechanism is orthogonal to the
+    propagation this module implements."""
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    return nodes.filter(
+        F.pmod(F.substring(F.col("host"), 2, 18).cast("long"),
+               F.lit(modulus)) == 0
+    )
+
+
+def trust_rank(edges: DataFrame, seeds: DataFrame,
+               iters: int = 3) -> DataFrame:
+    """(host, trust_micro): seed-biased integer PageRank — TrustRank
+    (Gyongyi, Garcia-Molina, Pedersen, "Combating Web Spam with
+    TrustRank", VLDB 2004). Trust mass starts on a small trusted seed
+    set and flows ONLY along links; the teleport term returns mass to
+    the seeds (never uniformly), so hosts reachable only through spam
+    neighborhoods accumulate ~none. The complement of host_rank for
+    frontier scheduling: PageRank says "endorsed by the web", TrustRank
+    says "endorsed by hosts we vetted" — the gap between them is the
+    spam signal (spam_mass below).
+
+    Integer determinism (the host_rank scheme, seed-restricted):
+
+        per-seed start    t0 = TRUST_SCALE DIV n_seeds   (seeds; else 0)
+        contribution      c  = t DIV outdeg              (exact DIV)
+        per-seed teleport g  = TRUST_TELEPORT_TOTAL DIV n_seeds
+        update            t' = (is_seed ? g : 0) + 85 * inflow DIV 100
+
+    All BIGINT — aggregation order cannot change a bit; the DuckDB
+    oracle unrolls the same rounds. Seeds outside the graph's node set
+    are ignored (trust cannot start on a host with no edges to carry
+    it). n_seeds is one scalar probe on the tiny seed relation (the
+    authority_budgets idiom).
+
+    Scale shape: identical to host_rank — per round one equi-join of
+    the host-level trust vector onto the edge relation partitioned by
+    src plus one groupBy(dst) with map-side combine; the trust vector
+    broadcasts (AQE). Fixed small iteration count, no convergence
+    probe over the 10^10-row side.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed_flag = (
+        nodes.join(seeds.select("host").distinct(), "host", "left_semi")
+        .select("host", F.lit(True).alias("is_seed"))
+        .localCheckpoint(eager=True)
+    )
+    n_seeds = seed_flag.count()
+    if n_seeds == 0:
+        return nodes.select(
+            "host", F.lit(0).cast("long").alias("trust_micro")
+        )
+    t0 = TRUST_SCALE // n_seeds
+    tele = TRUST_TELEPORT_TOTAL // n_seeds
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    base = nodes.join(seed_flag, "host", "left")
+    trust = base.select(
+        "host",
+        F.when(F.col("is_seed"), F.lit(t0)).otherwise(F.lit(0))
+        .cast("long").alias("trust_micro"),
+    )
+    for _ in range(iters):
+        inflow = (
+            edges.join(outdeg, "src")
+            .join(
+                trust.select(F.col("host").alias("src"),
+                             F.col("trust_micro").alias("src_t")),
+                "src",
+            )
+            .select("dst", F.expr("src_t DIV outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        trust = (
+            base.join(
+                inflow.select(F.col("dst").alias("host"), "inflow"),
+                "host", "left",
+            )
+            .select(
+                "host",
+                (
+                    F.when(F.col("is_seed"), F.lit(tele))
+                    .otherwise(F.lit(0))
+                    + F.expr(
+                        f"{DAMP_NUM} * coalesce(inflow, 0L) DIV {DAMP_DEN}"
+                    )
+                ).cast("long").alias("trust_micro"),
+            )
+        )
+    return trust
+
+
+def spam_mass(ranks: DataFrame, trusts: DataFrame,
+              threshold_ppm: int = 900_000,
+              min_rank_micro: int = R0_MICRO) -> DataFrame:
+    """(host, rank_micro, trust_scaled, spam_mass_ppm,
+    is_spam_candidate): relative spam mass — the fraction of a host's
+    PageRank NOT explained by its trust flow (Gyongyi, Berkhin,
+    Garcia-Molina, Pedersen, "Link Spam Detection Based on Mass
+    Estimation", VLDB 2006). A host whose rank comes overwhelmingly
+    from outside the trusted neighborhood bought its rank from a link
+    farm; a frontier scheduler demotes (or a corpus gate drops) hosts
+    flagged here BEFORE authority_budgets converts rank into fetch
+    budget.
+
+    Exact integer arithmetic: the trust vector is rescaled onto the
+    rank vector's L1 mass by cross-multiplication
+
+        trust_scaled  = trust_micro * pr_total DIV tr_total
+        spam_mass_ppm = greatest(0, rank - trust_scaled) * 1e6
+                        DIV rank                      (rank > 0)
+
+    and a host is a candidate iff spam_mass_ppm >= threshold_ppm AND
+    rank_micro >= min_rank_micro — low-rank hosts are never flagged
+    (their mass estimate is noise, per the paper; and demoting a host
+    nobody links to is pointless). Both inputs are host-level tiny
+    relations: localCheckpoint'd, two scalar total probes (the
+    authority_budgets idiom), one equi-join; nothing frontier-sized
+    moves. BIGINT envelope: trust_micro * pr_total < 2^63 (see
+    TRUST_SCALE note)."""
+    ranks = ranks.localCheckpoint(eager=True)
+    trusts = trusts.localCheckpoint(eager=True)
+    pr_total = ranks.agg(F.sum("rank_micro")).collect()[0][0] or 0
+    tr_total = trusts.agg(F.sum("trust_micro")).collect()[0][0] or 0
+    joined = ranks.join(trusts, "host", "left").select(
+        "host", "rank_micro",
+        F.coalesce("trust_micro", F.lit(0)).cast("long")
+        .alias("trust_micro"),
+    )
+    scaled = (
+        F.expr(f"trust_micro * {pr_total} DIV {tr_total}")
+        if tr_total else F.lit(0)
+    )
+    out = joined.select(
+        "host", "rank_micro",
+        scaled.cast("long").alias("trust_scaled"),
+    ).select(
+        "host", "rank_micro", "trust_scaled",
+        F.when(
+            F.col("rank_micro") > 0,
+            F.expr("greatest(0L, rank_micro - trust_scaled) * 1000000 "
+                   "DIV rank_micro"),
+        ).otherwise(F.lit(0)).cast("long").alias("spam_mass_ppm"),
+    )
+    return out.select(
+        "*",
+        (
+            (F.col("spam_mass_ppm") >= F.lit(threshold_ppm))
+            & (F.col("rank_micro") >= F.lit(min_rank_micro))
+        ).alias("is_spam_candidate"),
+    )
+
+
+#: OPIC cash scale: total cash in the system (constant across rounds
+#: up to DIV truncation dust). History sums <= iters * CASH_SCALE —
+#: far under BIGINT at any iteration count this module would run.
+OPIC_SCALE = 1_000_000_000
+
+
+def opic_importance(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """(host, history_micro, cash_micro): On-line Page Importance
+    Computation (Abiteboul, Preda, Cobena, WWW 2003 — the crawl-order
+    policy Nutch shipped) after `iters` synchronous rounds. Each host
+    starts with an equal share of OPIC_SCALE cash; each round banks
+    its current cash into its history and distributes it equally
+    across its outlinks; DANGLING hosts' cash goes to the virtual
+    root and is redistributed uniformly to every host next round
+    (the paper's virtual page, which also guarantees ergodicity).
+    Accumulated history after k rounds is the importance estimate —
+    unlike PageRank it is meaningful after ANY number of rounds,
+    which is the point: a crawler reprioritizes its frontier from
+    partial history without waiting for convergence.
+
+    Integer determinism: cash0 = OPIC_SCALE DIV n_hosts; per round
+    inflow = sum(cash DIV outdeg) over in-edges, dangling total and
+    its uniform share dang DIV n_hosts are exact BIGINT; history
+    adds pre-distribution cash. DIV truncation leaks < 1 unit per
+    edge per round — ordering-irrelevant at 1e9 scale and bit-exactly
+    reproduced by the unrolled DuckDB oracle.
+
+    Scale shape: per round one equi-join of the host-level cash
+    vector (broadcast) onto src-partitioned edges + one groupBy(dst)
+    with map-side combine; the dangling total is a scalar probe on
+    the host-level relation (authority_budgets idiom); cash
+    localCheckpoints each round so lineage stays flat (the
+    connected_components idiom)."""
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_hosts = nodes.count()
+    if n_hosts == 0:
+        return nodes.select(
+            "host",
+            F.lit(0).cast("long").alias("history_micro"),
+            F.lit(0).cast("long").alias("cash_micro"),
+        )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    state = nodes.select(
+        "host",
+        F.lit(0).cast("long").alias("history_micro"),
+        F.lit(OPIC_SCALE // n_hosts).cast("long").alias("cash_micro"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        dang = (
+            state.join(outdeg.select(F.col("src").alias("host"),
+                                     "outdeg"), "host", "left")
+            .filter(F.col("outdeg").isNull())
+            .agg(F.sum("cash_micro"))
+            .collect()[0][0]
+        ) or 0
+        share = dang // n_hosts
+        inflow = (
+            edges.join(outdeg, "src")
+            .join(
+                state.select(F.col("host").alias("src"),
+                             F.col("cash_micro").alias("src_cash")),
+                "src",
+            )
+            .select("dst", F.expr("src_cash DIV outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        state = (
+            state.join(
+                inflow.select(F.col("dst").alias("host"), "inflow"),
+                "host", "left",
+            )
+            .select(
+                "host",
+                (F.col("history_micro") + F.col("cash_micro"))
+                .cast("long").alias("history_micro"),
+                (F.coalesce("inflow", F.lit(0)) + F.lit(share))
+                .cast("long").alias("cash_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state
+
+
+def demoted_budgets(ranks: DataFrame, spam: DataFrame,
+                    total_budget: int) -> DataFrame:
+    """(host, budget, demoted): authority_budgets with spam demotion —
+    the composition point where the X103 signal changes what the
+    crawler DOES. Hosts flagged is_spam_candidate are removed from the
+    apportionment (their share redistributes to clean hosts by the
+    same exact largest-remainder arithmetic) and re-emitted with
+    budget 0 and demoted=TRUE: an explicit zero-budget row is
+    auditable and composes with budget_gate's override semantics
+    (budget 0 = "fetch nothing this superstep"), where silently
+    dropping the host would mean "no override" and let the default
+    budget through — the exact failure a demotion list exists to
+    prevent. Budgets over the clean set still sum EXACTLY to
+    total_budget. Both inputs are host-level dims; one anti-join +
+    one semi-derived union, nothing frontier-sized moves."""
+    cand = spam.filter(F.col("is_spam_candidate")).select("host")
+    clean = ranks.join(cand, "host", "left_anti")
+    kept = authority_budgets(clean, total_budget).select(
+        "host", "budget", F.lit(False).alias("demoted")
+    )
+    zeroed = cand.select(
+        "host",
+        F.lit(0).cast("long").alias("budget"),
+        F.lit(True).alias("demoted"),
+    )
+    return kept.unionByName(zeroed)
