@@ -540,9 +540,10 @@ def drain_plan(frontier: DataFrame, host_budgets: DataFrame) -> DataFrame:
     implicit drain time, a 10^10-URL frontier has one per host.
 
     Scale shape: one groupBy(host) with map-side combine over the
-    frontier (its only shuffle), broadcast budget join, and the max
-    via one tiny agg cross-joined back (host-level relation) — no
-    global window, no driver loop."""
+    frontier (its only shuffle), broadcast budget join; the relation is
+    host-level (tiny) after that, so it is localCheckpoint-ed and the
+    cycle max is a scalar driver probe (the authority_budgets idiom) —
+    no global window, no cross join, no driver loop over data rows."""
     counts = (
         frontier.select(url_host(F.col("url")).alias("host"))
         .groupBy("host").agg(F.count("*").alias("n_urls"))
@@ -557,14 +558,11 @@ def drain_plan(frontier: DataFrame, host_budgets: DataFrame) -> DataFrame:
             ).cast("long"),
         )
         .withColumn("is_starved", F.col("supersteps").isNull())
-    )
-    mx = j.agg(F.max("supersteps").alias("_max_ss"))
-    return (
-        j.crossJoin(F.broadcast(mx))
-        .select(
-            "host", "n_urls", "budget", "supersteps", "is_starved",
-            (F.col("supersteps").isNotNull()
-             & (F.col("supersteps") == F.col("_max_ss")))
-            .alias("is_critical"),
-        )
+    ).localCheckpoint(eager=True)
+    max_ss = j.agg(F.max("supersteps")).collect()[0][0]
+    return j.select(
+        "host", "n_urls", "budget", "supersteps", "is_starved",
+        (F.col("supersteps").isNotNull()
+         & (F.col("supersteps") == F.lit(max_ss)))
+        .alias("is_critical"),
     )
