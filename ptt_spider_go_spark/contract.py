@@ -6585,6 +6585,72 @@ SELECT host, CAST(0 AS BIGINT) AS budget, TRUE AS demoted FROM cand"""
 )
 
 
+def q_politeness_receipts(spark, sf_dir):
+    """Per-host politeness compliance receipts (X106,
+    operators/politeness.py politeness_receipts): budget_gate enforces
+    budgets going in, this audits the fetch log coming out — attempts /
+    200s / 429s per host, the busiest superstep, and the count of
+    supersteps that exceeded the host's declared budget. Deterministic
+    md5-derived log over 11 hosts x 5 supersteps with a third
+    status class (404) that must count as an attempt but neither ok
+    nor throttled; budgets declared for h0-h5 only (3*(n+1), so small
+    hosts violate and larger ones don't at every sf), h6-h10 fall to
+    the default 64."""
+    from ptt_spider_go_spark.operators import politeness
+    from ptt_spider_go_spark.pipeline.common import md5_long
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("h"), F.pmod(F.col("doc_id"), F.lit(11)).cast("string")
+    )
+    r = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(15))
+    log = docs.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/d"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.pmod(F.col("doc_id"), F.lit(5)).cast("int").alias("superstep"),
+        F.when(r == 0, 429).when(r == 1, 404).otherwise(200).alias("status"),
+    )
+    buds = spark.range(6).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        (3 * (F.col("id") + 1)).cast("long").alias("budget"),
+    )
+    return politeness.politeness_receipts(log, buds)
+
+
+SQL_POLITENESS_RECEIPTS = f"""
+WITH log AS (
+  SELECT concat('h', doc_id % 11) AS host,
+         CAST(doc_id % 5 AS INTEGER) AS superstep,
+         CASE WHEN {md5_long_sql("CAST(doc_id AS VARCHAR)")} % 15 = 0
+              THEN 429
+              WHEN {md5_long_sql("CAST(doc_id AS VARCHAR)")} % 15 = 1
+              THEN 404 ELSE 200 END AS status
+  FROM documents),
+budgets AS (
+  SELECT concat('h', n) AS host, CAST(3 * (n + 1) AS BIGINT) AS budget
+  FROM range(6) t(n)),
+per_step AS (
+  SELECT host, superstep, count(*) AS n,
+         sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS ok,
+         sum(CASE WHEN status = 429 THEN 1 ELSE 0 END) AS thr
+  FROM log GROUP BY host, superstep),
+eff AS (
+  SELECT p.*, CAST(coalesce(b.budget, 64) AS BIGINT) AS budget
+  FROM per_step p LEFT JOIN budgets b USING (host))
+SELECT host, max(budget) AS budget,
+       CAST(count(*) AS BIGINT) AS n_supersteps,
+       CAST(sum(n) AS BIGINT) AS n_attempts,
+       CAST(sum(ok) AS BIGINT) AS n_ok,
+       CAST(sum(thr) AS BIGINT) AS n_throttled,
+       CAST(max(n) AS BIGINT) AS max_step_attempts,
+       CAST(sum(CASE WHEN n > budget THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       (sum(CASE WHEN n > budget THEN 1 ELSE 0 END) = 0) AS compliant
+FROM eff GROUP BY host
+"""
+
 
 QUERIES = {
     # --- driver-window head -------------------------------------------------
@@ -6757,6 +6823,7 @@ QUERIES = {
     "spam_mass": (q_spam_mass, SQL_SPAM_MASS),
     "opic_importance": (q_opic_importance, SQL_OPIC_IMPORTANCE),
     "demoted_budgets": (q_demoted_budgets, SQL_DEMOTED_BUDGETS),
+    "politeness_receipts": (q_politeness_receipts, SQL_POLITENESS_RECEIPTS),
 }
 
 

@@ -566,3 +566,71 @@ def drain_plan(frontier: DataFrame, host_budgets: DataFrame) -> DataFrame:
          & (F.col("supersteps") == F.lit(max_ss)))
         .alias("is_critical"),
     )
+
+
+def politeness_receipts(fetch_log: DataFrame,
+                        host_budgets: DataFrame | None = None,
+                        default_budget: int = 64) -> DataFrame:
+    """Per-host politeness COMPLIANCE RECEIPT over a crawl's fetch log:
+    (host, budget, n_supersteps, n_attempts, n_ok, n_throttled,
+    max_step_attempts, n_violations, compliant).
+
+    budget_gate enforces per-host budgets going IN; this is the audit
+    coming OUT — the evidence table an operator shows when asked
+    whether the crawl honored its declared limits (the same
+    receipts-not-assurances posture as takedown_audit's per-rule
+    n_matched rows). The reference's politeness is its fixed worker
+    pool + per-request sleep (crawler/crawler.go worker dispatch) —
+    one implicit global receipt; a 10^10-URL crawl needs one per host:
+
+      - n_attempts / n_ok / n_throttled: requests issued, 200s, 429s;
+      - max_step_attempts: the busiest superstep's request count —
+        the number to compare against the declared budget;
+      - n_violations: supersteps whose attempts EXCEEDED the host's
+        declared budget (override from `host_budgets` when present,
+        else `default_budget`);
+      - compliant: n_violations == 0. Over run_crawl's own log this
+        is true for every host BY CONSTRUCTION (budget_gate admits at
+        most `budget` URLs per host per superstep) — pinned by test;
+        over a foreign log it is the compliance check.
+
+    Scale shape: one narrow (host, superstep, status) projection, a
+    groupBy(host, superstep) with map-side combine, a broadcast join
+    against the tiny budget relation, and a groupBy(host) rollup —
+    no window, no driver loop, nothing wide ever sorts."""
+    per_step = (
+        fetch_log.withColumn("_h", url_host(F.col("url")))
+        .groupBy("_h", "superstep")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum((F.col("status") == 200).cast("long")).alias("_ok"),
+            F.sum((F.col("status") == 429).cast("long")).alias("_thr"),
+        )
+    )
+    if host_budgets is not None:
+        ov = host_budgets.select(
+            F.col("host").alias("_h"), F.col("budget").alias("_b"))
+        per_step = per_step.join(F.broadcast(ov), "_h", "left")
+    else:
+        per_step = per_step.withColumn("_b", F.lit(None).cast("long"))
+    per_step = per_step.withColumn(
+        "_eff", F.coalesce(F.col("_b"), F.lit(default_budget).cast("long")))
+    return (
+        per_step.groupBy("_h")
+        .agg(
+            F.max("_eff").alias("budget"),
+            F.count("*").alias("n_supersteps"),
+            F.sum("_n").alias("n_attempts"),
+            F.sum("_ok").alias("n_ok"),
+            F.sum("_thr").alias("n_throttled"),
+            F.max("_n").alias("max_step_attempts"),
+            F.sum((F.col("_n") > F.col("_eff")).cast("long"))
+            .alias("n_violations"),
+        )
+        .select(
+            F.col("_h").alias("host"), "budget", "n_supersteps",
+            "n_attempts", "n_ok", "n_throttled", "max_step_attempts",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("compliant"),
+        )
+    )

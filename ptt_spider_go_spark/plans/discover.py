@@ -36,7 +36,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ptt_spider_go_spark.functions.columns import canonicalize_url, url_host
+from ptt_spider_go_spark.functions.columns import (
+    canonicalize_url,
+    normalize_url_rfc3986,
+    url_host,
+)
 from ptt_spider_go_spark.operators.blocklist import blocklist_filter
 from ptt_spider_go_spark.operators.dedup import (
     BloomShardSet,
@@ -52,7 +56,8 @@ def discover_frontier(pages: DataFrame, seen: DataFrame | None,
                       cuckoos: "CuckooShardSet | None" = None,
                       url_col: str = "url",
                       html_col: str = "html",
-                      honor_nofollow: bool = False) -> DataFrame:
+                      honor_nofollow: bool = False,
+                      full_normalize: bool = False) -> DataFrame:
     """pages(url, html) -> one `url` column of canonical, unblocked,
     never-seen outlink targets — the next superstep's raw frontier
     (priority/politeness ordering is the scheduler's job, not
@@ -63,7 +68,17 @@ def discover_frontier(pages: DataFrame, seen: DataFrame | None,
     BEFORE outlink extraction — cheaper than filtering edges, since
     it skips the mapInPandas pass for those pages entirely. Expects
     `html_col` to be a decoded string column (route binary payloads
-    through the charset sniffer first)."""
+    through the charset sniffer first).
+
+    `full_normalize=True` (opt-in, default off — pinned outputs
+    untouched) keys the frontier on normalize_url_rfc3986 (X96)
+    instead of canonicalize_url: dot-segment spellings and
+    percent-escape variants of one resource collapse to a single
+    candidate BEFORE the distinct/anti-join, shrinking both. Off by
+    default because percent-decoding unreserved escapes changes the
+    literal request target the fetcher sends; turn it on when the
+    corpus's servers are RFC 3986-conformant. Cost is a wash since the
+    let-binding rewrite (~7 µs/row, same order as canonicalize_url)."""
     if honor_nofollow:
         from ptt_spider_go_spark.htmlparse.metarobots import robots_meta
 
@@ -72,9 +87,10 @@ def discover_frontier(pages: DataFrame, seen: DataFrame | None,
         follow = meta.filter(~F.col("nofollow")) \
             .select(F.col("url").alias(url_col))
         pages = pages.join(follow, url_col, "left_semi")
+    keyfn = normalize_url_rfc3986 if full_normalize else canonicalize_url
     cand = (
         outlinks_from_pages(pages, url_col=url_col, html_col=html_col)
-        .select(canonicalize_url(F.col("url")).alias("url"))
+        .select(keyfn(F.col("url")).alias("url"))
         .distinct()
     )
     if blocklist is not None:

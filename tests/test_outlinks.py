@@ -201,3 +201,27 @@ def test_discover_frontier_bloom_layers_exact(spark):
         pages, seen, blooms=blooms, cuckoos=cuckoos).collect()}
     assert layered == plain
     assert len(plain) == 200 - len(range(0, 200, 3))
+
+
+def test_discover_frontier_full_normalize(spark):
+    """Opt-in X96 frontier keys: dot-segment and percent-escape
+    spellings of one resource collapse to a single candidate under
+    full_normalize=True; default-off keeps the canonicalize_url keys
+    (both spellings survive) so pinned outputs are untouched."""
+    from ptt_spider_go_spark.plans.discover import discover_frontier
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.example/i",
+             '<a href="http://new.example/a/./b/../p">s1</a>'
+             '<a href="http://new.example/a/%70">s2</a>'),
+        ],
+        "url string, html string",
+    )
+    on = {r["url"] for r in discover_frontier(
+        pages, None, full_normalize=True).collect()}
+    assert on == {"http://new.example/a/p"}
+
+    off = {r["url"] for r in discover_frontier(pages, None).collect()}
+    assert off == {"http://new.example/a/./b/../p",
+                   "http://new.example/a/%70"}
