@@ -6585,6 +6585,38 @@ SELECT host, CAST(0 AS BIGINT) AS budget, TRUE AS demoted FROM cand"""
 )
 
 
+def q_semantic_decontaminate(spark, sf_dir):
+    """Embedding-space train/eval decontamination (X107,
+    pipeline/similarity.py semantic_decontaminate): the semantic
+    complement of the 13-gram lexical check — train vectors within
+    cosine `threshold` of ANY eval vector are flagged. Eval set =
+    vec_id % 23 == 0 (the deterministic eval-split convention X26
+    uses with % 97, sized up so every sf has a non-trivial eval
+    side); threshold 0.3 matches the near-dup operators."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 23 != 0),
+        emb.filter(F.col("vec_id") % 23 == 0),
+        threshold=0.3,
+    )
+
+
+SQL_SEMANTIC_DECONTAMINATE = f"""
+WITH ev AS (
+  SELECT embedding FROM embeddings WHERE vec_id % 23 = 0),
+tr AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 23 <> 0),
+scored AS (
+  SELECT t.vec_id,
+         max(round({_cos_sql('t.embedding', 'e.embedding')}, 6))
+           AS max_eval_cos
+  FROM tr t CROSS JOIN ev e GROUP BY t.vec_id)
+SELECT t.vec_id, s.max_eval_cos,
+       coalesce(s.max_eval_cos >= 0.3, FALSE) AS contaminated
+FROM tr t LEFT JOIN scored s USING (vec_id)
+"""
+
+
 def q_politeness_receipts(spark, sf_dir):
     """Per-host politeness compliance receipts (X106,
     operators/politeness.py politeness_receipts): budget_gate enforces
@@ -6824,6 +6856,8 @@ QUERIES = {
     "opic_importance": (q_opic_importance, SQL_OPIC_IMPORTANCE),
     "demoted_budgets": (q_demoted_budgets, SQL_DEMOTED_BUDGETS),
     "politeness_receipts": (q_politeness_receipts, SQL_POLITENESS_RECEIPTS),
+    "semantic_decontaminate": (q_semantic_decontaminate,
+                               SQL_SEMANTIC_DECONTAMINATE),
 }
 
 

@@ -267,3 +267,46 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.3) -> DataFrame:
         embeddings.select(F.col("vec_id").alias("doc_id")), pairs)
     return comp.select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "is_keeper")
+
+
+def semantic_decontaminate(train: DataFrame, eval_set: DataFrame,
+                           threshold: float = 0.3) -> DataFrame:
+    """(vec_id, max_eval_cos, contaminated): embedding-space train/eval
+    decontamination — the SEMANTIC complement of the 13-gram lexical
+    check (dedup_text.decontaminate, X26): a training document whose
+    embedding sits within `threshold` cosine of ANY eval-set embedding
+    is flagged (paraphrased eval leakage that shares no 13-gram).
+    Every train row gets a verdict row; max_eval_cos is NULL (and
+    contaminated False) when the eval set is empty — absence of
+    evidence, not a zero score.
+
+    Scale shape: an eval suite is thousands of rows against billions
+    of train rows, so the eval side broadcasts and the scan stays on
+    the train side — one BroadcastNestedLoopJoin (the deliberate
+    tiny-side cross the ANN family uses, allow-listed in the plan
+    audit), a groupBy(vec_id) max with map-side partials, and an
+    equi-join back (train-sized on both sides — NOT broadcast) for the
+    empty-eval total verdict. Scores round to 6 dp BEFORE the
+    max/threshold (near_dup_pairs' float stabilization, keeping the
+    DuckDB oracle bit-exact)."""
+    ev = eval_set.select(F.col("embedding").alias("_evec"))
+    scored = (
+        train.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(ev))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("_evec")), 6)
+            .alias("_c"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("_c").alias("max_eval_cos"))
+    )
+    return (
+        train.select("vec_id")
+        .join(scored, "vec_id", "left")
+        .select(
+            "vec_id", "max_eval_cos",
+            F.coalesce(F.col("max_eval_cos") >= threshold, F.lit(False))
+            .alias("contaminated"),
+        )
+    )

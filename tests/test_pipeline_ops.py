@@ -1251,3 +1251,29 @@ def test_quality_keepers_policy(spark):
     # cluster {1,2,3}: 2 and 3 tie at 0.9 -> 2 (lower id) keeps
     assert got == {1: (1, False), 2: (1, True), 3: (1, False),
                    9: (9, True)}
+
+
+def test_semantic_decontaminate_flags_and_empty_eval(spark):
+    """X107: a train vector aligned with an eval vector flags, an
+    orthogonal one doesn't, every train row gets a verdict, and an
+    empty eval set yields NULL scores with contaminated=False (absence
+    of evidence, not a zero score)."""
+    train = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<double>")
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in
+           similarity.semantic_decontaminate(train, ev, 0.9).collect()}
+    assert len(got) == 3  # total verdict: one row per train vector
+    assert got[0]["contaminated"] and got[0]["max_eval_cos"] == 1.0
+    assert not got[1]["contaminated"] and got[1]["max_eval_cos"] == 0.0
+    # cos([0.9,0.1],[1,0]) = 0.9/|v| ~ 0.993 -> flagged at 0.9
+    assert got[2]["contaminated"]
+
+    empty = ev.filter("vec_id < 0")
+    none = {r["vec_id"]: r for r in
+            similarity.semantic_decontaminate(train, empty, 0.9).collect()}
+    assert len(none) == 3
+    assert all(r["max_eval_cos"] is None and not r["contaminated"]
+               for r in none.values())

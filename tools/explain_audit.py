@@ -37,6 +37,8 @@ from ptt_spider_go_spark.session import get_spark
 # a one-row (or n_planes-row) broadcast query-vector table.
 CROSS_OK = {
     "ann_cosine_topk", "ann_lsh_buckets", "ann_lsh_topk", "ann_ivf_topk",
+    # eval suite (tiny) broadcast-crossed against the train scan
+    "semantic_decontaminate",
 }
 # Queries that run a full superstep pipeline / streaming job — plans are
 # multi-job, skip static audit.
