@@ -146,6 +146,9 @@ HEADLINE = [
     "spam_mass",
     "opic_importance",
     "demoted_budgets",
+    # r5e compliance / decontamination additions
+    "politeness_receipts",
+    "semantic_decontaminate",
 ]
 
 
