@@ -289,14 +289,24 @@ def semantic_decontaminate(train: DataFrame, eval_set: DataFrame,
     empty-eval total verdict. Scores round to 6 dp BEFORE the
     max/threshold (near_dup_pairs' float stabilization, keeping the
     DuckDB oracle bit-exact)."""
-    ev = eval_set.select(F.col("embedding").alias("_evec"))
+    # Norms hoisted into the per-side projections (the near_dup_pairs
+    # move): cosine() inside the pair select would re-run the
+    # aggregate-fold norm per PAIR; numerically identical doubles.
+    ev = eval_set.select(
+        F.col("embedding").alias("_evec"),
+        norm(F.col("embedding")).alias("_en"),
+    )
     scored = (
-        train.select("vec_id", "embedding")
+        train.select("vec_id", "embedding",
+                     norm(F.col("embedding")).alias("_tn"))
         .crossJoin(F.broadcast(ev))
         .select(
             "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("_evec")), 6)
-            .alias("_c"),
+            F.round(
+                dot(F.col("embedding"), F.col("_evec"))
+                / (F.col("_tn") * F.col("_en")),
+                6,
+            ).alias("_c"),
         )
         .groupBy("vec_id")
         .agg(F.max("_c").alias("max_eval_cos"))
