@@ -146,9 +146,10 @@ HEADLINE = [
     "spam_mass",
     "opic_importance",
     "demoted_budgets",
-    # r5e compliance / decontamination additions
+    # r5e compliance / decontamination / funnel additions
     "politeness_receipts",
     "semantic_decontaminate",
+    "discover_funnel",
 ]
 
 

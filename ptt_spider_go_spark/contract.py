@@ -3638,16 +3638,11 @@ FROM documents"""
 SQL_EXTRACT_OUTLINKS = _extract_outlinks_sql()
 
 
-def q_discover_frontier(spark, sf_dir):
-    """Composed frontier discovery (plans/discover.py): synthetic
-    pages whose outlinks carry fragments, uppercase scheme+host
-    spellings, and blocklisted ad-hosts; the pipeline must extract
-    (X66), canonicalize (X27), drop 'ads.example' targets (X65), and
-    anti-join a deterministic seen subset (J2) — the oracle recomputes
-    the surviving canonical URL set directly, certifying the whole
-    expansion step end to end."""
-    from ptt_spider_go_spark.plans.discover import discover_frontier
-
+def _discover_fixture(spark, sf_dir):
+    """Shared synthesis for the discovery queries: pages whose
+    outlinks carry fragments, uppercase scheme+host spellings, and
+    blocklisted ad-hosts, plus the deterministic seen subset and the
+    one-pattern blocklist."""
     docs = _t(spark, sf_dir, "documents")
     d = F.col("doc_id").cast("string")
 
@@ -3688,7 +3683,36 @@ def q_discover_frontier(spark, sf_dir):
                F.lit(4)) == 0
     ).distinct()
     bl = spark.createDataFrame([("ads.example",)], "pattern string")
+    return pages, seen, bl
+
+
+def q_discover_frontier(spark, sf_dir):
+    """Composed frontier discovery (plans/discover.py): synthetic
+    pages whose outlinks carry fragments, uppercase scheme+host
+    spellings, and blocklisted ad-hosts; the pipeline must extract
+    (X66), canonicalize (X27), drop 'ads.example' targets (X65), and
+    anti-join a deterministic seen subset (J2) — the oracle recomputes
+    the surviving canonical URL set directly, certifying the whole
+    expansion step end to end."""
+    from ptt_spider_go_spark.plans.discover import discover_frontier
+
+    pages, seen, bl = _discover_fixture(spark, sf_dir)
     return discover_frontier(pages, seen, blocklist=bl)
+
+
+def q_discover_funnel(spark, sf_dir):
+    """Discovery attrition funnel (X108, plans/discover.py
+    discover_funnel): stage-keyed counts through the expansion chain —
+    raw outlink mass, distinct canonical keys, blocklist survivors,
+    never-seen novel keys — over the same synthesis as
+    discover_frontier; the oracle recomputes every stage count
+    independently from the arm expressions, certifying both the
+    attrition arithmetic and that the one-pass canonical-key groupBy
+    preserves raw edge multiplicity."""
+    from ptt_spider_go_spark.plans.discover import discover_funnel
+
+    pages, seen, bl = _discover_fixture(spark, sf_dir)
+    return discover_funnel(pages, seen, blocklist=bl)
 
 
 def _discover_frontier_sql() -> str:
@@ -3713,6 +3737,44 @@ WHERE NOT blocked AND url NOT IN (SELECT url FROM seen)"""
 
 
 SQL_DISCOVER_FRONTIER = _discover_frontier_sql()
+
+
+def _discover_funnel_sql() -> str:
+    arms = []
+    for j in range(3):
+        x = md5_long_sql(f"concat(doc_id, ':{j}h')")
+        b = md5_long_sql(f"concat(doc_id, ':{j}b')")
+        p = md5_long_sql(f"concat(doc_id, ':{j}p')")
+        arms.append(f"""
+  SELECT concat('http://h', {x} % 97,
+                CASE WHEN {b} % 5 = 0 THEN '.ads.example'
+                     ELSE '.example' END,
+                '/p', {p} % 41) AS url,
+         ({b} % 5 = 0) AS blocked
+  FROM documents""")
+    seen_probe = md5_long_sql("concat(url, ':seen')")
+    return f"""
+WITH all_refs AS ({" UNION ALL ".join(arms)}),
+grp AS (
+  SELECT url, blocked, count(*) AS n_refs
+  FROM all_refs GROUP BY url, blocked),
+sn AS (SELECT url FROM grp WHERE {seen_probe} % 4 = 0),
+fl AS (
+  SELECT g.*, g.url IN (SELECT url FROM sn) AS is_seen FROM grp g)
+SELECT CAST(0 AS INTEGER) AS stage_no, 'outlinks' AS stage,
+       CAST(sum(n_refs) AS BIGINT) AS n_urls FROM fl
+UNION ALL
+SELECT 1, 'canonical', CAST(count(*) AS BIGINT) FROM fl
+UNION ALL
+SELECT 2, 'unblocked',
+       CAST(sum(CASE WHEN NOT blocked THEN 1 ELSE 0 END) AS BIGINT) FROM fl
+UNION ALL
+SELECT 3, 'novel',
+       CAST(sum(CASE WHEN NOT blocked AND NOT is_seen THEN 1 ELSE 0 END)
+            AS BIGINT) FROM fl"""
+
+
+SQL_DISCOVER_FUNNEL = _discover_funnel_sql()
 
 
 def _snapshot_pair(spark, sf_dir):
@@ -6809,6 +6871,7 @@ QUERIES = {
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "extract_outlinks": (q_extract_outlinks, SQL_EXTRACT_OUTLINKS),
     "discover_frontier": (q_discover_frontier, SQL_DISCOVER_FRONTIER),
+    "discover_funnel": (q_discover_funnel, SQL_DISCOVER_FUNNEL),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "host_change_ttls": (q_host_change_ttls, SQL_HOST_CHANGE_TTLS),
     "common_lines": (q_common_lines, SQL_COMMON_LINES),

@@ -103,3 +103,82 @@ def discover_frontier(pages: DataFrame, seen: DataFrame | None,
             .select("url")
         )
     return dedup_against_seen(cand, seen, blooms, cuckoos)
+
+
+def discover_funnel(pages: DataFrame, seen: DataFrame | None,
+                    blocklist: DataFrame | None = None,
+                    url_col: str = "url",
+                    html_col: str = "html",
+                    full_normalize: bool = False) -> DataFrame:
+    """(stage_no, stage, n_urls): per-stage attrition through the
+    discovery chain — the DISCOVERY twin of crawl_gate_funnel's
+    quality attrition (X89) and the corpus funnel's X43 pattern:
+
+      0 outlinks   raw extracted edges (pre-collapse link mass);
+      1 canonical  distinct frontier keys after canonicalization —
+                   the gap to stage 0 is what normalization saves;
+      2 unblocked  keys surviving the domain blocklist;
+      3 novel      keys the seen set does not already hold — what the
+                   superstep actually enqueues.
+
+    The report a crawl operator reads to see WHERE candidate volume
+    goes (and whether a normalization or blocklist change actually
+    moved admission). Zero-seeded: every stage reports, 0 included.
+
+    Scale shape: ONE mapInPandas extraction pass — the canonical-key
+    groupBy yields the raw edge mass (sum of per-key multiplicities)
+    and the distinct set together, so the html is never re-read per
+    stage; blocklist verdicts join per DISTINCT host (broadcast);
+    the seen flag is a left join on the same url key the groupBy
+    hashed (AQE reuses the partitioning); counts aggregate BY STAGE
+    KEY (tagged-struct explode, map-side partials — the graph_stats
+    shape, no single-partition global funnel)."""
+    keyfn = normalize_url_rfc3986 if full_normalize else canonicalize_url
+    grp = (
+        outlinks_from_pages(pages, url_col=url_col, html_col=html_col)
+        .select(keyfn(F.col("url")).alias("url"))
+        .groupBy("url")
+        .agg(F.count("*").alias("_n_refs"))
+    )
+    if blocklist is not None:
+        grp = (
+            blocklist_filter(
+                grp.withColumn("_host", url_host(F.col("url"))),
+                blocklist, host_col="_host",
+            )
+            .withColumn("_blocked", F.coalesce(F.col("blocked"), F.lit(False)))
+            .select("url", "_n_refs", "_blocked")
+        )
+    else:
+        grp = grp.withColumn("_blocked", F.lit(False))
+    if seen is not None:
+        marker = seen.select(F.col("url")).distinct().withColumn(
+            "_seen", F.lit(True))
+        grp = grp.join(marker, "url", "left").withColumn(
+            "_seen", F.coalesce(F.col("_seen"), F.lit(False)))
+    else:
+        grp = grp.withColumn("_seen", F.lit(False))
+
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    contrib = grp.select(F.explode(F.array(
+        F.struct(F.lit(0).alias("stage_no"), F.lit("outlinks").alias("stage"),
+                 F.col("_n_refs").cast("long").alias("n")),
+        F.struct(F.lit(1).alias("stage_no"), F.lit("canonical").alias("stage"),
+                 one.alias("n")),
+        F.struct(F.lit(2).alias("stage_no"), F.lit("unblocked").alias("stage"),
+                 F.when(~F.col("_blocked"), one).otherwise(zero).alias("n")),
+        F.struct(F.lit(3).alias("stage_no"), F.lit("novel").alias("stage"),
+                 F.when(~F.col("_blocked") & ~F.col("_seen"), one)
+                 .otherwise(zero).alias("n")),
+    )).alias("c")).select("c.*")
+    counts = contrib.groupBy("stage_no", "stage").agg(
+        F.sum("n").alias("n_urls"))
+    seed = pages.sparkSession.createDataFrame(
+        [(0, "outlinks"), (1, "canonical"), (2, "unblocked"), (3, "novel")],
+        "stage_no int, stage string",
+    )
+    return seed.join(counts, ["stage_no", "stage"], "left").select(
+        "stage_no", "stage",
+        F.coalesce(F.col("n_urls"), F.lit(0).cast("long")).alias("n_urls"),
+    )

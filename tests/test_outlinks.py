@@ -225,3 +225,46 @@ def test_discover_frontier_full_normalize(spark):
     off = {r["url"] for r in discover_frontier(pages, None).collect()}
     assert off == {"http://new.example/a/./b/../p",
                    "http://new.example/a/%70"}
+
+
+def test_discover_funnel_stage_counts(spark):
+    """X108: the four stage counts over a hand page — 4 raw edges
+    (one canonical URL referenced twice), 3 canonical keys, 2 after
+    the blocklist, 1 after the seen set; zero-seed on a link-less
+    page set; full_normalize merges dot-segment spellings at stage 1."""
+    from ptt_spider_go_spark.plans.discover import discover_funnel
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.example/i",
+             '<a href="http://n.example/p#x">1</a>'
+             '<a href="HTTP://N.EXAMPLE/p#y">2</a>'     # same canon as 1
+             '<a href="http://spam.ads.example/p">3</a>'
+             '<a href="http://old.example/p">4</a>'),
+        ],
+        "url string, html string",
+    )
+    seen = spark.createDataFrame([("http://old.example/p",)], "url string")
+    bl = spark.createDataFrame([("ads.example",)], "pattern string")
+    got = {r["stage"]: r["n_urls"] for r in
+           discover_funnel(pages, seen, blocklist=bl).collect()}
+    assert got == {"outlinks": 4, "canonical": 3, "unblocked": 2,
+                   "novel": 1}
+
+    empty = pages.filter("url IS NULL")
+    z = {r["stage"]: r["n_urls"] for r in
+         discover_funnel(empty, None).collect()}
+    assert z == {"outlinks": 0, "canonical": 0, "unblocked": 0, "novel": 0}
+
+    dots = spark.createDataFrame(
+        [("http://a.example/i",
+          '<a href="http://n.example/a/./p">1</a>'
+          '<a href="http://n.example/a/x/../p">2</a>')],
+        "url string, html string",
+    )
+    plain = {r["stage"]: r["n_urls"] for r in
+             discover_funnel(dots, None).collect()}
+    full = {r["stage"]: r["n_urls"] for r in
+            discover_funnel(dots, None, full_normalize=True).collect()}
+    assert (plain["outlinks"], plain["canonical"]) == (2, 2)
+    assert (full["outlinks"], full["canonical"]) == (2, 1)
