@@ -150,6 +150,7 @@ HEADLINE = [
     "politeness_receipts",
     "semantic_decontaminate",
     "discover_funnel",
+    "sitemap_coverage",
 ]
 
 

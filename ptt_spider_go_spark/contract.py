@@ -6679,6 +6679,77 @@ FROM tr t LEFT JOIN scored s USING (vec_id)
 """
 
 
+def q_sitemap_coverage(spark, sf_dir):
+    """Sitemap coverage receipts (X109, operators/recrawl.py
+    sitemap_coverage): declared-vs-fetched per host over a
+    deterministic synthesis — 7 hosts declare /s{id} URLs, roughly a
+    third are fetched, and an undeclared /x{id} family is fetched for
+    some ids (discovery the sitemap missed); exercises the NULL
+    coverage claim via host 'h9' which only appears on the undeclared
+    side."""
+    from ptt_spider_go_spark.operators import recrawl
+    from ptt_spider_go_spark.pipeline.common import md5_long
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    h = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    declared_url = F.concat(
+        F.lit("http://h"), h, F.lit(".example/s"), d)
+    entries = docs.select(declared_url.alias("url"))
+    fetched_declared = docs.filter(
+        F.pmod(md5_long(F.concat(d, F.lit(":f"))), F.lit(3)) == 0
+    ).select(declared_url.alias("url"))
+    undeclared = docs.filter(
+        F.pmod(md5_long(F.concat(d, F.lit(":x"))), F.lit(5)) == 0
+    ).select(
+        F.concat(
+            F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+                   F.lit("http://h9.example/x"))
+            .otherwise(F.concat(F.lit("http://h"), h, F.lit(".example/x"))),
+            d,
+        ).alias("url")
+    )
+    return recrawl.sitemap_coverage(
+        entries, fetched_declared.unionByName(undeclared))
+
+
+SQL_SITEMAP_COVERAGE = f"""
+WITH dec AS (
+  SELECT DISTINCT concat('http://h', doc_id % 7, '.example/s', doc_id)
+    AS url
+  FROM documents),
+got AS (
+  SELECT DISTINCT url FROM (
+    SELECT concat('http://h', doc_id % 7, '.example/s', doc_id) AS url
+    FROM documents
+    WHERE {md5_long_sql("concat(doc_id, ':f')")} % 3 = 0
+    UNION ALL
+    SELECT concat(CASE WHEN doc_id % 2 = 0 THEN 'http://h9.example/x'
+                       ELSE concat('http://h', doc_id % 7, '.example/x')
+                  END, doc_id) AS url
+    FROM documents
+    WHERE {md5_long_sql("concat(doc_id, ':x')")} % 5 = 0)),
+j AS (
+  SELECT coalesce(d.url, g.url) AS url,
+         CASE WHEN d.url IS NULL THEN 0 ELSE 1 END AS is_d,
+         CASE WHEN g.url IS NULL THEN 0 ELSE 1 END AS is_f
+  FROM dec d FULL OUTER JOIN got g ON d.url = g.url),
+agg AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         CAST(sum(is_d) AS BIGINT) AS n_declared,
+         CAST(sum(is_d * is_f) AS BIGINT) AS n_fetched_declared,
+         CAST(sum((1 - is_d) * is_f) AS BIGINT) AS n_undeclared_fetched
+  FROM j GROUP BY host)
+SELECT host, n_declared, n_fetched_declared, n_undeclared_fetched,
+       CAST(CASE WHEN n_declared > 0
+                 THEN n_fetched_declared * 1000000 // n_declared
+            END AS BIGINT) AS coverage_ppm,
+       (n_declared > 0 AND n_fetched_declared = n_declared)
+         AS fully_covered
+FROM agg
+"""
+
+
 def q_politeness_receipts(spark, sf_dir):
     """Per-host politeness compliance receipts (X106,
     operators/politeness.py politeness_receipts): budget_gate enforces
@@ -6921,6 +6992,7 @@ QUERIES = {
     "politeness_receipts": (q_politeness_receipts, SQL_POLITENESS_RECEIPTS),
     "semantic_decontaminate": (q_semantic_decontaminate,
                                SQL_SEMANTIC_DECONTAMINATE),
+    "sitemap_coverage": (q_sitemap_coverage, SQL_SITEMAP_COVERAGE),
 }
 
 

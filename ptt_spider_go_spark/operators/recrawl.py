@@ -401,3 +401,51 @@ def cache_recrawl_due(fetch_log: DataFrame, now_ts: str,
         now_ts, ttls_s,
     )
     return declared.unionByName(fallback)
+
+
+def sitemap_coverage(entries: DataFrame, fetched: DataFrame) -> DataFrame:
+    """(host, n_declared, n_fetched_declared, n_undeclared_fetched,
+    coverage_ppm, fully_covered): per-host audit of sitemap DECLARED
+    URLs against what the crawl actually HOLDS — the coverage receipt
+    for the X59→frontier seeding path (the sitemaps protocol is a
+    host's own statement of what should exist; the gap is either crawl
+    debt or a stale sitemap, and the undeclared side is discovery the
+    sitemap missed). Receipts-not-assurances, like X87/X106.
+
+    - n_declared: distinct sitemap URLs for the host;
+    - n_fetched_declared: declared ∩ fetched;
+    - n_undeclared_fetched: fetched URLs the sitemap never declared;
+    - coverage_ppm: fetched_declared·10^6 DIV declared (exact integer;
+      NULL when the host declares nothing — a host reached only by
+      discovery has no coverage CLAIM, not zero coverage);
+    - fully_covered: declared > 0 and every declared URL fetched.
+
+    Scale shape: two url-distinct projections, ONE full-outer join on
+    url (both sides hash the same key), one groupBy(host) rollup with
+    map-side partials; host-level output, broadcastable downstream."""
+    from ptt_spider_go_spark.functions.columns import url_host
+
+    dec = entries.select("url").distinct().withColumn("_d", F.lit(1))
+    got = fetched.select("url").distinct().withColumn("_f", F.lit(1))
+    j = dec.join(got, "url", "full_outer").select(
+        url_host(F.col("url")).alias("host"),
+        F.coalesce(F.col("_d"), F.lit(0)).alias("_d"),
+        F.coalesce(F.col("_f"), F.lit(0)).alias("_f"),
+    )
+    agg = j.groupBy("host").agg(
+        F.sum("_d").cast("long").alias("n_declared"),
+        F.sum(F.col("_d") * F.col("_f")).cast("long")
+        .alias("n_fetched_declared"),
+        F.sum((1 - F.col("_d")) * F.col("_f")).cast("long")
+        .alias("n_undeclared_fetched"),
+    )
+    return agg.select(
+        "host", "n_declared", "n_fetched_declared", "n_undeclared_fetched",
+        F.when(
+            F.col("n_declared") > 0,
+            F.expr("n_fetched_declared * 1000000 DIV n_declared"),
+        ).cast("long").alias("coverage_ppm"),
+        ((F.col("n_declared") > 0)
+         & (F.col("n_fetched_declared") == F.col("n_declared")))
+        .alias("fully_covered"),
+    )

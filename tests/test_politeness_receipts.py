@@ -78,3 +78,32 @@ def test_crawl_log_compliant_by_construction(spark):
     assert all(r["compliant"] for r in out)
     assert all(r["max_step_attempts"] <= cfg.host_budget_per_superstep
                for r in out)
+
+
+def test_sitemap_coverage_receipts(spark):
+    """X109: declared∩fetched arithmetic, the undeclared-only host's
+    NULL coverage claim (not zero), exact ppm, and the full-coverage
+    flag."""
+    from ptt_spider_go_spark.operators.recrawl import sitemap_coverage
+
+    entries = spark.createDataFrame(
+        [("http://a/1",), ("http://a/2",), ("http://a/3",),
+         ("http://b/1",), ("http://b/1",)],  # duplicate declaration
+        "url string")
+    fetched = spark.createDataFrame(
+        [("http://a/1",), ("http://a/9",),   # 1 of 3 declared + 1 extra
+         ("http://b/1",),                    # b fully covered
+         ("http://c/1",)],                   # c never declared anything
+        "url string")
+    out = {r["host"]: r for r in
+           sitemap_coverage(entries, fetched).collect()}
+    a = out["a"]
+    assert (a["n_declared"], a["n_fetched_declared"],
+            a["n_undeclared_fetched"]) == (3, 1, 1)
+    assert a["coverage_ppm"] == 333333 and not a["fully_covered"]
+    b = out["b"]
+    assert (b["n_declared"], b["coverage_ppm"], b["fully_covered"]) == \
+        (1, 1000000, True)
+    c = out["c"]
+    assert c["n_declared"] == 0 and c["coverage_ppm"] is None
+    assert not c["fully_covered"] and c["n_undeclared_fetched"] == 1
