@@ -151,6 +151,7 @@ HEADLINE = [
     "semantic_decontaminate",
     "discover_funnel",
     "sitemap_coverage",
+    "robots_failure_policy",
 ]
 
 

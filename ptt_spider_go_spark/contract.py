@@ -6679,6 +6679,61 @@ FROM tr t LEFT JOIN scored s USING (vec_id)
 """
 
 
+def q_robots_failure_policy(spark, sf_dir):
+    """RFC 9309 §2.3.1 robots fetch-failure policy (X110,
+    sources/robots.py robots_failure_policy): 2xx parse / 3xx follow /
+    4xx allow-all / 5xx disallow-all, with the ≤30-day cached-copy
+    escape turning a 5xx into use_cache and a NULL-status network
+    error failing closed. Six status classes and three cache-age
+    regimes (fresh, stale, absent) from md5-derived rows."""
+    from ptt_spider_go_spark.sources.robots import robots_failure_policy
+    from ptt_spider_go_spark.pipeline.common import md5_long
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    m = F.pmod(md5_long(F.concat(d, F.lit(":st"))), F.lit(6))
+    status = (
+        F.when(m == 0, 200).when(m == 1, 301).when(m == 2, 403)
+        .when(m == 3, 404).when(m == 4, 503)
+        .otherwise(F.lit(None).cast("int")).alias("status")
+    )
+    a = F.pmod(md5_long(F.concat(d, F.lit(":age"))), F.lit(3))
+    age = (
+        F.when(a == 0, 10).when(a == 1, 45)
+        .otherwise(F.lit(None).cast("int"))
+        .cast("long").alias("cache_age_days")
+    )
+    log = docs.select(
+        F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(97))
+                 .cast("string")).alias("host"),
+        status, age,
+    )
+    return robots_failure_policy(log, cache_age_col="cache_age_days")
+
+
+SQL_ROBOTS_FAILURE_POLICY = f"""
+WITH log AS (
+  SELECT concat('h', doc_id % 97) AS host,
+         CASE {md5_long_sql("concat(doc_id, ':st')")} % 6
+              WHEN 0 THEN 200 WHEN 1 THEN 301 WHEN 2 THEN 403
+              WHEN 3 THEN 404 WHEN 4 THEN 503 END AS status,
+         CAST(CASE {md5_long_sql("concat(doc_id, ':age')")} % 3
+              WHEN 0 THEN 10 WHEN 1 THEN 45 END AS BIGINT)
+           AS cache_age_days
+  FROM documents)
+SELECT host, status, cache_age_days,
+       CASE WHEN status >= 500 OR status IS NULL THEN
+                 CASE WHEN cache_age_days IS NOT NULL
+                           AND cache_age_days <= 30 AND status >= 500
+                      THEN 'use_cache' ELSE 'disallow_all' END
+            WHEN status >= 400 THEN 'allow_all'
+            WHEN status >= 300 THEN 'follow_redirect'
+            WHEN status >= 200 THEN 'parse'
+            ELSE 'disallow_all' END AS policy
+FROM log
+"""
+
+
 def q_sitemap_coverage(spark, sf_dir):
     """Sitemap coverage receipts (X109, operators/recrawl.py
     sitemap_coverage): declared-vs-fetched per host over a
@@ -6993,6 +7048,8 @@ QUERIES = {
     "semantic_decontaminate": (q_semantic_decontaminate,
                                SQL_SEMANTIC_DECONTAMINATE),
     "sitemap_coverage": (q_sitemap_coverage, SQL_SITEMAP_COVERAGE),
+    "robots_failure_policy": (q_robots_failure_policy,
+                              SQL_ROBOTS_FAILURE_POLICY),
 }
 
 

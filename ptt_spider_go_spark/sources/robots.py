@@ -239,3 +239,45 @@ def wildcard_rules_from_pages(pages: DataFrame, agent: str = "*") -> DataFrame:
     return robots_rules_from_pages(pages, agent).select(
         "host", F.col("path_prefix").alias("pattern"), "allowed"
     )
+
+
+def robots_failure_policy(statuses: DataFrame,
+                          cache_age_col: str | None = None,
+                          cache_max_age_days: int = 30) -> DataFrame:
+    """Annotate robots.txt FETCH OUTCOMES with the RFC 9309 §2.3.1
+    access policy — the rule for what a crawler may do when the robots
+    file itself cannot be read (the reference never fetches robots at
+    all; a general crawler must decide per host):
+
+      2xx  'parse'           use the body's rules (R1/X90 parsers);
+      3xx  'follow_redirect' MUST follow (≥5 hops — the X74 resolver);
+      4xx  'allow_all'       unavailable = no restrictions (§2.3.1.3);
+      5xx  'disallow_all'    unreachable = complete disallow
+                             (§2.3.1.4) — UNLESS a cached copy newer
+                             than `cache_max_age_days` exists
+                             (pass its age via `cache_age_col`), in
+                             which case 'use_cache'.
+
+    Anything else (network-error sentinel statuses < 100, NULL) maps
+    to 'disallow_all' — fail closed, like the 5xx rung. Pure when-
+    chain projection, zero shuffles; the 'disallow_all' hosts compose
+    into budget_gate as (host, 0) overrides and 'use_cache' hosts keep
+    their stored rule tables (the X101 refresh planner schedules the
+    re-fetch)."""
+    s = F.col("status")
+    base = (
+        F.when((s >= 200) & (s < 300), F.lit("parse"))
+        .when((s >= 300) & (s < 400), F.lit("follow_redirect"))
+        .when((s >= 400) & (s < 500), F.lit("allow_all"))
+        .otherwise(F.lit("disallow_all"))
+    )
+    if cache_age_col is not None:
+        age = F.col(cache_age_col)
+        policy = F.when(
+            (s >= 500) & age.isNotNull()
+            & (age <= F.lit(cache_max_age_days)),
+            F.lit("use_cache"),
+        ).otherwise(base)
+    else:
+        policy = base
+    return statuses.withColumn("policy", policy)

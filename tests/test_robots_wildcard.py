@@ -275,3 +275,27 @@ def test_run_crawl_wildcard_flag_prefix_parity(spark):
     assert [tuple(r) for r in sorted(wc.articles.collect(), key=key)] == \
         [tuple(r) for r in sorted(base.articles.collect(), key=key)]
     assert len([tuple(r) for r in base.articles.collect()]) > 0
+
+
+def test_robots_failure_policy_rfc9309(spark):
+    """X110: every §2.3.1 rung — 2xx parse, 3xx follow, 4xx allow-all,
+    5xx disallow-all with the ≤30-day cached-copy escape, and a
+    NULL-status network error failing closed."""
+    from ptt_spider_go_spark.sources.robots import robots_failure_policy
+
+    rows = [("a", 200, None), ("b", 302, None), ("c", 404, None),
+            ("d", 500, None), ("e", 503, 10), ("f", 503, 45),
+            ("g", None, 10)]
+    df = spark.createDataFrame(
+        rows, "host string, status int, cache_age_days long")
+    got = {r["host"]: r["policy"] for r in
+           robots_failure_policy(df, cache_age_col="cache_age_days")
+           .collect()}
+    assert got == {"a": "parse", "b": "follow_redirect",
+                   "c": "allow_all", "d": "disallow_all",
+                   "e": "use_cache", "f": "disallow_all",
+                   "g": "disallow_all"}
+    # without a cache column the 5xx escape never fires
+    plain = {r["host"]: r["policy"] for r in
+             robots_failure_policy(df.drop("cache_age_days")).collect()}
+    assert plain["e"] == "disallow_all"
