@@ -31,10 +31,12 @@ def apply_robots(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
     """Drop frontier rows whose (host, path-prefix) is disallowed.
     `robots` is tiny -> broadcast join.
 
-    RFC 9309 §2.2.2 precedence: the longest MATCHING prefix decides; a
-    URL with no matching rule (including a host with rules none of
-    which match, or a host with no rules at all) is ALLOWED; when an
-    Allow and a Disallow match at equal length, Allow wins."""
+    RFC 9309 §2.2.2 precedence: the MATCHING prefix with the most
+    OCTETS decides (UTF-8 byte length, not characters — '/café' is 6
+    octets and outranks a 5-octet ASCII prefix); a URL with no
+    matching rule (including a host with rules none of which match, or
+    a host with no rules at all) is ALLOWED; when an Allow and a
+    Disallow match at equal octet length, Allow wins."""
     if robots is None:
         return frontier
     f = frontier.withColumn("_host", url_host(F.col("url"))).withColumn(
@@ -48,7 +50,7 @@ def apply_robots(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
     joined = f.join(F.broadcast(r), on="_host", how="left")
     match_len = F.when(
         F.col("_pfx").isNotNull() & F.col("_path").startswith(F.col("_pfx")),
-        F.length(F.col("_pfx")),
+        F.octet_length(F.col("_pfx")),
     ).otherwise(F.lit(-1))
     w = Window.partitionBy("url").orderBy(
         F.col("_mlen").desc(), F.col("_allowed").desc_nulls_last()
@@ -301,7 +303,7 @@ def robots_wildcard_verdicts(frontier: DataFrame, rules: DataFrame) -> DataFrame
     # column is SQL-expression territory.
     hit = F.col("_pat").isNotNull() & F.expr("_path rlike _rx")
     joined = joined.withColumn(
-        "_mlen", F.when(hit, F.length(F.col("_pat"))).otherwise(F.lit(-1))
+        "_mlen", F.when(hit, F.octet_length(F.col("_pat"))).otherwise(F.lit(-1))
     )
     w = Window.partitionBy("url").orderBy(
         F.col("_mlen").desc(), F.col("_allowed").desc_nulls_last()

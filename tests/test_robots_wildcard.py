@@ -180,6 +180,22 @@ def test_unknown_host_allowed(spark, rules):
     assert [r["url"] for r in out] == ["http://other.test/private/p.txt"]
 
 
+def test_precedence_counts_octets_not_characters(spark):
+    """RFC 9309 §2.2.2 ranks matching rules by OCTETS of the pattern,
+    not characters: Disallow '/café' is 6 UTF-8 octets and must beat
+    Allow '/caf*' (5 octets) even though both are 5 CHARACTERS — a
+    character-length comparison would call it a tie and let Allow win.
+    (The prefix matcher cannot diverge this way: startswith-matching
+    prefixes of one path are nested, so octet order == char order —
+    only wildcard patterns need the distinction.)"""
+    r = spark.createDataFrame(
+        [("h.test", "/caf*", True), ("h.test", "/café", False)],
+        WILDCARD_RULES_SCHEMA,
+    )
+    v = _verdicts(spark, r, ["/café-menu"])
+    assert v["/café-menu"] == (False, "/café")
+
+
 def test_none_rules_passthrough(spark):
     f = spark.createDataFrame([("http://h.test/a",)], "url string")
     assert apply_robots_wildcard(f, None) is f
