@@ -152,6 +152,8 @@ HEADLINE = [
     "discover_funnel",
     "sitemap_coverage",
     "robots_failure_policy",
+    # r5f sketch telemetry
+    "hll_telemetry",
 ]
 
 

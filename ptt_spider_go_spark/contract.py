@@ -6872,6 +6872,64 @@ FROM eff GROUP BY host
 """
 
 
+def q_hll_telemetry(spark, sf_dir):
+    """Mergeable HLL distinct-URL telemetry (X111,
+    operators/sketches.py distinct_telemetry): per-superstep and
+    cumulative distinct-URL cardinality from DataSketches HLL sketches
+    (Spark's hll_sketch_agg/hll_union_agg), verified against exact
+    distinct counts — est_ok/cum_ok flag estimates within 5% (integer
+    ppm check). The exact side is what a 10^10-URL crawl can NOT
+    afford per telemetry window; the sketch side is what replaces it
+    (one ~2 KB mergeable object per superstep). Fan-out: each doc_id
+    contributes 40 synthetic fetch rows; url ids collide mod 30,000 so
+    supersteps overlap (cumulative < sum of steps) and the sketch
+    leaves exact sparse mode at sf >= 0.01. The oracle computes the
+    exact sides independently and pins the ok flags TRUE — DataSketches
+    estimates are deterministic for a given input set, so the booleans
+    are stable, not flaky."""
+    from ptt_spider_go_spark.operators.sketches import distinct_telemetry
+
+    docs = _t(spark, sf_dir, "documents")
+    fan = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(39))).alias("i"),
+    )
+    k = (F.col("doc_id") * 40 + F.col("i")).cast("string")
+    log = fan.select(
+        F.pmod(md5_long(k, seed=71), F.lit(4)).cast("int")
+        .alias("superstep"),
+        F.concat(
+            F.lit("http://s.test/d"),
+            F.pmod(md5_long(k, seed=72), F.lit(30000)).cast("string"),
+        ).alias("url"),
+    )
+    return distinct_telemetry(log)
+
+
+SQL_HLL_TELEMETRY = f"""
+WITH log AS (
+  SELECT CAST({md5_long_sql("CAST(doc_id * 40 + i AS VARCHAR)", 71)} % 4
+              AS INTEGER) AS superstep,
+         'http://s.test/d' ||
+         CAST({md5_long_sql("CAST(doc_id * 40 + i AS VARCHAR)", 72)} % 30000
+              AS VARCHAR) AS url
+  FROM documents, range(40) t(i)),
+per AS (
+  SELECT superstep, count(DISTINCT url) AS n_exact
+  FROM log GROUP BY superstep),
+cum AS (
+  SELECT p.superstep, count(DISTINCT l.url) AS cum_exact
+  FROM per p JOIN log l ON l.superstep <= p.superstep
+  GROUP BY p.superstep)
+SELECT p.superstep,
+       CAST(p.n_exact AS BIGINT) AS n_exact,
+       CAST(c.cum_exact AS BIGINT) AS cum_exact,
+       TRUE AS est_ok,
+       TRUE AS cum_ok
+FROM per p JOIN cum c USING (superstep)
+"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -7050,6 +7108,7 @@ QUERIES = {
     "sitemap_coverage": (q_sitemap_coverage, SQL_SITEMAP_COVERAGE),
     "robots_failure_policy": (q_robots_failure_policy,
                               SQL_ROBOTS_FAILURE_POLICY),
+    "hll_telemetry": (q_hll_telemetry, SQL_HLL_TELEMETRY),
 }
 
 

@@ -1,0 +1,152 @@
+"""Mergeable HLL distinct-count telemetry over crawl supersteps (X111).
+
+The reference reports exact counters from one process's memory
+(performance/optimizer.go keeps everything in RAM; progress totals are
+exact by construction). D5/T7 reproduce those exact aggregates. At
+10^10 URLs a different telemetry question appears that exact counting
+answers badly: "how many DISTINCT URLs has the crawl touched so far,
+per superstep and cumulatively?" Exact cumulative distinct is a full
+re-shuffle of everything fetched to date — per superstep, forever.
+Production crawl telemetry answers it with mergeable cardinality
+sketches instead (Apache DataSketches HLL — the library Spark 3.5+
+ships as `hll_sketch_agg`/`hll_union`): each superstep reduces to one
+~2^lg_k-byte sketch in a single map-side-combinable aggregation, and
+ANY window of supersteps is summarized by unioning sketches — no
+re-scan, no re-shuffle of history, constant state per step. The same
+object answers "distinct URLs this step", "cumulative through step k",
+and "whole crawl" — and two crawls' telemetry merges by the same union,
+which is what makes the sketch the right checkpoint/metrics artifact.
+
+Determinism: DataSketches HLL is deterministic for a given input SET
+(fixed hash, no RNG) — estimates are reproducible run to run, so tests
+pin behavior (mergeability, bounded error vs exact) without tolerance
+flakiness on fixed data.
+
+Scale shape: `superstep_sketches` is ONE groupBy(superstep) whose
+aggregate is the sketch build (map-side partials — executors build
+sub-sketches, the combine unions them; URL strings never leave their
+partition except inside sketch bytes). `cumulative_sketches` operates
+on the SKETCH relation — one row per superstep, a dimension-sized
+table — so its triangular step<=step join is over dozens of rows of
+~KB payloads, never the fetch log. Nothing here touches the
+10^10-row side twice.
+
+Reference parity: none (extension) — the reference's counters are
+crawler.go's atomic ints; the sketch layer is what those become when
+one process's RAM no longer holds the crawl.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: log2 of the HLL register count: 2^12 registers ~ 1.6% relative
+#: standard error, ~2 KB per sketch — the DataSketches default tier
+#: production telemetry uses.
+HLL_LG_K = 12
+
+
+def superstep_sketches(fetch_log: DataFrame,
+                       lg_k: int = HLL_LG_K) -> DataFrame:
+    """(superstep, sketch, n_exact): per-superstep HLL sketch of the
+    distinct `url` values plus the exact distinct count for the same
+    window. `n_exact` is affordable HERE (one superstep's slice, the
+    same groupBy) — it is the CUMULATIVE exact distinct that stops
+    being affordable at scale, which is exactly what the sketches
+    exist to replace. One aggregation, map-side combinable on both
+    columns."""
+    return (
+        fetch_log.groupBy("superstep")
+        .agg(
+            F.hll_sketch_agg("url", F.lit(lg_k)).alias("sketch"),
+            F.count_distinct("url").alias("n_exact"),
+        )
+    )
+
+
+def cumulative_sketches(sketches: DataFrame) -> DataFrame:
+    """(superstep, est_step, est_cum): per-step and cumulative
+    distinct-URL estimates from the sketch relation ALONE — history is
+    never re-scanned; through-step-k cardinality is the union of the
+    k+1 step sketches. The triangular join runs on the superstep
+    dimension (one ~KB row per step), so its cost is nil at any crawl
+    length that fits a schedule."""
+    s = sketches.select(
+        F.col("superstep").alias("_s"), F.col("sketch").alias("_sk"))
+    tri = sketches.select("superstep").join(
+        s, s["_s"] <= F.col("superstep"))
+    return (
+        tri.groupBy("superstep")
+        .agg(F.hll_union_agg("_sk").alias("_u"))
+        .join(
+            sketches.select(
+                "superstep",
+                F.hll_sketch_estimate("sketch").alias("est_step")),
+            "superstep",
+        )
+        .select(
+            "superstep",
+            "est_step",
+            F.hll_sketch_estimate(F.col("_u")).alias("est_cum"),
+        )
+    )
+
+
+def distinct_telemetry(fetch_log: DataFrame,
+                       lg_k: int = HLL_LG_K,
+                       tolerance_ppm: int = 50_000) -> DataFrame:
+    """(superstep, n_exact, cum_exact, est_ok, cum_ok): the telemetry
+    verification report — per-step and cumulative sketch estimates
+    checked against exact distinct counts, each flagged ok when the
+    estimate sits within `tolerance_ppm` (default 5%) of truth. The
+    exact cumulative side is computed the EXPENSIVE way (distinct over
+    the full log per step) precisely because this is the verification
+    harness: a deployment reads cumulative_sketches and never pays it.
+
+    The error check is integer-exact and symmetric:
+        |est - exact| * 10^6 <= tolerance_ppm * exact
+    with est rounded to the nearest long first (sketch estimates are
+    doubles). DataSketches' 1-sigma RSE at lg_k=12 is ~1.6%, so 5%
+    (~3 sigma) holds deterministically on fixed data."""
+    sk = superstep_sketches(fetch_log, lg_k=lg_k)
+    est = cumulative_sketches(sk)
+
+    # exact cumulative distinct: url tagged with its FIRST superstep,
+    # then per-step first-appearance counts accumulated by the same
+    # dimension-sized triangular join the sketch union uses (no
+    # partition-less window) — one distinct-shuffle total, not one
+    # per step.
+    firsts = (
+        fetch_log.groupBy("url")
+        .agg(F.min("superstep").alias("superstep"))
+        .groupBy("superstep")
+        .agg(F.count("*").alias("_new"))
+    )
+    # anchor on the sketch relation's step set: a step whose URLs all
+    # appeared earlier contributes no `firsts` row but still reports.
+    f2 = firsts.select(F.col("superstep").alias("_s"), "_new")
+    cum = (
+        sk.select("superstep")
+        .join(f2, f2["_s"] <= F.col("superstep"))
+        .groupBy("superstep")
+        .agg(F.sum("_new").alias("cum_exact"))
+    )
+
+    def ok(est_col: str, exact_col: str) -> F.Column:
+        e = F.round(F.col(est_col)).cast("long")
+        x = F.col(exact_col)
+        return (
+            F.abs(e - x) * F.lit(1_000_000)
+            <= F.lit(tolerance_ppm) * x
+        )
+
+    return (
+        sk.select("superstep", "n_exact")
+        .join(est, "superstep")
+        .join(cum, "superstep")
+        .select(
+            "superstep", "n_exact", "cum_exact",
+            ok("est_step", "n_exact").alias("est_ok"),
+            ok("est_cum", "cum_exact").alias("cum_ok"),
+        )
+    )

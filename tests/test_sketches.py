@@ -1,0 +1,127 @@
+"""X111: mergeable HLL distinct-count telemetry.
+
+The reference's progress counters are one process's atomic ints
+(performance/optimizer.go); at 10^10 URLs cumulative distinct-URL
+telemetry becomes a mergeable-sketch problem. These tests pin the
+properties the operator's contract rests on: the sketch union over
+per-step sketches reports the same cardinality as one sketch over the
+whole log (mergeability — the reason sketches replace re-scans), exact
+sides are exact, steps with zero NEW urls still report, and the
+bounded-error flags hold on fixed data (DataSketches is deterministic
+for a given input set, so none of this is tolerance-flaky).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ptt_spider_go_spark.operators.sketches import (
+    cumulative_sketches,
+    distinct_telemetry,
+    superstep_sketches,
+)
+
+
+def _log(spark, n_urls=3000, steps=4, repeat_every=5):
+    """Deterministic fetch log: url u appears at step hash(u)%steps,
+    and every `repeat_every`-th url ALSO repeats at every later step —
+    so per-step sets overlap and cumulative < sum of steps."""
+    base = spark.range(n_urls).select(
+        F.concat(F.lit("http://t.test/u"), F.col("id").cast("string"))
+        .alias("url"),
+        F.pmod(F.col("id") * 2654435761, F.lit(steps)).cast("int")
+        .alias("first_step"),
+        F.col("id").alias("id"),
+    )
+    extra = (
+        base.filter(F.pmod(F.col("id"), F.lit(repeat_every)) == 0)
+        .select(
+            "url",
+            F.explode(
+                F.sequence(F.col("first_step") + 1, F.lit(steps - 1))
+            ).alias("superstep"),
+        )
+        .filter(F.col("superstep") < steps)
+    )
+    first = base.select("url", F.col("first_step").alias("superstep"))
+    return first.unionByName(extra).select("superstep", "url")
+
+
+def test_exact_sides_are_exact(spark):
+    log = _log(spark)
+    out = {
+        r["superstep"]: r
+        for r in distinct_telemetry(log).collect()
+    }
+    rows = log.collect()
+    seen: set[str] = set()
+    cum = {}
+    per = {}
+    for s in sorted({r["superstep"] for r in rows}):
+        step_urls = {r["url"] for r in rows if r["superstep"] == s}
+        per[s] = len(step_urls)
+        seen |= step_urls
+        cum[s] = len(seen)
+    assert {s: out[s]["n_exact"] for s in out} == per
+    assert {s: out[s]["cum_exact"] for s in out} == cum
+
+
+def test_union_of_parts_equals_whole(spark):
+    """Mergeability: the union of per-step sketches estimates the SAME
+    cardinality as one sketch built over the entire log — HLL registers
+    are maxes, and max distributes over union, so the register states
+    (and hence the estimates) are identical, not merely close."""
+    log = _log(spark)
+    last = (
+        cumulative_sketches(superstep_sketches(log))
+        .orderBy(F.col("superstep").desc())
+        .limit(1)
+        .collect()[0]["est_cum"]
+    )
+    whole = log.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("url", F.lit(12))).alias("e")
+    ).collect()[0]["e"]
+    assert last == whole
+
+
+def test_step_with_no_new_urls_still_reports(spark):
+    rows = [(0, "http://t.test/a"), (0, "http://t.test/b"),
+            (1, "http://t.test/a"), (1, "http://t.test/b")]
+    log = spark.createDataFrame(rows, "superstep int, url string")
+    out = {r["superstep"]: r for r in distinct_telemetry(log).collect()}
+    assert out[1]["n_exact"] == 2
+    assert out[1]["cum_exact"] == 2  # nothing new at step 1
+    assert out[0]["cum_exact"] == 2
+
+
+def test_bounded_error_flags_hold(spark):
+    out = distinct_telemetry(_log(spark, n_urls=20000)).collect()
+    assert len(out) == 4
+    assert all(r["est_ok"] and r["cum_ok"] for r in out)
+
+
+def test_estimates_track_exact_within_tolerance(spark):
+    """The flag is not vacuous: recompute the ppm check from the raw
+    estimates and confirm it is the same predicate the operator
+    evaluated."""
+    log = _log(spark, n_urls=20000)
+    sk = superstep_sketches(log)
+    est = {r["superstep"]: r for r in cumulative_sketches(sk).collect()}
+    tel = {r["superstep"]: r for r in distinct_telemetry(log).collect()}
+    for s, t in tel.items():
+        e = round(est[s]["est_step"])
+        assert (abs(e - t["n_exact"]) * 1_000_000
+                <= 50_000 * t["n_exact"]) == t["est_ok"]
+
+
+def test_lg_k_plumbs_through(spark):
+    log = _log(spark, n_urls=500)
+    a = superstep_sketches(log, lg_k=4).collect()
+    b = superstep_sketches(log, lg_k=12).collect()
+    # same exact counts, different sketch payloads (register counts)
+    assert {r["superstep"]: r["n_exact"] for r in a} == \
+        {r["superstep"]: r["n_exact"] for r in b}
+    sa = {r["superstep"]: bytes(r["sketch"]) for r in a}
+    sb = {r["superstep"]: bytes(r["sketch"]) for r in b}
+    assert any(sa[s] != sb[s] for s in sa)
