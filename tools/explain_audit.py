@@ -39,6 +39,12 @@ CROSS_OK = {
     "ann_cosine_topk", "ann_lsh_buckets", "ann_lsh_topk", "ann_ivf_topk",
     # eval suite (tiny) broadcast-crossed against the train scan
     "semantic_decontaminate",
+    # triangular step<=step joins over the superstep DIMENSION (one
+    # ~KB sketch / count row per superstep — dozens of rows at any
+    # crawl length); the non-equi join is the point (cumulative
+    # union), and the 10^10-row fetch log is reduced to that
+    # dimension by one groupBy before any of it happens.
+    "hll_telemetry",
 }
 # Queries that run a full superstep pipeline / streaming job — plans are
 # multi-job, skip static audit.
