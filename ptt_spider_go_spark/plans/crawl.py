@@ -88,6 +88,7 @@ class CrawlResult:
     blocked: DataFrame | None = None
     host_budget_log: DataFrame | None = None
     archive_cdx: DataFrame | None = None
+    url_telemetry: DataFrame | None = None
     timings: dict = field(default_factory=dict)
     supersteps: int = 0
     wall_secs: float = 0.0
@@ -157,6 +158,7 @@ def run_crawl(
     aimd: bool = False,
     robots_wildcards: bool = False,
     archive_dir: str | None = None,
+    sketch_telemetry: bool = False,
 ) -> CrawlResult:
     """Run the crawl to fixpoint (or cfg.max_supersteps) and assemble
     outputs. `checkpoint_dir` enables snapshot/resume; with
@@ -186,6 +188,9 @@ def run_crawl(
       `host_budgets`/the default and re-adapts within one superstep
       (scheduling-only state — assembly is scheduling-independent, so
       outputs are unaffected).
+    - `sketch_telemetry`: emit CrawlResult.url_telemetry — per-superstep
+      and cumulative distinct-URL estimates from mergeable HLL sketches
+      (operators/sketches.py, X111); pure side output, default off.
     """
     t0 = time.time()
     timings: dict = {}
@@ -662,6 +667,22 @@ def run_crawl(
         )
         archive_cdx = archive_captures(caps, archive_dir)
 
+    # Opt-in sketch telemetry (X111, default off): per-superstep HLL
+    # distinct-URL sketches + cumulative estimates from the sketch
+    # relation alone — the metrics artifact a 10^10-URL crawl keeps
+    # instead of exact cumulative distincts. Pure side output (the
+    # trap_filter pattern): nothing downstream reads it.
+    url_telemetry = None
+    if sketch_telemetry:
+        from ptt_spider_go_spark.operators.sketches import (
+            cumulative_sketches,
+            superstep_sketches,
+        )
+
+        url_telemetry = cumulative_sketches(
+            superstep_sketches(fetch_log.select("superstep", "url"))
+        )
+
     # articles table is a full range-partition shuffle that buys nothing
     # at scale (consumers sort-or-window what they need; the contract
     # pins an order-insensitive hash; tests order explicitly).
@@ -697,6 +718,7 @@ def run_crawl(
         if aimd
         else None,
         archive_cdx=archive_cdx,
+        url_telemetry=url_telemetry,
         supersteps=step - start_step,
         wall_secs=time.time() - t0,
         timings=timings,
