@@ -154,6 +154,7 @@ HEADLINE = [
     "robots_failure_policy",
     # r5f sketch telemetry
     "hll_telemetry",
+    "quantile_telemetry",
 ]
 
 

@@ -6930,6 +6930,46 @@ FROM per p JOIN cum c USING (superstep)
 """
 
 
+def q_quantile_telemetry(spark, sf_dir):
+    """Approximate-quantile telemetry with rank verification (X112,
+    operators/sketches.py quantile_sketch_telemetry): Spark's
+    Greenwald-Khanna percentile_approx sketch (mergeable, one pass,
+    rank error <= n/accuracy) probed at 5 ppm points over document
+    lengths, each estimate's EXACT rank checked against the contract
+    tolerance; exact_q stated definitionally (min value whose rank
+    reaches ceil(p*n)) so the oracle restates the rule verbatim
+    instead of trusting an engine quantile() dialect. One corpus
+    shuffle (value rollup), then dimension-sized arithmetic."""
+    from ptt_spider_go_spark.operators.sketches import (
+        quantile_sketch_telemetry,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vals = docs.select(F.length("text").cast("long").alias("v"))
+    return quantile_sketch_telemetry(vals)
+
+
+SQL_QUANTILE_TELEMETRY = """
+WITH vals AS (
+  SELECT CAST(length(text) AS BIGINT) AS v FROM documents),
+counts AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
+cum AS (
+  SELECT a.v, sum(b.c) AS cum
+  FROM counts a JOIN counts b ON b.v <= a.v
+  GROUP BY a.v),
+nn AS (SELECT count(*) AS n FROM vals),
+probs AS (
+  SELECT CAST(unnest([250000, 500000, 750000, 900000, 990000]) AS BIGINT)
+         AS p_ppm)
+SELECT p.p_ppm,
+       CAST(nn.n AS BIGINT) AS n,
+       (SELECT min(v) FROM cum
+        WHERE cum >= (p.p_ppm * nn.n + 999999) // 1000000) AS exact_q,
+       TRUE AS rank_ok
+FROM probs p, nn
+"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -7109,6 +7149,7 @@ QUERIES = {
     "robots_failure_policy": (q_robots_failure_policy,
                               SQL_ROBOTS_FAILURE_POLICY),
     "hll_telemetry": (q_hll_telemetry, SQL_HLL_TELEMETRY),
+    "quantile_telemetry": (q_quantile_telemetry, SQL_QUANTILE_TELEMETRY),
 }
 
 

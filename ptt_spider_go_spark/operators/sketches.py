@@ -92,6 +92,109 @@ def cumulative_sketches(sketches: DataFrame) -> DataFrame:
     )
 
 
+#: default probe points for quantile telemetry, parts-per-million so
+#: target ranks stay integer-exact: ceil(p*n) = (p_ppm*n + 999999) DIV 1e6.
+QUANTILE_PROBS_PPM = (250_000, 500_000, 750_000, 900_000, 990_000)
+
+
+def quantile_sketch_telemetry(vals: DataFrame,
+                              probs_ppm=QUANTILE_PROBS_PPM,
+                              accuracy: int = 1000) -> DataFrame:
+    """(p_ppm, n, exact_q, rank_ok): approximate-quantile telemetry
+    with its verification — the quantile twin of distinct_telemetry.
+    `vals` is one numeric column `v` (e.g. document lengths: the
+    distribution report every corpus release publishes).
+
+    The production side is `percentile_approx` (Spark's
+    Greenwald-Khanna sketch: mergeable across partitions, one pass,
+    rank error <= n/accuracy by contract, deterministic for a given
+    input). The verification side computes the EXACT quantile and the
+    estimate's exact rank, and flags rank_ok when the estimate honors
+    the contract:
+
+        r_p      = ceil(p * n)                 (integer: (p_ppm*n+999999) DIV 1e6)
+        exact_q  = min v with rank(v) >= r_p   (rank(v) = #{x <= v})
+        rank_ok  = r_p within [#{x < est} + 1 - tol, #{x <= est} + tol],
+                   tol = n DIV accuracy + 1
+
+    (a duplicated value occupies a rank INTERVAL, and the sketch's
+    guarantee is that the returned element holds SOME position within
+    tolerance of the target rank — a point check against #{x <= est}
+    alone falsely fails any probe landing inside a heavy value's run).
+
+    Exactness is definitional, not borrowed: exact_q is stated as the
+    min-value-reaching-rank rule so the DuckDB oracle can restate it
+    verbatim instead of trusting any engine's quantile() dialect.
+
+    Scale shape: ONE corpus shuffle (groupBy(v) — the value rollup;
+    distinct lengths are a dimension, thousands of rows at any corpus
+    size), then everything runs on that dimension: cumulative ranks by
+    the same triangular v<=v join the sketch union uses, probe points
+    broadcast onto it. n and the 5 sketch outputs are scalar driver
+    probes (the authority_budgets idiom — one row each)."""
+    spark = vals.sparkSession
+    n = vals.count()
+    probs = [int(p) for p in probs_ppm]
+    if n == 0:
+        return spark.createDataFrame(
+            [(p, 0, None, True) for p in probs],
+            "p_ppm long, n long, exact_q long, rank_ok boolean",
+        )
+    ests = vals.agg(
+        F.percentile_approx(
+            "v", [p / 1_000_000 for p in probs], F.lit(accuracy)
+        ).alias("e")
+    ).collect()[0]["e"]
+
+    counts = vals.groupBy("v").agg(F.count("*").alias("c"))
+    c2 = counts.select(F.col("v").alias("_v"), "c")
+    cum = (
+        counts.select("v")
+        .join(c2, c2["_v"] <= F.col("v"))
+        .groupBy("v")
+        .agg(F.sum("c").alias("cum"))
+        .localCheckpoint(eager=True)
+    )
+    probe = spark.createDataFrame(
+        [(p, int(e)) for p, e in zip(probs, ests)],
+        "p_ppm long, est_v long",
+    ).withColumn(
+        "r_p",
+        # BIGINT DIV, not float '/': p_ppm*n exceeds 2^53 at 10^10 rows
+        F.expr(f"(p_ppm * {int(n)}L + 999999L) DIV 1000000L"),
+    )
+    exact = (
+        F.broadcast(probe).join(cum, cum["cum"] >= F.col("r_p"))
+        .groupBy("p_ppm", "r_p", "est_v")
+        .agg(F.min("v").alias("exact_q"))
+    )
+    est_rank = (
+        F.broadcast(probe.select("p_ppm", "est_v"))
+        .join(cum, cum["v"] <= F.col("est_v"), "left")
+        .groupBy("p_ppm")
+        .agg(
+            F.coalesce(F.max("cum"), F.lit(0)).alias("est_le"),
+            F.coalesce(
+                F.max(F.when(cum["v"] < F.col("est_v"), F.col("cum"))),
+                F.lit(0),
+            ).alias("est_lt"),
+        )
+    )
+    tol = n // accuracy + 1
+    return (
+        exact.join(est_rank, "p_ppm")
+        .select(
+            "p_ppm",
+            F.lit(n).cast("long").alias("n"),
+            "exact_q",
+            (
+                (F.col("r_p") >= F.col("est_lt") + 1 - F.lit(tol))
+                & (F.col("r_p") <= F.col("est_le") + F.lit(tol))
+            ).alias("rank_ok"),
+        )
+    )
+
+
 def distinct_telemetry(fetch_log: DataFrame,
                        lg_k: int = HLL_LG_K,
                        tolerance_ppm: int = 50_000) -> DataFrame:

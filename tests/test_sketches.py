@@ -144,6 +144,60 @@ def test_run_crawl_sketch_telemetry_side_output(spark):
     assert off.url_telemetry is None
 
 
+def _exact_q(values, p_ppm):
+    """Reference: min value whose rank (#{x <= v}) reaches ceil(p*n)."""
+    s = sorted(values)
+    n = len(s)
+    r = (p_ppm * n + 999_999) // 1_000_000
+    return s[r - 1]
+
+
+def test_quantile_exact_side_matches_reference(spark):
+    from ptt_spider_go_spark.operators.sketches import (
+        QUANTILE_PROBS_PPM,
+        quantile_sketch_telemetry,
+    )
+
+    values = [((i * 2654435761) % 9973) for i in range(5000)]
+    vals = spark.createDataFrame([(v,) for v in values], "v long")
+    out = {r["p_ppm"]: r for r in quantile_sketch_telemetry(vals).collect()}
+    assert set(out) == set(QUANTILE_PROBS_PPM)
+    for p in QUANTILE_PROBS_PPM:
+        assert out[p]["n"] == 5000
+        assert out[p]["exact_q"] == _exact_q(values, p)
+        assert out[p]["rank_ok"]
+
+
+def test_quantile_duplicate_heavy_distribution(spark):
+    """90% of the mass on one value: exact_q must be that value for
+    every probe at or under the mass point, and the rank check must
+    hold on the step function."""
+    from ptt_spider_go_spark.operators.sketches import (
+        quantile_sketch_telemetry,
+    )
+
+    values = [7] * 9000 + list(range(100, 1100))
+    vals = spark.createDataFrame([(v,) for v in values], "v long")
+    out = {r["p_ppm"]: r for r in quantile_sketch_telemetry(vals).collect()}
+    for p in (250_000, 500_000, 750_000, 900_000):
+        assert out[p]["exact_q"] == 7
+        assert out[p]["rank_ok"]
+    assert out[990_000]["exact_q"] == _exact_q(values, 990_000)
+    assert out[990_000]["rank_ok"]
+
+
+def test_quantile_empty_input(spark):
+    from ptt_spider_go_spark.operators.sketches import (
+        QUANTILE_PROBS_PPM,
+        quantile_sketch_telemetry,
+    )
+
+    vals = spark.createDataFrame([], "v long")
+    out = quantile_sketch_telemetry(vals).collect()
+    assert len(out) == len(QUANTILE_PROBS_PPM)
+    assert all(r["exact_q"] is None and r["rank_ok"] for r in out)
+
+
 def test_lg_k_plumbs_through(spark):
     log = _log(spark, n_urls=500)
     a = superstep_sketches(log, lg_k=4).collect()

@@ -45,6 +45,9 @@ CROSS_OK = {
     # union), and the 10^10-row fetch log is reduced to that
     # dimension by one groupBy before any of it happens.
     "hll_telemetry",
+    # same pattern over the VALUE dimension (distinct lengths):
+    # triangular v<=v ranks + 5-row probe-point non-equi joins.
+    "quantile_telemetry",
 }
 # Queries that run a full superstep pipeline / streaming job — plans are
 # multi-job, skip static audit.
