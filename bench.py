@@ -155,6 +155,7 @@ HEADLINE = [
     # r5f sketch telemetry
     "hll_telemetry",
     "quantile_telemetry",
+    "cms_telemetry",
 ]
 
 

@@ -6949,6 +6949,78 @@ def q_quantile_telemetry(spark, sf_dir):
     return quantile_sketch_telemetry(vals)
 
 
+def q_cms_telemetry(spark, sf_dir):
+    """Count-min frequency-sketch telemetry (X113,
+    operators/sketches.py cms_frequency_telemetry): heavy-hitter host
+    frequencies from a 4x512 count-min sketch (bounded state over an
+    unbounded key domain; linear, so per-superstep sketches merge by
+    cell-wise sum) verified against exact counts — over_ok (est >=
+    exact, structural) and bound_ok (the eps*N bound, BIGINT
+    cross-multiplied). The host stream is skew-synthesized (squared
+    uniform -> power-law-ish host ids) so the top-10 probes are real
+    heavy hitters. STRONGER than the HLL oracle: the md5-prefix hash
+    family is engine-portable, so the DuckDB twin replays the entire
+    sketch — cells, estimates, and flags are bit-identical, nothing is
+    pinned."""
+    from ptt_spider_go_spark.operators.sketches import (
+        cms_frequency_telemetry,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fan = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("i"),
+    )
+    u = F.pmod(
+        md5_long((F.col("doc_id") * 20 + F.col("i")).cast("string"),
+                 seed=81),
+        F.lit(1000),
+    )
+    sq = u * u
+    # exact integer floor(sq/1000): the numerator is a multiple of 1000
+    # and < 10^6, so the double division is exact on both engines.
+    hid = ((sq - F.pmod(sq, F.lit(1000))) / F.lit(1000)).cast("long")
+    rows = fan.select(
+        F.concat(F.lit("h"), hid.cast("string")).alias("host"))
+    return cms_frequency_telemetry(rows, key_col="host")
+
+
+_CMS_CELL_SQL = (
+    "(('0x' || substr(md5(CAST(8300 + {r} AS VARCHAR) || ':' || {k}), "
+    "1, 15))::BIGINT) % 512"
+)
+
+SQL_CMS_TELEMETRY = f"""
+WITH fan AS (SELECT doc_id, i FROM documents, range(20) t(i)),
+u AS (
+  SELECT {md5_long_sql("CAST(doc_id * 20 + i AS VARCHAR)", 81)} % 1000
+         AS v
+  FROM fan),
+rws AS (SELECT 'h' || CAST((v * v) // 1000 AS VARCHAR) AS host FROM u),
+exact AS (SELECT host, count(*) AS exact_cnt FROM rws GROUP BY host),
+probes AS (
+  SELECT host, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, host LIMIT 10),
+cells AS (
+  SELECT d.r, {_CMS_CELL_SQL.format(r='d.r', k='host')} AS c,
+         count(*) AS cnt
+  FROM rws, range(4) d(r) GROUP BY 1, 2),
+pc AS (
+  SELECT p.host, d.r, {_CMS_CELL_SQL.format(r='d.r', k='p.host')} AS c
+  FROM probes p, range(4) d(r)),
+est AS (
+  SELECT pc.host, min(coalesce(cells.cnt, 0)) AS est_cnt
+  FROM pc LEFT JOIN cells ON cells.r = pc.r AND cells.c = pc.c
+  GROUP BY pc.host),
+nn AS (SELECT count(*) AS n FROM rws)
+SELECT p.host, CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(e.est_cnt AS BIGINT) AS est_cnt,
+       e.est_cnt >= p.exact_cnt AS over_ok,
+       (e.est_cnt - p.exact_cnt) * 512 <= 3 * nn.n AS bound_ok
+FROM probes p JOIN est e USING (host), nn
+"""
+
+
 SQL_QUANTILE_TELEMETRY = """
 WITH vals AS (
   SELECT CAST(length(text) AS BIGINT) AS v FROM documents),
@@ -7150,6 +7222,7 @@ QUERIES = {
                               SQL_ROBOTS_FAILURE_POLICY),
     "hll_telemetry": (q_hll_telemetry, SQL_HLL_TELEMETRY),
     "quantile_telemetry": (q_quantile_telemetry, SQL_QUANTILE_TELEMETRY),
+    "cms_telemetry": (q_cms_telemetry, SQL_CMS_TELEMETRY),
 }
 
 

@@ -1,4 +1,4 @@
-"""Mergeable HLL distinct-count telemetry over crawl supersteps (X111).
+"""Mergeable sketch telemetry over crawl supersteps (X111-X113).
 
 The reference reports exact counters from one process's memory
 (performance/optimizer.go keeps everything in RAM; progress totals are
@@ -38,7 +38,9 @@ one process's RAM no longer holds the crawl.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ptt_spider_go_spark.pipeline.common import md5_long
 
 #: log2 of the HLL register count: 2^12 registers ~ 1.6% relative
 #: standard error, ~2 KB per sketch — the DataSketches default tier
@@ -251,5 +253,146 @@ def distinct_telemetry(fetch_log: DataFrame,
             "superstep", "n_exact", "cum_exact",
             ok("est_step", "n_exact").alias("est_ok"),
             ok("est_cum", "cum_exact").alias("cum_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X113: count-min frequency-sketch telemetry — the third member of the
+# sketch family (HLL = how many DISTINCT, GK = what DISTRIBUTION,
+# CMS = how OFTEN each heavy key). "Which hosts dominate the fetch
+# log?" answered exactly is a groupBy over an unbounded key domain —
+# state proportional to the number of distinct hosts, per telemetry
+# window, forever. The count-min sketch (Cormode & Muthukrishnan,
+# J. Algorithms 2005) answers it in depth x width integers: cell
+# (r, h_r(k)) accumulates every occurrence of k, the estimate is the
+# min over the depth rows, and the sketch is LINEAR — the sketch of a
+# union of streams is the cell-wise SUM of their sketches, so
+# per-superstep sketches compose into any window's frequencies without
+# re-scanning history (the same property that makes X111's HLL the
+# right checkpoint artifact; for CMS the merge is exact, not
+# approximate). Guarantees, both directions:
+#   est >= exact            always (counters only ever add)
+#   est <= exact + eps * N  with prob 1 - (1/e)^depth, eps = e / width
+#
+# Determinism / oracle strength: the row hashes are the engine's
+# md5-prefix hash (pipeline/common.py), so unlike the HLL oracle
+# (which pins flags and checks the exact side) the DuckDB twin
+# replays the ENTIRE sketch — cells, estimates, and flags are
+# bit-identical across engines, not just bounded.
+#
+# Scale shape: `cms_cells` is ONE groupBy whose output is the bounded
+# depth x width cell dimension (map-side combinable: executors emit
+# partial cell sums, never key strings). Estimation broadcasts the
+# ~KB cell relation onto the probe keys. Nothing shuffles the
+# unbounded key domain except as integer cell coordinates.
+# ---------------------------------------------------------------------------
+
+#: depth 4 -> error bound holds with prob 1 - e^-4 ~ 98.2%; width 512
+#: -> eps = e/512 ~ 0.53% of stream mass per estimate. 4 x 512 longs =
+#: 16 KB per sketch — the bounded-state point of the exercise.
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+#: seed base for the row hash family: row r salts md5 with
+#: f"{CMS_SEED_BASE + r}:" (md5_long's seed convention), keeping the
+#: family disjoint from every other seeded hash in the engine.
+CMS_SEED_BASE = 8300
+
+
+def _cms_rc(key: Column, depth: int, width: int) -> Column:
+    """Array of (r, c) cell coordinates for `key`, one per sketch row."""
+    return F.array(*[
+        F.struct(
+            F.lit(r).cast("int").alias("r"),
+            F.pmod(md5_long(key, seed=CMS_SEED_BASE + r),
+                   F.lit(width)).alias("c"),
+        )
+        for r in range(depth)
+    ])
+
+
+def cms_cells(rows: DataFrame, key_col: str = "key",
+              depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """(r, c, cnt): the count-min sketch of the `key_col` stream as a
+    sparse cell relation (absent cell = 0). ONE aggregation over the
+    bounded depth x width dimension — the explode emits integer cell
+    coordinates, partial sums combine map-side, and key strings never
+    leave their partition. Merging sketches = unionByName +
+    groupBy(r, c).sum(cnt) — exact, because the sketch is linear."""
+    return (
+        rows.select(F.explode(_cms_rc(F.col(key_col), depth, width))
+                    .alias("rc"))
+        .select(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of CMS cell relations — the linear-sketch merge:
+    cms(A ⊎ B) == cms_merge(cms(A), cms(B)) EXACTLY (pytest-pinned).
+    Dimension-sized input, dimension-sized output."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(cells: DataFrame, probes: DataFrame,
+                 key_col: str = "key", depth: int = CMS_DEPTH,
+                 width: int = CMS_WIDTH) -> DataFrame:
+    """(key, est_cnt): point-frequency estimates for the probe keys —
+    min over the depth rows of the probed cells, absent cell = 0 (a
+    key the sketch never saw estimates 0 exactly). The cell relation
+    is <= depth*width rows, so it broadcasts; the probe side never
+    shuffles."""
+    pc = (
+        probes.select(key_col)
+        .select(key_col,
+                F.explode(_cms_rc(F.col(key_col), depth, width)).alias("rc"))
+        .select(key_col, F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    )
+    return (
+        pc.join(F.broadcast(cells), ["r", "c"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+    )
+
+
+def cms_frequency_telemetry(rows: DataFrame, key_col: str = "key",
+                            depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+                            top_k: int = 10,
+                            slack_num: int = 3) -> DataFrame:
+    """(key, exact_cnt, est_cnt, over_ok, bound_ok): the verification
+    report — heavy-hitter estimates checked against exact counts, the
+    same exact-side-is-the-harness framing as distinct_telemetry (a
+    deployment reads cms_estimate over merged cell sketches and never
+    pays the exact groupBy). Probes are the top_k keys by
+    (exact_cnt DESC, key ASC) — deterministic under ties. Flags:
+
+        over_ok  = est >= exact                     (structural: always)
+        bound_ok = (est - exact) * width <= slack_num * N
+
+    i.e. the classic eps*N bound with eps = slack_num/width >= e/width,
+    checked in BIGINT cross-multiplied form (no float division — the
+    integer-exactness idiom every *_ok flag in this module uses). On
+    fixed data with the fixed md5 hash family both flags are
+    deterministic, and the oracle recomputes them bit-identically."""
+    exact = rows.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("exact_cnt"))
+    probes = exact.orderBy(
+        F.desc("exact_cnt"), F.asc(key_col)).limit(top_k)
+    cells = cms_cells(rows, key_col, depth=depth, width=width)
+    est = cms_estimate(cells, probes, key_col, depth=depth, width=width)
+    n = rows.count()  # scalar driver probe (the authority_budgets idiom)
+    return (
+        probes.join(est, key_col)
+        .select(
+            key_col,
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") >= F.col("exact_cnt")).alias("over_ok"),
+            ((F.col("est_cnt") - F.col("exact_cnt")) * F.lit(width)
+             <= F.lit(slack_num) * F.lit(n)).alias("bound_ok"),
         )
     )

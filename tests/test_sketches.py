@@ -208,3 +208,155 @@ def test_lg_k_plumbs_through(spark):
     sa = {r["superstep"]: bytes(r["sketch"]) for r in a}
     sb = {r["superstep"]: bytes(r["sketch"]) for r in b}
     assert any(sa[s] != sb[s] for s in sa)
+
+
+# ---------------------------------------------------------------------------
+# X113: count-min frequency-sketch telemetry
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+from ptt_spider_go_spark.operators.sketches import (
+    CMS_DEPTH,
+    CMS_SEED_BASE,
+    CMS_WIDTH,
+    cms_cells,
+    cms_estimate,
+    cms_frequency_telemetry,
+    cms_merge,
+)
+
+
+def _mirror_cell(key: str, r: int, width: int) -> int:
+    """Pure-Python twin of the engine's md5-prefix row hash."""
+    h = hashlib.md5(f"{CMS_SEED_BASE + r}:{key}".encode()).hexdigest()
+    return int(h[:15], 16) % width
+
+
+def _mirror_cells(keys, depth, width):
+    cells: dict[tuple[int, int], int] = {}
+    for k in keys:
+        for r in range(depth):
+            rc = (r, _mirror_cell(k, r, width))
+            cells[rc] = cells.get(rc, 0) + 1
+    return cells
+
+
+def _mirror_est(cells, key, depth, width):
+    return min(
+        cells.get((r, _mirror_cell(key, r, width)), 0)
+        for r in range(depth)
+    )
+
+
+def _host_rows(spark, n=4000, hosts=300):
+    """Skewed host stream: squared-uniform ids, like the oracle query."""
+    return spark.range(n).select(
+        F.concat(
+            F.lit("h"),
+            (
+                F.pmod(F.col("id") * 2654435761, F.lit(hosts))
+                * F.pmod(F.col("id") * 2654435761, F.lit(hosts))
+                / F.lit(hosts)
+            ).cast("long").cast("string"),
+        ).alias("host")
+    )
+
+
+def test_cms_cells_match_pure_python_mirror(spark):
+    """The Spark sketch IS the textbook sketch: every (r, c, cnt) cell
+    equals a pure-Python CMS built with the same hash family."""
+    rows = _host_rows(spark, n=2000, hosts=150)
+    got = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in cms_cells(rows, key_col="host", depth=3, width=64).collect()
+    }
+    want = _mirror_cells(
+        [r["host"] for r in rows.collect()], depth=3, width=64)
+    assert got == want
+
+
+def test_cms_never_underestimates(spark):
+    """est >= exact for EVERY key, even at a brutally small width
+    (heavy collisions) — the structural CMS guarantee."""
+    rows = _host_rows(spark, n=3000, hosts=200)
+    exact = {
+        r["host"]: r["cnt"]
+        for r in rows.groupBy("host").agg(
+            F.count("*").alias("cnt")).collect()
+    }
+    cells = cms_cells(rows, key_col="host", depth=4, width=16)
+    probes = rows.select("host").distinct()
+    est = {
+        r["host"]: r["est_cnt"]
+        for r in cms_estimate(
+            cells, probes, key_col="host", depth=4, width=16).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+
+
+def test_cms_merge_of_parts_equals_whole(spark):
+    """Linearity: cell-wise sum of part sketches == whole-stream sketch
+    EXACTLY (the property that lets per-superstep sketches answer any
+    window without re-scanning history)."""
+    rows = _host_rows(spark, n=3000, hosts=200).withColumn(
+        "part", F.pmod(F.monotonically_increasing_id(), F.lit(3)))
+    parts = [
+        cms_cells(rows.filter(F.col("part") == p), key_col="host")
+        for p in range(3)
+    ]
+    merged = {
+        (r["r"], r["c"]): r["cnt"] for r in cms_merge(*parts).collect()
+    }
+    whole = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in cms_cells(rows, key_col="host").collect()
+    }
+    assert merged == whole
+
+
+def test_cms_single_key_is_exact_and_unseen_key_matches_mirror(spark):
+    """One distinct key -> est == exact (no other mass to collide
+    with); an unseen probe key estimates exactly what the mirror says
+    (0 unless all depth cells collide with the occupied ones)."""
+    rows = spark.range(37).select(F.lit("only-key").alias("host"))
+    cells = cms_cells(rows, key_col="host")
+    probes = spark.createDataFrame(
+        [("only-key",), ("never-inserted",)], "host string")
+    est = {
+        r["host"]: r["est_cnt"]
+        for r in cms_estimate(cells, probes, key_col="host").collect()
+    }
+    assert est["only-key"] == 37
+    mirror = _mirror_cells(["only-key"] * 37, CMS_DEPTH, CMS_WIDTH)
+    assert est["never-inserted"] == _mirror_est(
+        mirror, "never-inserted", CMS_DEPTH, CMS_WIDTH)
+
+
+def test_cms_telemetry_report(spark):
+    """Telemetry schema + flags on the skewed stream: probes are the
+    deterministic top-k by (exact DESC, key ASC), over_ok holds
+    everywhere, bound_ok holds at the default 4x512 geometry, and the
+    estimates equal the pure-Python mirror's."""
+    rows = _host_rows(spark, n=4000, hosts=300)
+    out = cms_frequency_telemetry(rows, key_col="host", top_k=8).collect()
+    assert len(out) == 8
+    exact = sorted(
+        (
+            (r["cnt"], r["host"])
+            for r in rows.groupBy("host").agg(
+                F.count("*").alias("cnt")).collect()
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:8]
+    got = [(r["exact_cnt"], r["host"]) for r in sorted(
+        out, key=lambda r: (-r["exact_cnt"], r["host"]))]
+    assert got == exact
+    assert all(r["over_ok"] for r in out)
+    assert all(r["bound_ok"] for r in out)
+    mirror = _mirror_cells(
+        [r["host"] for r in rows.collect()], CMS_DEPTH, CMS_WIDTH)
+    for r in out:
+        assert r["est_cnt"] == _mirror_est(
+            mirror, r["host"], CMS_DEPTH, CMS_WIDTH)
