@@ -156,6 +156,7 @@ HEADLINE = [
     "hll_telemetry",
     "quantile_telemetry",
     "cms_telemetry",
+    "kmv_overlap_telemetry",
 ]
 
 

@@ -6949,6 +6949,108 @@ def q_quantile_telemetry(spark, sf_dir):
     return quantile_sketch_telemetry(vals)
 
 
+def q_kmv_overlap_telemetry(spark, sf_dir):
+    """KMV/theta-style distinct-sketch set operations (X114,
+    operators/sketches.py kmv_overlap_telemetry): two synthetic crawl
+    snapshots with a controlled URL overlap (uids 0..7999 vs
+    4000..11999), sketched as k=1024 minimum hash values each;
+    reports exact vs sketch-estimated distinct cardinality for each
+    snapshot, their union, and their INTERSECTION — the set operation
+    HLL cannot do. The estimator arithmetic is IEEE-double on exact
+    inputs, so the DuckDB oracle replays the whole sketch
+    bit-identically (like X113, stronger than X111's pinned flags)."""
+    from ptt_spider_go_spark.operators.sketches import (
+        kmv_overlap_telemetry,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fan = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("i"),
+    )
+    uid = F.pmod(
+        md5_long((F.col("doc_id") * 30 + F.col("i")).cast("string"),
+                 seed=91),
+        F.lit(12000),
+    )
+    urls = fan.select(
+        F.concat(F.lit("http://s.test/u"), uid.cast("string"))
+        .alias("url"),
+        uid.alias("uid"),
+    )
+    rows_a = urls.filter(F.col("uid") < 8000).select("url")
+    rows_b = urls.filter(F.col("uid") >= 4000).select("url")
+    return kmv_overlap_telemetry(rows_a, rows_b, key_col="url")
+
+
+# KMV oracle: the sketch is ORDER BY hv LIMIT k over distinct md5
+# hashes; theta = 2^60 when unsaturated else max(hv); estimates are
+# floor-of-IEEE-double — identical across engines because the
+# numerators are exact doubles (integer * 2^60, integer < 2^53).
+_KMV_HV_SQL = (
+    "(('0x' || substr(md5(concat('8400:', url)), 1, 15))::BIGINT)"
+)
+
+SQL_KMV_OVERLAP_TELEMETRY = f"""
+WITH fan AS (SELECT doc_id, i FROM documents, range(30) t(i)),
+u AS (
+  SELECT {md5_long_sql("CAST(doc_id * 30 + i AS VARCHAR)", 91)} % 12000
+         AS uid
+  FROM fan),
+urls AS (SELECT 'http://s.test/u' || CAST(uid AS VARCHAR) AS url, uid
+         FROM u),
+a AS (SELECT DISTINCT url FROM urls WHERE uid < 8000),
+b AS (SELECT DISTINCT url FROM urls WHERE uid >= 4000),
+sa AS (SELECT DISTINCT {_KMV_HV_SQL} AS hv FROM a
+       ORDER BY hv LIMIT 1024),
+sb AS (SELECT DISTINCT {_KMV_HV_SQL} AS hv FROM b
+       ORDER BY hv LIMIT 1024),
+su AS (SELECT hv FROM (SELECT hv FROM sa UNION SELECT hv FROM sb)
+       ORDER BY hv LIMIT 1024),
+probe AS (
+  SELECT 'a' AS s, count(*) AS n, max(hv) AS mx FROM sa
+  UNION ALL SELECT 'b', count(*), max(hv) FROM sb
+  UNION ALL SELECT 'union', count(*), max(hv) FROM su),
+theta AS (
+  SELECT s, n,
+         CASE WHEN n < 1024 THEN 1152921504606846976 ELSE mx END AS th
+  FROM probe),
+ests AS (
+  SELECT s,
+         CASE WHEN th = 1152921504606846976 THEN n
+              ELSE CAST(floor(1023 * 1152921504606846976.0
+                              / CAST(th AS DOUBLE)) AS BIGINT)
+         END AS est
+  FROM theta),
+tcap AS (
+  SELECT least((SELECT th FROM theta WHERE s = 'a'),
+               (SELECT th FROM theta WHERE s = 'b')) AS th),
+m AS (
+  SELECT count(*) AS m FROM sa JOIN sb USING (hv), tcap
+  WHERE tcap.th = 1152921504606846976 OR hv < tcap.th),
+iest AS (
+  SELECT CASE WHEN tcap.th = 1152921504606846976 THEN m.m
+              ELSE CAST(floor(m.m * 1152921504606846976.0
+                              / CAST(tcap.th AS DOUBLE)) AS BIGINT)
+         END AS est
+  FROM m, tcap),
+exact AS (
+  SELECT 'a' AS metric, (SELECT count(*) FROM a) AS exact
+  UNION ALL SELECT 'b', (SELECT count(*) FROM b)
+  UNION ALL SELECT 'union',
+    (SELECT count(*) FROM (SELECT url FROM a UNION SELECT url FROM b))
+  UNION ALL SELECT 'intersection',
+    (SELECT count(*) FROM a JOIN b USING (url))),
+allest AS (
+  SELECT s AS metric, est FROM ests
+  UNION ALL SELECT 'intersection', est FROM iest)
+SELECT x.metric, CAST(x.exact AS BIGINT) AS exact,
+       CAST(e.est AS BIGINT) AS est,
+       abs(e.est - x.exact) * 1000000 <= 100000 * x.exact AS est_ok
+FROM exact x JOIN allest e USING (metric)
+"""
+
+
 def q_cms_telemetry(spark, sf_dir):
     """Count-min frequency-sketch telemetry (X113,
     operators/sketches.py cms_frequency_telemetry): heavy-hitter host
@@ -7223,6 +7325,8 @@ QUERIES = {
     "hll_telemetry": (q_hll_telemetry, SQL_HLL_TELEMETRY),
     "quantile_telemetry": (q_quantile_telemetry, SQL_QUANTILE_TELEMETRY),
     "cms_telemetry": (q_cms_telemetry, SQL_CMS_TELEMETRY),
+    "kmv_overlap_telemetry": (
+        q_kmv_overlap_telemetry, SQL_KMV_OVERLAP_TELEMETRY),
 }
 
 

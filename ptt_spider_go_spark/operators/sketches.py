@@ -396,3 +396,148 @@ def cms_frequency_telemetry(rows: DataFrame, key_col: str = "key",
              <= F.lit(slack_num) * F.lit(n)).alias("bound_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X114: KMV / theta-style distinct sketches with SET OPERATIONS — the
+# question X111's HLL cannot answer: "how many distinct URLs do two
+# crawl snapshots SHARE?" HLL unions but never intersects; the
+# k-minimum-values sketch (Bar-Yossef et al. 2002; Beyer et al.
+# SIGMOD'07; the DataSketches theta family) supports union AND
+# intersection, which is what crawl-overlap, incremental-coverage and
+# dedup-planning telemetry actually need. The sketch is the k smallest
+# 60-bit hash values of the distinct key set:
+#
+#   - all hashed values < theta (= the k-th smallest) are IN the
+#     sketch, so theta is an exclusive coverage threshold and
+#     n_est = floor((k-1) * 2^60 / theta)
+#   - union: k smallest of the combined value sets — EXACTLY equal to
+#     the sketch of the unioned streams (pytest-pinned), because the k
+#     smallest of A ∪ B lie inside (k smallest of A) ∪ (k smallest of B)
+#   - intersection: theta_cap = min(theta_A, theta_B); every hashed
+#     distinct value < theta_cap is in BOTH sketches iff it is in both
+#     sets, so m = |{v in both sketches : v < theta_cap}| and
+#     n_est = floor(m * 2^60 / theta_cap)
+#   - an unsaturated sketch (fewer than k distinct keys) holds the
+#     WHOLE set: theta = 2^60 and every estimate is EXACT
+#
+# Determinism / oracle strength: the hash is md5_long (engine-
+# portable) and the estimator arithmetic is IEEE-double with exact
+# inputs — m * 2^60 and (k-1) * 2^60 are exact doubles (integer times
+# a power of two, integer < 2^53), the divide is a single correctly-
+# rounded IEEE op, and floor() removes the fraction — so Spark,
+# DuckDB, and the pure-Python test mirror produce bit-identical
+# estimates. Like X113 (and unlike HLL), the oracle replays the
+# ENTIRE sketch.
+#
+# Scale shape: the build is ONE distinct-shuffle of 60-bit hashes
+# (partial distinct map-side; key strings never shuffle) followed by
+# TakeOrdered(k) — no global sort. Every set operation runs on k-row
+# relations. Scalar reads are driver probes (the authority_budgets
+# idiom).
+# ---------------------------------------------------------------------------
+
+#: RSE ~ 1/sqrt(k-2) ~ 3.1% at k=1024; the sketch is k longs (8 KB).
+KMV_K = 1024
+KMV_SEED = 8400
+#: md5_long yields 60-bit values; the estimator maps coverage
+#: fraction theta/2^60 back to cardinality.
+KMV_HASH_SPACE = 1 << 60
+
+
+def kmv_sketch(rows: DataFrame, key_col: str = "key",
+               k: int = KMV_K) -> DataFrame:
+    """(hv): the k smallest md5 hash values of the distinct keys."""
+    return (
+        rows.select(
+            md5_long(F.col(key_col), seed=KMV_SEED).alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+
+
+def kmv_union(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Sketch of the union: k smallest of the combined value sets.
+    EXACTLY kmv_sketch(A ∪ B) — pytest-pinned."""
+    return a.unionByName(b).distinct().orderBy("hv").limit(k)
+
+
+def _kmv_probe(sketch: DataFrame, k: int) -> tuple[int, int]:
+    """(n_rows, theta): theta = 2^60 when unsaturated (the sketch holds
+    the whole set), else the k-th smallest value. Scalar driver probe
+    over a <= k-row relation."""
+    row = sketch.agg(
+        F.count("*").alias("n"), F.max("hv").alias("mx")).first()
+    n = row["n"]
+    theta = KMV_HASH_SPACE if n < k else row["mx"]
+    return n, theta
+
+
+def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> int:
+    """Distinct-count estimate; EXACT when the sketch is unsaturated."""
+    n, theta = _kmv_probe(sketch, k)
+    if theta == KMV_HASH_SPACE:
+        return n
+    return int((k - 1) * float(KMV_HASH_SPACE) / float(theta) // 1)
+
+
+def kmv_intersection_estimate(a: DataFrame, b: DataFrame,
+                              k: int = KMV_K) -> int:
+    """Distinct-intersection estimate from the two sketches alone.
+    EXACT when both sketches are unsaturated."""
+    _, ta = _kmv_probe(a, k)
+    _, tb = _kmv_probe(b, k)
+    theta = min(ta, tb)
+    m = (
+        a.join(b, "hv")
+        .filter(F.col("hv") < F.lit(theta))
+        .count()
+        if theta < KMV_HASH_SPACE
+        else a.join(b, "hv").count()
+    )
+    if theta == KMV_HASH_SPACE:
+        return m
+    return int(m * float(KMV_HASH_SPACE) / float(theta) // 1)
+
+
+def kmv_overlap_telemetry(rows_a: DataFrame, rows_b: DataFrame,
+                          key_col: str = "key", k: int = KMV_K,
+                          tolerance_ppm: int = 100_000) -> DataFrame:
+    """(metric, exact, est, est_ok) for metric in (a, b, union,
+    intersection): sketch estimates of two snapshots' distinct
+    cardinalities and their set algebra, verified against exact
+    counts (the verification harness pays the exact distinct/join; a
+    deployment reads the k-row sketches and never does). est_ok is the
+    integer-ppm check every *_ok flag in this module uses; on fixed
+    data with the fixed hash the whole report is deterministic and the
+    oracle replays it bit-identically."""
+    spark = rows_a.sparkSession
+    sa = kmv_sketch(rows_a, key_col, k).localCheckpoint(eager=True)
+    sb = kmv_sketch(rows_b, key_col, k).localCheckpoint(eager=True)
+    da = rows_a.select(F.col(key_col).alias("key")).distinct()
+    db = rows_b.select(F.col(key_col).alias("key")).distinct()
+    exact = {
+        "a": da.count(),
+        "b": db.count(),
+        "union": da.union(db).distinct().count(),
+        "intersection": da.join(db, "key").count(),
+    }
+    est = {
+        "a": kmv_estimate(sa, k),
+        "b": kmv_estimate(sb, k),
+        "union": kmv_estimate(kmv_union(sa, sb, k), k),
+        "intersection": kmv_intersection_estimate(sa, sb, k),
+    }
+    rows = [
+        (
+            m,
+            exact[m],
+            est[m],
+            abs(est[m] - exact[m]) * 1_000_000
+            <= tolerance_ppm * exact[m],
+        )
+        for m in ("a", "b", "union", "intersection")
+    ]
+    return spark.createDataFrame(
+        rows, "metric string, exact long, est long, est_ok boolean")

@@ -360,3 +360,97 @@ def test_cms_telemetry_report(spark):
     for r in out:
         assert r["est_cnt"] == _mirror_est(
             mirror, r["host"], CMS_DEPTH, CMS_WIDTH)
+
+
+# ---------------------------------------------------------------------------
+# X114: KMV / theta-style distinct sketches with set operations
+# ---------------------------------------------------------------------------
+
+from ptt_spider_go_spark.operators.sketches import (
+    KMV_HASH_SPACE,
+    KMV_K,
+    KMV_SEED,
+    kmv_estimate,
+    kmv_intersection_estimate,
+    kmv_overlap_telemetry,
+    kmv_sketch,
+    kmv_union,
+)
+
+
+def _kmv_mirror_hv(key: str) -> int:
+    h = hashlib.md5(f"{KMV_SEED}:{key}".encode()).hexdigest()
+    return int(h[:15], 16)
+
+
+def _kmv_mirror_est(keys, k):
+    hvs = sorted({_kmv_mirror_hv(x) for x in keys})[:k]
+    if len(hvs) < k:
+        return len(hvs)
+    return int((k - 1) * float(KMV_HASH_SPACE) / float(hvs[-1]) // 1)
+
+
+def _urls(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("http://t.test/u"), F.col("id").cast("string"))
+        .alias("url"))
+
+
+def test_kmv_union_of_sketches_equals_sketch_of_union(spark):
+    """kmv_union(kmv(A), kmv(B)) == kmv(A ∪ B) EXACTLY — the k
+    smallest of the union lie inside the union of the k smallests."""
+    a, b = _urls(spark, 0, 5000), _urls(spark, 3000, 9000)
+    k = 256
+    via_sketches = sorted(
+        r["hv"] for r in kmv_union(
+            kmv_sketch(a, "url", k), kmv_sketch(b, "url", k), k).collect())
+    direct = sorted(
+        r["hv"]
+        for r in kmv_sketch(a.unionByName(b), "url", k).collect())
+    assert via_sketches == direct
+
+
+def test_kmv_unsaturated_sketch_is_exact(spark):
+    """Fewer distinct keys than k -> the sketch holds the whole set
+    and every estimate (including intersection) is EXACT."""
+    a, b = _urls(spark, 0, 300), _urls(spark, 200, 450)
+    out = {
+        r["metric"]: r
+        for r in kmv_overlap_telemetry(a, b, key_col="url").collect()
+    }
+    assert out["a"]["exact"] == out["a"]["est"] == 300
+    assert out["b"]["exact"] == out["b"]["est"] == 250
+    assert out["union"]["exact"] == out["union"]["est"] == 450
+    assert out["intersection"]["exact"] == out["intersection"]["est"] == 100
+    assert all(r["est_ok"] for r in out.values())
+
+
+def test_kmv_saturated_estimates_match_pure_python_mirror(spark):
+    """Bit-exact estimator parity with a pure-Python KMV on the same
+    hash family — the same strength the DuckDB oracle pins."""
+    k = 128
+    a = _urls(spark, 0, 4000)
+    est = kmv_estimate(kmv_sketch(a, "url", k), k)
+    assert est == _kmv_mirror_est(
+        [f"http://t.test/u{i}" for i in range(4000)], k)
+    # and the estimate is actually approximate here (saturated regime)
+    assert est != 4000 and abs(est - 4000) * 10 <= 4000
+
+
+def test_kmv_intersection_tracks_true_overlap(spark):
+    a, b = _urls(spark, 0, 8000), _urls(spark, 4000, 12000)
+    sa = kmv_sketch(a, "url")
+    sb = kmv_sketch(b, "url")
+    est = kmv_intersection_estimate(sa, sb)
+    assert abs(est - 4000) * 1_000_000 <= 150_000 * 4000
+
+
+def test_kmv_disjoint_snapshots_intersect_to_zero(spark):
+    a, b = _urls(spark, 0, 3000), _urls(spark, 3000, 6000)
+    out = {
+        r["metric"]: r
+        for r in kmv_overlap_telemetry(a, b, key_col="url").collect()
+    }
+    assert out["intersection"]["exact"] == 0
+    assert out["intersection"]["est"] == 0
+    assert out["intersection"]["est_ok"]
