@@ -157,6 +157,7 @@ HEADLINE = [
     "quantile_telemetry",
     "cms_telemetry",
     "kmv_overlap_telemetry",
+    "priority_sample_mass",
 ]
 
 

@@ -1356,3 +1356,96 @@ def script_mix(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit("cyrillic"))
     )
     return base.withColumn("dominant", dom)
+
+
+# -- X115: priority sampling for unbiased subset-sum estimation ----------
+
+#: sample size: ~512 docs carry the whole corpus's mass estimates;
+#: subset-sum RSE for a stratum with share s is ~ 1/sqrt(k*s - 1).
+PRIORITY_SAMPLE_K = 512
+PRIORITY_SAMPLE_SEED = 8500
+_PS_HASH_SPACE = float(1 << 60)
+
+
+def priority_sample_mass(docs: DataFrame, k: int = PRIORITY_SAMPLE_K,
+                         tolerance_ppm: int = 300_000) -> DataFrame:
+    """(lang, exact_mass, est_mass, est_ok): priority sampling
+    (Duffield, Lund & Thorup, JACM 2007) of documents weighted by
+    character mass, verified per language stratum — the weighted-
+    sampling primitive a 100 TB pipeline uses to keep a ~constant-size
+    inspection/eval subset whose SUBSET-SUM estimates are unbiased for
+    any slice chosen LATER (per-language mass here; per-domain,
+    per-quality-bin, any predicate — same sample, no re-scan).
+
+    The scheme, exactly as published: each doc draws a fixed uniform
+    u_i from the engine's md5 hash (u = (h+1)/2^60 in (0,1]), gets
+    priority q_i = w_i / u_i, and the sample is the top-k by priority
+    with threshold tau = the (k+1)-th priority; every sampled doc
+    estimates its weight as max(w_i, tau) and E[sum over sampled in A
+    of max(w,tau)] = sum over A of w for every subset A. Fewer than
+    k+1 docs -> tau = 0 and the estimate is EXACT.
+
+    Determinism / oracle parity: q = (w * 2^60) / (h+1) is one IEEE
+    division on exact inputs (w*2^60 is integer-times-power-of-two
+    with w < 2^53 -> exact double), so priorities, the (DESC, doc_id
+    ASC)-ordered top-k, and tau are bit-identical on Spark, DuckDB,
+    and the pure-Python test mirror. The per-term estimator is
+    integerized as max(w, floor(tau)) so stratum sums are BIGINT —
+    order-independent, no float-summation divergence; the <=1-unit
+    floor bias per term is absorbed by the ppm tolerance (and by the
+    unbiasedness property itself, which holds for any fixed threshold
+    rule). est_ok is the module-standard integer-ppm check.
+
+    Scale shape: one map-only projection computes (w, q); the sample
+    is TakeOrdered(k) (no global sort, no partition-less window); tau
+    is a scalar driver probe over the (k+1)-row TakeOrdered relation;
+    the verification side pays one narrow groupBy(lang) over (lang, w)
+    — the full-scan the sample exists to replace."""
+    pr = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("w"),
+        (
+            (F.length("text").cast("double") * F.lit(_PS_HASH_SPACE))
+            / (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(
+                            F.lit(f"{PRIORITY_SAMPLE_SEED}:"),
+                            F.col("doc_id").cast("string"))),
+                        1, 15),
+                    16, 10,
+                ).cast("long") + F.lit(1)
+            ).cast("double")
+        ).alias("q"),
+    )
+    top = pr.orderBy(F.desc("q"), F.asc("doc_id")).limit(k + 1)
+    rows = top.select("q").orderBy(F.desc("q")).collect()
+    tau = float(rows[k]["q"]) if len(rows) > k else 0.0
+    tau_int = int(tau // 1)
+
+    sample = pr.orderBy(F.desc("q"), F.asc("doc_id")).limit(k)
+    est = (
+        sample.groupBy("lang")
+        .agg(
+            F.sum(F.greatest(F.col("w"), F.lit(tau_int)))
+            .alias("est_mass"))
+    )
+    exact = (
+        docs.select("lang", F.length("text").cast("long").alias("w"))
+        .groupBy("lang")
+        .agg(F.sum("w").alias("exact_mass"))
+    )
+    return (
+        exact.join(est, "lang", "left")
+        .select(
+            "lang",
+            "exact_mass",
+            F.coalesce(F.col("est_mass"), F.lit(0)).alias("est_mass"),
+            (
+                F.abs(F.coalesce(F.col("est_mass"), F.lit(0))
+                      - F.col("exact_mass")) * F.lit(1_000_000)
+                <= F.lit(tolerance_ppm) * F.col("exact_mass")
+            ).alias("est_ok"),
+        )
+    )
