@@ -158,6 +158,7 @@ HEADLINE = [
     "cms_telemetry",
     "kmv_overlap_telemetry",
     "priority_sample_mass",
+    "dataset_card",
 ]
 
 

@@ -6949,6 +6949,91 @@ def q_quantile_telemetry(spark, sf_dir):
     return quantile_sketch_telemetry(vals)
 
 
+def q_dataset_card(spark, sf_dir):
+    """The dataset card (X116, pipeline/report.py dataset_card): the
+    (metric, value) release report every published corpus ships —
+    doc/char/token counts, per-language token masses, exact-dup rate,
+    Gopher quality pass rate (reusing the oracled gopher_quality
+    pass), length p50/p90 as definitional rank quantiles. Every value
+    is BIGINT (ppm rates by integer division, quantiles by the X112
+    min-value-reaching-rank rule), so the oracle restates each
+    definition verbatim."""
+    from ptt_spider_go_spark.pipeline.report import dataset_card
+
+    return dataset_card(_t(spark, sf_dir, "documents"))
+
+
+SQL_DATASET_CARD = f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS toks,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS ltoks
+  FROM documents),
+head AS (
+  SELECT count(*) AS n_docs,
+         coalesce(sum(n_chars), 0) AS total_chars,
+         coalesce(sum(len(toks)), 0) AS total_tokens,
+         count(DISTINCT lang) AS n_langs
+  FROM t),
+gm AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CASE WHEN len(toks) > 0
+              THEN round(length(array_to_string(toks, '')) / len(toks), 4)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(toks) > 0
+              THEN round(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                         / len(toks), 4)
+              ELSE 0.0 END AS symbol_word_ratio,
+         CASE WHEN len(toks) > 0
+              THEN round(len(list_filter(toks,
+                       x -> regexp_matches(x, '[A-Za-z]'))) / len(toks), 4)
+              ELSE 0.0 END AS alpha_word_ratio,
+         len(list_intersect(list_distinct(ltoks), {_GOPHER_SW_SQL}))
+           AS n_stop_hits
+  FROM t),
+gp AS (
+  SELECT count(*) FILTER (
+           n_words >= 50 AND n_words <= 100000
+           AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+           AND symbol_word_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+           AND n_stop_hits >= 2) AS n_pass
+  FROM gm),
+dupd AS (
+  SELECT (SELECT n_docs FROM head) - count(DISTINCT md5(text)) AS d
+  FROM t),
+counts AS (SELECT n_chars AS v, count(*) AS c FROM t GROUP BY 1),
+cum AS (
+  SELECT a.v, sum(b.c) AS cum FROM counts a
+  JOIN counts b ON b.v <= a.v GROUP BY a.v)
+SELECT 'n_docs' AS metric, CAST(n_docs AS BIGINT) AS value FROM head
+UNION ALL SELECT 'total_chars', CAST(total_chars AS BIGINT) FROM head
+UNION ALL SELECT 'total_tokens', CAST(total_tokens AS BIGINT) FROM head
+UNION ALL SELECT 'n_langs', CAST(n_langs AS BIGINT) FROM head
+UNION ALL SELECT 'tokens_' || lang, CAST(sum(len(toks)) AS BIGINT)
+          FROM t GROUP BY lang
+UNION ALL SELECT 'exact_dup_docs', CAST(d AS BIGINT) FROM dupd
+UNION ALL SELECT 'dup_rate_ppm',
+          CAST(d * 1000000 // (SELECT n_docs FROM head) AS BIGINT)
+          FROM dupd
+UNION ALL SELECT 'gopher_pass_ppm',
+          CAST(n_pass * 1000000 // (SELECT n_docs FROM head) AS BIGINT)
+          FROM gp
+UNION ALL SELECT 'distinct_tokens',
+          CAST(count(DISTINCT tok) AS BIGINT)
+          FROM (SELECT unnest(toks) AS tok FROM t)
+UNION ALL SELECT 'len_p50',
+          (SELECT min(v) FROM cum
+           WHERE cum >= (50 * (SELECT n_docs FROM head) + 99) // 100)
+UNION ALL SELECT 'len_p90',
+          (SELECT min(v) FROM cum
+           WHERE cum >= (90 * (SELECT n_docs FROM head) + 99) // 100)
+"""
+
+
 def q_priority_sample_mass(spark, sf_dir):
     """Priority sampling with unbiased subset-sum verification (X115,
     pipeline/textstats.py priority_sample_mass): top-k-by-priority
@@ -7378,6 +7463,7 @@ QUERIES = {
         q_kmv_overlap_telemetry, SQL_KMV_OVERLAP_TELEMETRY),
     "priority_sample_mass": (
         q_priority_sample_mass, SQL_PRIORITY_SAMPLE_MASS),
+    "dataset_card": (q_dataset_card, SQL_DATASET_CARD),
 }
 
 

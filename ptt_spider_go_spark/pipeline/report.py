@@ -1,0 +1,117 @@
+"""X116: the dataset card — the (metric, value) release report every
+published corpus ships (C4/Pile/Gopher/FineWeb dataset cards all open
+with the same table: document and token counts, per-language masses,
+duplication rate, quality pass rate, length distribution points).
+Every number is BIGINT and definitional — counts, integer token
+masses, ppm rates by BIGINT cross-multiplication, and rank quantiles
+stated as "min value whose rank reaches ceil(p*n)" (the X112 rule) —
+so the DuckDB oracle restates each definition verbatim and matches
+bit for bit; no float ever crosses an aggregation.
+
+Scale shape: one narrow projection (char/token/hash per doc) is
+materialized ONCE (localCheckpoint) and feeds the count/mass/dup
+aggregates; vocabulary is one token explode -> distinct; the quality
+rate reuses gopher_quality's single narrow pass; quantiles run on the
+groupBy(v) value dimension with the module-standard triangular rank
+join. Each aggregate is a scalar driver probe (the authority_budgets
+idiom) and the card assembles driver-side — at 100 TB this is a
+handful of one-shuffle jobs over a shared materialized projection,
+the exact shape a release pipeline runs once per corpus cut.
+
+Reference parity: none (extension) — the reference's closest artifact
+is its progress summary (crawler.go counters); the card is what that
+becomes when the output is a training corpus instead of a directory
+of images.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ptt_spider_go_spark.pipeline.common import tokens
+
+#: quantile probe points, percent — integer rank targets
+#: r_p = (p * n + 99) DIV 100.
+CARD_QUANTILE_PCTS = (50, 90)
+
+
+def dataset_card(docs: DataFrame) -> DataFrame:
+    """(metric, value) BIGINT release report over a documents table
+    (doc_id, lang, text). Metrics: n_docs, total_chars, total_tokens,
+    distinct_tokens, n_langs, tokens_<lang> per language,
+    exact_dup_docs, dup_rate_ppm, gopher_pass_ppm, len_p50, len_p90."""
+    from ptt_spider_go_spark.pipeline.textstats import gopher_quality
+
+    spark = docs.sparkSession
+
+    base = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+        F.md5("text").alias("h"),
+    ).localCheckpoint(eager=True)
+
+    head = base.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).alias("total_chars"),
+        F.coalesce(F.sum("n_toks"), F.lit(0)).alias("total_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+    ).first()
+    n_docs = head["n_docs"]
+    rows: list[tuple[str, int]] = [
+        ("n_docs", n_docs),
+        ("total_chars", head["total_chars"]),
+        ("total_tokens", head["total_tokens"]),
+        ("n_langs", head["n_langs"]),
+    ]
+    if n_docs == 0:
+        return spark.createDataFrame(rows, "metric string, value long")
+
+    rows += sorted(
+        (f"tokens_{r['lang']}", r["m"])
+        for r in base.groupBy("lang")
+        .agg(F.sum("n_toks").alias("m"))
+        .collect()
+    )
+
+    n_groups = base.select("h").distinct().count()
+    dup_docs = n_docs - n_groups
+    rows += [
+        ("exact_dup_docs", dup_docs),
+        ("dup_rate_ppm", dup_docs * 1_000_000 // n_docs),
+    ]
+
+    n_pass = (
+        gopher_quality(docs)
+        .agg(F.coalesce(
+            F.sum(F.col("passes_gopher").cast("long")), F.lit(0)))
+        .first()[0]
+    )
+    rows.append(("gopher_pass_ppm", n_pass * 1_000_000 // n_docs))
+
+    rows.append((
+        "distinct_tokens",
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .select("t").distinct().count(),
+    ))
+
+    # rank quantiles over n_chars: min v with #{x <= v} >= ceil(p*n),
+    # computed on the distinct-value dimension (X112's shape).
+    counts = base.groupBy("n_chars").agg(F.count("*").alias("c"))
+    c2 = counts.select(F.col("n_chars").alias("_v"), "c")
+    cum = (
+        counts.select("n_chars")
+        .join(c2, c2["_v"] <= F.col("n_chars"))
+        .groupBy("n_chars")
+        .agg(F.sum("c").alias("cum"))
+    )
+    for p in CARD_QUANTILE_PCTS:
+        r_p = (p * n_docs + 99) // 100
+        v = (
+            cum.filter(F.col("cum") >= F.lit(r_p))
+            .agg(F.min("n_chars"))
+            .first()[0]
+        )
+        rows.append((f"len_p{p}", v))
+
+    return spark.createDataFrame(rows, "metric string, value long")
