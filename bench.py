@@ -159,6 +159,7 @@ HEADLINE = [
     "kmv_overlap_telemetry",
     "priority_sample_mass",
     "dataset_card",
+    "corpus_digest",
 ]
 
 

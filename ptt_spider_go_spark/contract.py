@@ -6949,6 +6949,33 @@ def q_quantile_telemetry(spark, sf_dir):
     return quantile_sketch_telemetry(vals)
 
 
+def q_corpus_digest(spark, sf_dir):
+    """Order-independent corpus digest (X117, pipeline/report.py
+    corpus_digest): the release/migration/resume equality check —
+    (n_rows, modular hash sum, hash xor) over canonicalized rows, a
+    3-value table comparison that needs no sort, join, or
+    co-location; both reductions are commutative-associative
+    (map-side combinable) and the DuckDB twin replays them
+    bit-exactly."""
+    from ptt_spider_go_spark.pipeline.report import corpus_digest
+
+    return corpus_digest(
+        _t(spark, sf_dir, "documents"), cols=["doc_id", "lang", "text"])
+
+
+SQL_CORPUS_DIGEST = """
+SELECT count(*) AS n_rows,
+       CAST(coalesce(sum(h), 0) % 2305843009213693951 AS BIGINT)
+         AS digest_sum,
+       coalesce(bit_xor(h), 0) AS digest_xor
+FROM (
+  SELECT ('0x' || substr(md5(
+           CAST(doc_id AS VARCHAR) || chr(31) || lang || chr(31) || text
+         ), 1, 15))::BIGINT AS h
+  FROM documents)
+"""
+
+
 def q_dataset_card(spark, sf_dir):
     """The dataset card (X116, pipeline/report.py dataset_card): the
     (metric, value) release report every published corpus ships —
@@ -7464,6 +7491,7 @@ QUERIES = {
     "priority_sample_mass": (
         q_priority_sample_mass, SQL_PRIORITY_SAMPLE_MASS),
     "dataset_card": (q_dataset_card, SQL_DATASET_CARD),
+    "corpus_digest": (q_corpus_digest, SQL_CORPUS_DIGEST),
 }
 
 

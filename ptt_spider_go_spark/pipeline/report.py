@@ -115,3 +115,50 @@ def dataset_card(docs: DataFrame) -> DataFrame:
         rows.append((f"len_p{p}", v))
 
     return spark.createDataFrame(rows, "metric string, value long")
+
+
+# -- X117: order-independent corpus digest -------------------------------
+
+#: Mersenne prime 2^61 - 1: the modular-sum digest's field. A decimal
+#: (38,0) accumulator holds 10^10 rows x 2^60 hashes (~10^28 << 10^38)
+#: exactly before the single end-of-aggregate reduction.
+DIGEST_MOD = (1 << 61) - 1
+_US = "\x1f"  # unit separator: unambiguous column joiner
+
+
+def corpus_digest(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """(n_rows, digest_sum, digest_xor): an order- and partitioning-
+    independent checksum of a table — the release/migration/resume
+    equality check ("did two pipelines produce the same corpus?")
+    that compares two 100 TB tables with one narrow aggregation each
+    and a 3-value diff, no sort, no join, no co-location. Two
+    independent reductions over the per-row md5 hash (sum mod 2^61-1
+    in an exact DECIMAL(38,0) accumulator; bit_xor), both commutative
+    and associative, so map-side partials combine and the digest is
+    identical under any row order, partition count, or engine —
+    DuckDB replays it bit-exactly. Multiset-correct: the modular SUM
+    distinguishes duplicate multiplicities that a pure XOR would
+    cancel (pytest-pinned), which is why both are reported.
+
+    Rows are canonicalized as unit-separator-joined column strings
+    (NULL -> a reserved sentinel distinct from any value's rendering),
+    over `cols` (default: every column, in schema order)."""
+    cols = list(df.columns) if cols is None else list(cols)
+    canon = F.concat_ws(
+        _US, *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in cols
+        ])
+    h = (
+        F.conv(F.substring(F.md5(canon), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h")
+    )
+    return df.select(h).agg(
+        F.count("*").alias("n_rows"),
+        F.expr(
+            f"CAST(coalesce(sum(CAST(h AS DECIMAL(38,0))), 0)"
+            f" % {DIGEST_MOD} AS BIGINT)"
+        ).alias("digest_sum"),
+        F.expr("coalesce(bit_xor(h), 0)").alias("digest_xor"),
+    )

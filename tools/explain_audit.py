@@ -91,9 +91,23 @@ def audit_one(name: str, df) -> dict:
             flags.append("partition-less Window (single-partition sort of "
                          "entire input)")
             break
-    if re.search(r"\(\d+\) Exchange\nInput[^\n]*\nArguments: SinglePartition",
-                 plan):
-        flags.append("Exchange SinglePartition (global funnel)")
+    for m in re.finditer(
+            r"\((\d+)\) Exchange\nInput[^\n]*\nArguments: SinglePartition",
+            plan):
+        # A SinglePartition exchange fed by a KEYLESS PARTIAL aggregate
+        # is the textbook global-aggregate reduce: map-side partials
+        # combine first and exactly ONE tiny partial row per upstream
+        # partition crosses the exchange (corpus_digest's shape). Only
+        # an exchange moving actual data rows is a funnel.
+        n = int(m.group(1))
+        child = re.search(
+            rf"\({n - 1}\) HashAggregate(?:\n[^\n]*)*?\nKeys: \[\]"
+            rf"(?:\n[^\n]*)*?partial_",
+            plan,
+        )
+        if not child:
+            flags.append("Exchange SinglePartition (global funnel)")
+            break
 
     # ReadSchema bloat: text/embedding/html read but unused in output.
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
