@@ -160,6 +160,7 @@ HEADLINE = [
     "priority_sample_mass",
     "dataset_card",
     "corpus_digest",
+    "ams_join_size",
 ]
 
 

@@ -6949,6 +6949,65 @@ def q_quantile_telemetry(spark, sf_dir):
     return quantile_sketch_telemetry(vals)
 
 
+def q_ams_join_size(spark, sf_dir):
+    """AMS F2 join-size estimation (X118, operators/sketches.py
+    ams_f2_telemetry): the second frequency moment — which IS the
+    self-join output size / equality-bucketing candidate volume — of
+    a skew-synthesized host stream, estimated from 40 integer
+    sign-sums (one keyless map-side reduce, nothing shuffles but the
+    partials) via median-of-means, next to the exact F2 groupBy the
+    sketch replaces. Integer signs, sums, floor-means, and median
+    make the DuckDB replay bit-exact."""
+    from ptt_spider_go_spark.operators.sketches import ams_f2_telemetry
+
+    docs = _t(spark, sf_dir, "documents")
+    fan = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("i"),
+    )
+    u = F.pmod(
+        md5_long((F.col("doc_id") * 20 + F.col("i")).cast("string"),
+                 seed=83),
+        F.lit(1000),
+    )
+    sq = u * u
+    hid = ((sq - F.pmod(sq, F.lit(1000))) / F.lit(1000)).cast("long")
+    rows = fan.select(
+        F.concat(F.lit("h"), hid.cast("string")).alias("host"))
+    return ams_f2_telemetry(rows, key_col="host")
+
+
+SQL_AMS_JOIN_SIZE = f"""
+WITH fan AS (SELECT doc_id, i FROM documents, range(20) t(i)),
+u AS (
+  SELECT {md5_long_sql("CAST(doc_id * 20 + i AS VARCHAR)", 83)} % 1000
+         AS v
+  FROM fan),
+rws AS (SELECT 'h' || CAST((v * v) // 1000 AS VARCHAR) AS host FROM u),
+zs AS (
+  SELECT d.r,
+         sum(1 - 2 * ((('0x' || substr(md5(concat(
+               CAST(8600 + d.r AS VARCHAR), ':', host)), 1, 15))::BIGINT)
+             % 2)) AS z
+  FROM rws, range(40) d(r) GROUP BY d.r),
+means AS (
+  SELECT (r // 8) AS g, (sum(z * z) // 8) AS m
+  FROM zs GROUP BY (r // 8)),
+med AS (
+  SELECT m AS est FROM (
+    SELECT m, row_number() OVER (ORDER BY m) AS rn FROM means)
+  WHERE rn = 3),
+exact AS (
+  SELECT sum(c * c) AS f2 FROM (
+    SELECT count(*) AS c FROM rws GROUP BY host))
+SELECT CAST(exact.f2 AS BIGINT) AS exact_f2,
+       CAST(med.est AS BIGINT) AS est_f2,
+       (med.est <= 2 * exact.f2 AND exact.f2 <= 2 * med.est)
+         AS within_2x
+FROM exact, med
+"""
+
+
 def q_corpus_digest(spark, sf_dir):
     """Order-independent corpus digest (X117, pipeline/report.py
     corpus_digest): the release/migration/resume equality check —
@@ -7492,6 +7551,7 @@ QUERIES = {
         q_priority_sample_mass, SQL_PRIORITY_SAMPLE_MASS),
     "dataset_card": (q_dataset_card, SQL_DATASET_CARD),
     "corpus_digest": (q_corpus_digest, SQL_CORPUS_DIGEST),
+    "ams_join_size": (q_ams_join_size, SQL_AMS_JOIN_SIZE),
 }
 
 

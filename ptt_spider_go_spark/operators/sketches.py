@@ -541,3 +541,106 @@ def kmv_overlap_telemetry(rows_a: DataFrame, rows_b: DataFrame,
     ]
     return spark.createDataFrame(
         rows, "metric string, exact long, est long, est_ok boolean")
+
+
+# ---------------------------------------------------------------------------
+# X118: AMS F2 sketch — join-size estimation. The second frequency
+# moment F2 = sum over keys of c_k^2 IS the self-join output size on
+# that key (and the candidate-pair volume of any equality bucketing),
+# so an F2 estimate prices a dedup/LSH join BEFORE running it — the
+# cost-model companion to the adaptive exact-Jaccard selector, and the
+# cheap detector for the Theta(n^2)-output regimes the dedup modules
+# document. Exact F2 is a full groupBy over the unbounded key domain;
+# the AMS sketch (Alon, Matias & Szegedy, STOC'96) replaces it with
+# DEPTH integer sign-sums z_r = sum over occurrences of s_r(key),
+# s_r in {-1,+1} from the engine's md5 hash family: E[z^2] = F2. The
+# estimator is the classic median-of-means (GROUPS groups x BUCKET
+# basic estimators; group mean is integer floor-division) for variance
+# control. The sketch is LINEAR: z(A ⊎ B) = z(A) + z(B) component-wise
+# — exact merge, the same superstep-composability as X113.
+#
+# Scale shape: the build is ONE keyless aggregate of DEPTH sums — a
+# map-side partial reduce; NOTHING shuffles but the 40-integer
+# partials. Key strings never leave their partition. The estimate is a
+# DEPTH-row driver probe folded in arbitrary-precision Python ints (no
+# overflow at any scale). Determinism: integer signs, integer sums,
+# integer floor-mean, integer median — the DuckDB oracle replays all
+# of it bit-exactly.
+# ---------------------------------------------------------------------------
+
+#: median of AMS_GROUPS group-means over AMS_BUCKET basic estimators
+#: each: Var(group mean) <= 2 F2^2 / AMS_BUCKET, median over odd
+#: AMS_GROUPS is an integer order statistic (no interpolation).
+AMS_GROUPS = 5
+AMS_BUCKET = 8
+AMS_DEPTH = AMS_GROUPS * AMS_BUCKET
+AMS_SEED_BASE = 8600
+
+
+def _ams_sign(key: Column, r: int) -> Column:
+    return F.lit(1) - F.lit(2) * F.pmod(
+        md5_long(key, seed=AMS_SEED_BASE + r), F.lit(2))
+
+
+def ams_f2_sketch(rows: DataFrame, key_col: str = "key",
+                  depth: int = AMS_DEPTH) -> DataFrame:
+    """(r, z): DEPTH sign-sums over the key stream — one keyless
+    aggregate (map-side partial reduce, zero key shuffles), unpivoted
+    to the mergeable (r, z) relation. Merging sketches = unionByName +
+    groupBy(r).sum(z) — exact (linearity, pytest-pinned)."""
+    key = F.col(key_col)
+    agg = rows.agg(*[
+        F.coalesce(F.sum(_ams_sign(key, r)), F.lit(0)).cast("long")
+        .alias(f"z{r}")
+        for r in range(depth)
+    ])
+    stack = ", ".join(f"{r}, z{r}" for r in range(depth))
+    return agg.selectExpr(
+        f"stack({depth}, {stack}) AS (r, z)"
+    ).select(F.col("r").cast("int").alias("r"), "z")
+
+
+def ams_merge(*sketches: DataFrame) -> DataFrame:
+    """Component-wise sum — the linear-sketch merge (exact)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("r").agg(F.sum("z").alias("z"))
+
+
+def ams_f2_estimate(sketch: DataFrame, groups: int = AMS_GROUPS,
+                    bucket: int = AMS_BUCKET) -> int:
+    """Median-of-means F2 estimate from the (r, z) relation — a
+    DEPTH-row driver probe; Python-int arithmetic, overflow-free at
+    any scale. Group g = rows bucket*g .. bucket*(g+1)-1; group mean
+    is floor((sum of z^2) / bucket); estimate = middle group mean."""
+    zs = {row["r"]: row["z"] for row in sketch.collect()}
+    means = sorted(
+        sum(zs[g * bucket + j] ** 2 for j in range(bucket)) // bucket
+        for g in range(groups)
+    )
+    return means[groups // 2]
+
+
+def ams_f2_telemetry(rows: DataFrame, key_col: str = "key",
+                     groups: int = AMS_GROUPS,
+                     bucket: int = AMS_BUCKET) -> DataFrame:
+    """(exact_f2, est_f2, within_2x): the verification report — the
+    sketch's join-size estimate next to the exact F2 (the full
+    groupBy the sketch exists to replace), flagged when the estimate
+    is within a factor of 2 either way (BIGINT cross-multiplied; the
+    deterministic md5 signs make the flag stable on fixed data, and
+    the oracle replays it bit-exactly)."""
+    spark = rows.sparkSession
+    exact = (
+        rows.groupBy(key_col).agg(F.count("*").alias("c"))
+        .agg(F.coalesce(F.sum(F.col("c") * F.col("c")), F.lit(0)))
+        .first()[0]
+    )
+    est = ams_f2_estimate(
+        ams_f2_sketch(rows, key_col, depth=groups * bucket),
+        groups, bucket)
+    ok = est <= 2 * exact and exact <= 2 * est
+    return spark.createDataFrame(
+        [(exact, est, ok)],
+        "exact_f2 long, est_f2 long, within_2x boolean")

@@ -454,3 +454,89 @@ def test_kmv_disjoint_snapshots_intersect_to_zero(spark):
     assert out["intersection"]["exact"] == 0
     assert out["intersection"]["est"] == 0
     assert out["intersection"]["est_ok"]
+
+
+# ---------------------------------------------------------------------------
+# X118: AMS F2 sketch (join-size estimation)
+# ---------------------------------------------------------------------------
+
+from ptt_spider_go_spark.operators.sketches import (
+    AMS_BUCKET,
+    AMS_DEPTH,
+    AMS_GROUPS,
+    AMS_SEED_BASE,
+    ams_f2_estimate,
+    ams_f2_sketch,
+    ams_f2_telemetry,
+    ams_merge,
+)
+
+
+def _ams_mirror_z(keys, depth):
+    zs = [0] * depth
+    for k in keys:
+        for r in range(depth):
+            h = int(
+                hashlib.md5(f"{AMS_SEED_BASE + r}:{k}".encode())
+                .hexdigest()[:15],
+                16,
+            )
+            zs[r] += 1 - 2 * (h % 2)
+    return zs
+
+
+def test_ams_sketch_matches_pure_python_mirror(spark):
+    rows = _host_rows(spark, n=1500, hosts=120)
+    got = {r["r"]: r["z"] for r in
+           ams_f2_sketch(rows, key_col="host", depth=10).collect()}
+    want = _ams_mirror_z([r["host"] for r in rows.collect()], 10)
+    assert got == {r: z for r, z in enumerate(want)}
+
+
+def test_ams_merge_is_exact_linearity(spark):
+    rows = _host_rows(spark, n=2000, hosts=150).withColumn(
+        "part", F.pmod(F.monotonically_increasing_id(), F.lit(2)))
+    parts = [
+        ams_f2_sketch(rows.filter(F.col("part") == p), key_col="host")
+        for p in range(2)
+    ]
+    merged = {r["r"]: r["z"] for r in ams_merge(*parts).collect()}
+    whole = {r["r"]: r["z"] for r in
+             ams_f2_sketch(rows, key_col="host").collect()}
+    assert merged == whole
+
+
+def test_ams_estimate_is_exact_on_distinct_only_stream(spark):
+    """All keys distinct -> F2 = n exactly, and every z is a sum of n
+    independent +-1's whose square concentrates; the flag must hold
+    and the exact side must equal n."""
+    rows = spark.range(3000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("host"))
+    out = ams_f2_telemetry(rows, key_col="host").first()
+    assert out["exact_f2"] == 3000
+    assert out["within_2x"]
+
+
+def test_ams_estimate_within_2x_on_skewed_stream(spark):
+    rows = _host_rows(spark, n=4000, hosts=300)
+    out = ams_f2_telemetry(rows, key_col="host").first()
+    # exact F2 from first principles
+    from collections import Counter
+    c = Counter(r["host"] for r in rows.collect())
+    assert out["exact_f2"] == sum(v * v for v in c.values())
+    assert out["within_2x"]
+    # and the estimate equals the mirror's median-of-means
+    zs = _ams_mirror_z(list(c.elements()), AMS_DEPTH)
+    means = sorted(
+        sum(z * z for z in zs[g * AMS_BUCKET:(g + 1) * AMS_BUCKET])
+        // AMS_BUCKET
+        for g in range(AMS_GROUPS)
+    )
+    assert out["est_f2"] == means[AMS_GROUPS // 2]
+
+
+def test_ams_empty_stream(spark):
+    rows = spark.createDataFrame([], "host string")
+    out = ams_f2_telemetry(rows, key_col="host").first()
+    assert out["exact_f2"] == 0 and out["est_f2"] == 0
+    assert not out["within_2x"] or out["est_f2"] == 0
