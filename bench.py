@@ -161,6 +161,7 @@ HEADLINE = [
     "dataset_card",
     "corpus_digest",
     "ams_join_size",
+    "rendezvous_rebalance",
 ]
 
 

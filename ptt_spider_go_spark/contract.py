@@ -6949,6 +6949,90 @@ def q_quantile_telemetry(spark, sf_dir):
     return quantile_sketch_telemetry(vals)
 
 
+def q_rendezvous_rebalance(spark, sf_dir):
+    """Rendezvous (HRW) hashing rebalance report (X119,
+    operators/sketches.py rendezvous_rebalance_report): stable
+    host->shard assignment — growing 8 -> 10 shards moves EXACTLY the
+    keys the two new shards win (n_moved == n_moved_to_new; nothing
+    reshuffles among survivors), with the fullest-shard ppm load as
+    the balance half. Pure-projection argmax (in-row struct
+    array_max), zero shuffles; the oracle replays assignment and
+    report bit-exactly via row_number ORDER BY score DESC, shard
+    DESC."""
+    from ptt_spider_go_spark.operators.sketches import (
+        rendezvous_rebalance_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fan = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("i"),
+    )
+    hosts = fan.select(
+        F.concat(
+            F.lit("h"),
+            F.pmod(
+                md5_long(
+                    (F.col("doc_id") * 10 + F.col("i")).cast("string"),
+                    seed=97),
+                F.lit(3000),
+            ).cast("string"),
+        ).alias("host"))
+    return rendezvous_rebalance_report(hosts, key_col="host")
+
+
+_RV_SCORE_SQL = (
+    "(('0x' || substr(md5(concat('8700:', CAST({s} AS VARCHAR), ':', "
+    "{k})), 1, 15))::BIGINT)"
+)
+
+SQL_RENDEZVOUS_REBALANCE = f"""
+WITH fan AS (SELECT doc_id, i FROM documents, range(10) t(i)),
+keys AS (
+  SELECT DISTINCT 'h' || CAST(
+    {md5_long_sql("CAST(doc_id * 10 + i AS VARCHAR)", 97)} % 3000
+    AS VARCHAR) AS key
+  FROM fan),
+a AS (
+  SELECT key, shard AS s_from FROM (
+    SELECT key, d.r AS shard,
+           row_number() OVER (
+             PARTITION BY key
+             ORDER BY {_RV_SCORE_SQL.format(s='d.r', k='key')} DESC,
+                      d.r DESC) AS rn
+    FROM keys, range(8) d(r)) WHERE rn = 1),
+b AS (
+  SELECT key, shard AS s_to FROM (
+    SELECT key, d.r AS shard,
+           row_number() OVER (
+             PARTITION BY key
+             ORDER BY {_RV_SCORE_SQL.format(s='d.r', k='key')} DESC,
+                      d.r DESC) AS rn
+    FROM keys, range(10) d(r)) WHERE rn = 1),
+j AS (SELECT a.key, s_from, s_to FROM a JOIN b USING (key)),
+agg AS (
+  SELECT count(*) AS n_keys,
+         count(*) FILTER (s_from <> s_to) AS n_moved,
+         count(*) FILTER (s_from <> s_to AND s_to >= 8)
+           AS n_moved_to_new
+  FROM j),
+ml AS (
+  SELECT max(c) AS mx FROM (
+    SELECT count(*) AS c FROM j GROUP BY s_to))
+SELECT 'n_keys' AS metric, CAST(n_keys AS BIGINT) AS value FROM agg
+UNION ALL SELECT 'n_moved', CAST(n_moved AS BIGINT) FROM agg
+UNION ALL SELECT 'n_moved_to_new', CAST(n_moved_to_new AS BIGINT)
+          FROM agg
+UNION ALL SELECT 'minimal_disruption',
+          CAST(CASE WHEN n_moved = n_moved_to_new THEN 1 ELSE 0 END
+               AS BIGINT) FROM agg
+UNION ALL SELECT 'max_load_ppm_to',
+          CAST(CASE WHEN (SELECT n_keys FROM agg) > 0
+               THEN ml.mx * 1000000 // (SELECT n_keys FROM agg)
+               ELSE 0 END AS BIGINT) FROM ml
+"""
+
+
 def q_ams_join_size(spark, sf_dir):
     """AMS F2 join-size estimation (X118, operators/sketches.py
     ams_f2_telemetry): the second frequency moment — which IS the
@@ -7552,6 +7636,8 @@ QUERIES = {
     "dataset_card": (q_dataset_card, SQL_DATASET_CARD),
     "corpus_digest": (q_corpus_digest, SQL_CORPUS_DIGEST),
     "ams_join_size": (q_ams_join_size, SQL_AMS_JOIN_SIZE),
+    "rendezvous_rebalance": (
+        q_rendezvous_rebalance, SQL_RENDEZVOUS_REBALANCE),
 }
 
 

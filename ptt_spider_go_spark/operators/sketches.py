@@ -644,3 +644,80 @@ def ams_f2_telemetry(rows: DataFrame, key_col: str = "key",
     return spark.createDataFrame(
         [(exact, est, ok)],
         "exact_f2 long, est_f2 long, within_2x boolean")
+
+
+# ---------------------------------------------------------------------------
+# X119: rendezvous (highest-random-weight) hashing — stable host ->
+# shard assignment (Thaler & Ravishankar 1996; the scheme Kafka
+# consumers, Ceph-adjacent placement, and crawler frontier routers use
+# where mod-N hashing reshuffles EVERYTHING on resize). shard(key) =
+# argmax over shards of h(shard, key). The property that matters for a
+# long-running crawl: growing N -> M moves EXACTLY the keys the new
+# shards win (every key whose argmax stays in 0..N-1 keeps its shard),
+# so politeness lanes / seen-set shards / per-worker frontiers survive
+# a cluster resize with 1 - N/M of nothing moving and NO coordinated
+# rebalance. Mod-N moves ~(1 - 1/M) of all keys; HRW moves the
+# information-theoretic minimum share in expectation.
+#
+# Scale shape: a PURE PROJECTION — the argmax folds an n_shards-wide
+# in-row array of (score, shard) structs (array_max = lexicographic
+# struct max: score first, larger shard on the measure-zero tie), zero
+# shuffles, zero joins; the rebalance report adds one narrow groupBy.
+# Determinism: scores are the md5 family, the tiebreak is total, and
+# the DuckDB oracle replays assignment + rebalance bit-exactly
+# (row_number ORDER BY score DESC, shard DESC == the struct max).
+# ---------------------------------------------------------------------------
+
+RV_SEED = 8700
+
+
+def rendezvous_assign(rows: DataFrame, key_col: str = "key",
+                      n_shards: int = 32) -> DataFrame:
+    """(key..., shard): HRW shard assignment as an added column."""
+    key = F.col(key_col)
+    arr = F.array(*[
+        F.struct(
+            md5_long(F.concat(F.lit(f"{s}:"), key), seed=RV_SEED)
+            .alias("score"),
+            F.lit(s).cast("int").alias("shard"),
+        )
+        for s in range(n_shards)
+    ])
+    return rows.withColumn("shard", F.array_max(arr)["shard"])
+
+
+def rendezvous_rebalance_report(rows: DataFrame, key_col: str = "key",
+                                n_from: int = 8,
+                                n_to: int = 10) -> DataFrame:
+    """(metric, value): what a resize from n_from to n_to shards does
+    to the DISTINCT key population — n_keys, n_moved, n_moved_to_new
+    (moved keys whose new owner is a NEW shard; when growing,
+    minimal disruption means n_moved == n_moved_to_new: nothing
+    reshuffles among survivors — structural, computed genuinely,
+    pytest-pinned), minimal_disruption as 0/1, and max_load_ppm_to
+    (the fullest new shard's share of keys, BIGINT ppm — the balance
+    half of the story)."""
+    spark = rows.sparkSession
+    keys = rows.select(F.col(key_col).alias("key")).distinct()
+    a = rendezvous_assign(keys, "key", n_from).withColumnRenamed(
+        "shard", "s_from")
+    both = rendezvous_assign(a, "key", n_to).withColumnRenamed(
+        "shard", "s_to").localCheckpoint(eager=True)
+    n_keys = both.count()
+    moved = both.filter(F.col("s_from") != F.col("s_to"))
+    n_moved = moved.count()
+    n_moved_new = moved.filter(F.col("s_to") >= n_from).count()
+    max_load = (
+        both.groupBy("s_to").agg(F.count("*").alias("c"))
+        .agg(F.coalesce(F.max("c"), F.lit(0))).first()[0]
+    )
+    rows_out = [
+        ("n_keys", n_keys),
+        ("n_moved", n_moved),
+        ("n_moved_to_new", n_moved_new),
+        ("minimal_disruption",
+         1 if (n_moved == n_moved_new and n_to >= n_from) else 0),
+        ("max_load_ppm_to",
+         max_load * 1_000_000 // n_keys if n_keys else 0),
+    ]
+    return spark.createDataFrame(rows_out, "metric string, value long")

@@ -540,3 +540,78 @@ def test_ams_empty_stream(spark):
     out = ams_f2_telemetry(rows, key_col="host").first()
     assert out["exact_f2"] == 0 and out["est_f2"] == 0
     assert not out["within_2x"] or out["est_f2"] == 0
+
+
+# ---------------------------------------------------------------------------
+# X119: rendezvous (HRW) hashing
+# ---------------------------------------------------------------------------
+
+from ptt_spider_go_spark.operators.sketches import (
+    RV_SEED,
+    rendezvous_assign,
+    rendezvous_rebalance_report,
+)
+
+
+def _rv_mirror(key: str, n: int) -> int:
+    best = None
+    for s in range(n):
+        h = int(
+            hashlib.md5(f"{RV_SEED}:{s}:{key}".encode()).hexdigest()[:15],
+            16,
+        )
+        if best is None or (h, s) > best:
+            best = (h, s)
+    return best[1]
+
+
+def test_rendezvous_matches_pure_python_mirror(spark):
+    keys = spark.range(400).select(
+        F.concat(F.lit("host"), F.col("id").cast("string")).alias("key"))
+    got = {r["key"]: r["shard"]
+           for r in rendezvous_assign(keys, "key", 12).collect()}
+    assert got == {k: _rv_mirror(k, 12) for k in got}
+
+
+def test_rendezvous_grow_moves_only_to_new_shards(spark):
+    """THE property: every key that changes owner on 8 -> 13 moves to
+    a NEW shard — survivors never reshuffle among themselves."""
+    keys = spark.range(2000).select(
+        F.concat(F.lit("host"), F.col("id").cast("string")).alias("key"))
+    a = rendezvous_assign(keys, "key", 8).withColumnRenamed(
+        "shard", "s8")
+    both = rendezvous_assign(a, "key", 13).withColumnRenamed(
+        "shard", "s13").collect()
+    moved = [r for r in both if r["s8"] != r["s13"]]
+    assert moved  # growth does claim keys
+    assert all(r["s13"] >= 8 for r in moved)
+    # and the expected share moved: ~5/13 of keys, generous band
+    assert 0.2 <= len(moved) / len(both) <= 0.55
+
+
+def test_rendezvous_shrink_moves_only_orphans(spark):
+    """Removing shards relocates exactly the orphaned keys."""
+    keys = spark.range(1500).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("key"))
+    a = rendezvous_assign(keys, "key", 10).withColumnRenamed(
+        "shard", "s10")
+    both = rendezvous_assign(a, "key", 7).withColumnRenamed(
+        "shard", "s7").collect()
+    for r in both:
+        if r["s10"] <= 6:
+            assert r["s7"] == r["s10"]   # survivors keep their shard
+        else:
+            assert r["s7"] <= 6          # orphans land on survivors
+
+
+def test_rendezvous_rebalance_report_structural_flags(spark):
+    keys = spark.range(3000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("host"))
+    got = {r["metric"]: r["value"]
+           for r in rendezvous_rebalance_report(
+               keys, key_col="host", n_from=8, n_to=10).collect()}
+    assert got["n_keys"] == 3000
+    assert got["minimal_disruption"] == 1
+    assert got["n_moved"] == got["n_moved_to_new"]
+    # balance: fullest of 10 shards near 1/10 of keys (ppm, wide band)
+    assert 80_000 <= got["max_load_ppm_to"] <= 140_000
