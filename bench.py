@@ -162,6 +162,8 @@ HEADLINE = [
     "corpus_digest",
     "ams_join_size",
     "rendezvous_rebalance",
+    # r5g retrieval / layout / tokenizer closers
+    "bm25_topk",
 ]
 
 

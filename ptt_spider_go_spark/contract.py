@@ -7448,6 +7448,73 @@ FROM probs p, nn
 """
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval over a distributed inverted index (X120,
+    pipeline/retrieval.py bm25_topk): the Lucene-shaped lexical
+    ranker every curation pipeline needs for contamination triage /
+    seed-set expansion / relevance audits. Postings + df + doc-length
+    relations in two shuffles; eval-holdout docs (doc_id % 97 == 0)
+    act as queries via their first-8-token term sets; scoring is a
+    broadcast term join + BIGINT micro-nat contribution sum; top-5
+    per query via a window PARTITIONED by q_id. idf is rounded once
+    at the distinct-term level (ln of an exact integer ratio); the
+    tf saturation is an exact BIGINT rational — the oracle replays
+    every value bit-identically."""
+    from ptt_spider_go_spark.pipeline.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), k=5)
+
+
+SQL_BM25_TOPK = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+scal AS (SELECT count(*) AS n, CAST(coalesce(sum(dl), 0) AS BIGINT) AS s
+         FROM lens),
+postings AS (
+  SELECT term, doc_id, count(*) AS tf FROM (
+    SELECT doc_id, unnest(toks) AS term FROM toks)
+  GROUP BY term, doc_id),
+dfs AS (
+  SELECT term, count(*) AS df,
+         CAST(round(ln((2 * scal.n + 2) / (2 * count(*) + 1)) * 1000000)
+              AS BIGINT) AS idf_micro
+  FROM postings, scal
+  GROUP BY term, scal.n),
+qterms AS (
+  SELECT doc_id AS q_id, term FROM (
+    SELECT doc_id, term, min(j) AS first_pos FROM (
+      SELECT doc_id, unnest(toks) AS term,
+             unnest(generate_series(0, len(toks) - 1)) AS j
+      FROM toks WHERE doc_id % 97 = 0)
+    GROUP BY doc_id, term)
+  WHERE first_pos < 8),
+scored AS (
+  SELECT q.q_id, p.doc_id,
+         CAST(sum(CAST(round(d.idf_micro *
+               ((22 * p.tf * scal.s) /
+                (10 * p.tf * scal.s + 3 * scal.s + 9 * scal.n * l.dl)))
+             AS BIGINT)) AS BIGINT) AS score_micro
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN lens l ON l.doc_id = p.doc_id
+  JOIN dfs d USING (term), scal
+  WHERE p.doc_id <> q.q_id
+  GROUP BY q.q_id, p.doc_id)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro
+FROM (
+  SELECT q_id, doc_id, score_micro,
+         row_number() OVER (
+           PARTITION BY q_id
+           ORDER BY score_micro DESC, doc_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -7638,6 +7705,7 @@ QUERIES = {
     "ams_join_size": (q_ams_join_size, SQL_AMS_JOIN_SIZE),
     "rendezvous_rebalance": (
         q_rendezvous_rebalance, SQL_RENDEZVOUS_REBALANCE),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
 }
 
 
