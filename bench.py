@@ -164,6 +164,7 @@ HEADLINE = [
     "rendezvous_rebalance",
     # r5g retrieval / layout / tokenizer closers
     "bm25_topk",
+    "kmeans_clusters",
 ]
 
 

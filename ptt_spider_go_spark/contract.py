@@ -7515,6 +7515,78 @@ WHERE rank <= 5
 """
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Exact-integer Lloyd k-means over embeddings (X121,
+    pipeline/kmeans.py kmeans_clusters): two unrolled Lloyd rounds,
+    everything BIGINT — floor-quantized micro-unit dims, squared-L2
+    assignment with (dist, cid) tie-break, floor-mean M-step (the
+    floor(double-div) exactness proof is in the module docstring),
+    label-seeded deterministic init. Per final cluster: membership
+    count, centroid L1 mass, and the WCSS objective after the second
+    M-step. Each round = one zero-shuffle full-scan assign (the k·d
+    model rides as literals) + one k·d-row map-side-combining
+    groupBy — the canonical 1000-executor k-means shape."""
+    from ptt_spider_go_spark.pipeline.kmeans import kmeans_clusters
+
+    return kmeans_clusters(_t(spark, sf_dir, "embeddings"), n_iters=2)
+
+
+_KM_DIST = (
+    "list_reduce(list_transform(generate_series(1, len({q})), "
+    "i -> ({q}[i] - {c}[i]) * ({q}[i] - {c}[i])), (x, y) -> x + y)"
+)
+
+SQL_KMEANS_CLUSTERS = f"""
+WITH quant AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+  FROM embeddings),
+c0 AS (
+  SELECT CAST(label AS BIGINT) AS cid, q AS c FROM (
+    SELECT label, q,
+           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS r
+    FROM quant) WHERE r = 1),
+a1 AS (
+  SELECT vec_id, q, cid FROM (
+    SELECT v.vec_id, v.q, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_KM_DIST.format(q='v.q', c='c.c')}, c.cid) AS r
+    FROM quant v, c0 c) WHERE r = 1),
+c1 AS (
+  SELECT cid, list(cd ORDER BY pos) AS c FROM (
+    SELECT cid, pos,
+           CAST(floor(CAST(sum(qd) AS DOUBLE) / count(*)) AS BIGINT) AS cd
+    FROM (SELECT cid, unnest(q) AS qd,
+                 unnest(generate_series(1, len(q))) AS pos FROM a1)
+    GROUP BY cid, pos) GROUP BY cid),
+a2 AS (
+  SELECT vec_id, q, cid FROM (
+    SELECT v.vec_id, v.q, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_KM_DIST.format(q='v.q', c='c.c')}, c.cid) AS r
+    FROM quant v, c1 c) WHERE r = 1),
+c2 AS (
+  SELECT cid, list(cd ORDER BY pos) AS c FROM (
+    SELECT cid, pos,
+           CAST(floor(CAST(sum(qd) AS DOUBLE) / count(*)) AS BIGINT) AS cd
+    FROM (SELECT cid, unnest(q) AS qd,
+                 unnest(generate_series(1, len(q))) AS pos FROM a2)
+    GROUP BY cid, pos) GROUP BY cid)
+SELECT a.cid,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(CAST(list_reduce(list_transform(c.c, x -> abs(x)),
+                                 (x, y) -> x + y) AS BIGINT)) AS BIGINT)
+         AS c_l1,
+       CAST(sum({_KM_DIST.format(q='a.q', c='c.c')}) AS BIGINT) AS wcss
+FROM a2 a JOIN c2 c USING (cid)
+GROUP BY a.cid
+ORDER BY a.cid
+"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -7706,6 +7778,7 @@ QUERIES = {
     "rendezvous_rebalance": (
         q_rendezvous_rebalance, SQL_RENDEZVOUS_REBALANCE),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
 }
 
 
