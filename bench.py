@@ -165,6 +165,7 @@ HEADLINE = [
     # r5g retrieval / layout / tokenizer closers
     "bm25_topk",
     "kmeans_clusters",
+    "zorder_prune_summary",
 ]
 
 

@@ -7587,6 +7587,97 @@ ORDER BY a.cid
 """
 
 
+def q_zorder_receipts(spark, sf_dir):
+    """Z-order vs append layout pruning receipts (X122,
+    pipeline/layout.py zorder_receipts): events bucketed two ways at
+    EQUAL file count (1024) — top-10-bit Morton prefix of
+    interleave(x16, y16) over min-max-scaled dims (the deterministic
+    stand-in for Delta's range-rank; the unscaled interleave
+    measurably degenerates) vs the time-sorted y16>>6 layout — with
+    the per-bucket min/max manifest stats an Iceberg/Delta writer
+    would carry and a `touched` flag for a fixed RAW-unit 2-D query
+    box. Pure BIGINT bit arithmetic + provably-exact floor
+    divisions; one scalar probe, one projection, one bounded
+    groupBy."""
+    from ptt_spider_go_spark.pipeline.layout import zorder_receipts
+
+    return zorder_receipts(_t(spark, sf_dir, "events"))
+
+
+def q_zorder_prune_summary(spark, sf_dir):
+    """Headline skip ratio per layout (X122, pipeline/layout.py
+    prune_summary): buckets touched and rows scanned by the fixed
+    query box under the Morton layout vs the append layout — the
+    receipt that z-ordering turns a 2-D box into O(selectivity)
+    file reads while the time-sorted layout drags every user
+    through the time slice."""
+    from ptt_spider_go_spark.pipeline.layout import prune_summary
+
+    return prune_summary(_t(spark, sf_dir, "events"))
+
+
+def _morton_sql(x: str, y: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({y} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_SQL_ZORDER_BUCKETS = f"""
+dims AS (
+  SELECT user_id AS x,
+         CAST(floor(CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE)
+                    / 60000000) AS BIGINT) AS y
+  FROM events),
+bounds AS (
+  SELECT min(x) AS xlo, greatest(max(x) - min(x), 1) AS xr,
+         min(y) AS ylo, greatest(max(y) - min(y), 1) AS yr
+  FROM dims),
+scaled AS (
+  SELECT x, y,
+         CAST(floor(CAST((x - xlo) * 65535 AS DOUBLE) / xr) AS BIGINT)
+           AS x16,
+         CAST(floor(CAST((y - ylo) * 65535 AS DOUBLE) / yr) AS BIGINT)
+           AS y16
+  FROM dims, bounds),
+b AS (
+  SELECT 'morton' AS layout,
+         CAST({_morton_sql('x16', 'y16')} >> 22 AS BIGINT) AS bucket,
+         x, y
+  FROM scaled
+  UNION ALL
+  SELECT 'linear' AS layout, CAST(y16 >> 6 AS BIGINT) AS bucket, x, y
+  FROM scaled),
+r AS (
+  SELECT layout, bucket, CAST(count(*) AS BIGINT) AS n,
+         min(x) AS x_min, max(x) AS x_max,
+         min(y) AS y_min, max(y) AS y_max
+  FROM b GROUP BY layout, bucket),
+t AS (
+  SELECT layout, bucket, n, x_min, x_max, y_min, y_max,
+         CAST((x_max >= 64 AND x_min <= 127 AND
+               y_max >= 10240 AND y_min <= 12287) AS BIGINT) AS touched
+  FROM r)
+"""
+
+SQL_ZORDER_RECEIPTS = f"""
+WITH {_SQL_ZORDER_BUCKETS}
+SELECT layout, bucket, n, x_min, x_max, y_min, y_max, touched
+FROM t ORDER BY layout, bucket
+"""
+
+SQL_ZORDER_PRUNE_SUMMARY = f"""
+WITH {_SQL_ZORDER_BUCKETS}
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS buckets_total,
+       CAST(sum(touched) AS BIGINT) AS buckets_touched,
+       CAST(sum(n) AS BIGINT) AS rows_total,
+       CAST(sum(touched * n) AS BIGINT) AS rows_scanned
+FROM t GROUP BY layout ORDER BY layout
+"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -7779,6 +7870,9 @@ QUERIES = {
         q_rendezvous_rebalance, SQL_RENDEZVOUS_REBALANCE),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
+    "zorder_receipts": (q_zorder_receipts, SQL_ZORDER_RECEIPTS),
+    "zorder_prune_summary": (
+        q_zorder_prune_summary, SQL_ZORDER_PRUNE_SUMMARY),
 }
 
 
