@@ -166,6 +166,7 @@ HEADLINE = [
     "bm25_topk",
     "kmeans_clusters",
     "zorder_prune_summary",
+    "bpe_encode",
 ]
 
 

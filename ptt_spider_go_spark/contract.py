@@ -7678,6 +7678,89 @@ FROM t GROUP BY layout ORDER BY layout
 """
 
 
+def q_bpe_encode(spark, sf_dir):
+    """BPE tokenizer-apply (X123, pipeline/bpe.py bpe_encode —
+    completes X53's trainer): merges are TRAINED on the doc_id%3==0
+    sample (3 rounds of the X53 loop), then the FULL corpus is
+    encoded in one map-only projection composing the greedy folds in
+    training order — the sample-train / full-apply split every
+    production tokenizer pipeline runs. No shuffles, no probes in
+    the encode; per-doc receipt carries original token count, encoded
+    symbol count, and the encoded text."""
+    from ptt_spider_go_spark.pipeline import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    table, _ = bpe.phrase_merges(
+        docs.filter(F.col("doc_id") % 3 == 0), n_merges=3
+    )
+    merges = [
+        (r["lhs"], r["rhs"]) for r in table.orderBy("step").collect()
+    ]
+    enc = bpe.bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id", "n_in",
+        F.size("syms").cast("long").alias("n_out"),
+        F.array_join("syms", " ").alias("merged_text"),
+    )
+
+
+def _bpe_fold_sql(src: str, m: str) -> str:
+    """The greedy left-to-right merge fold of _bpe_sql, folding
+    `syms` of relation `src` with the (a, b) pair of argmax relation
+    `m` (NULL pair -> identity fold)."""
+    return f"""
+  SELECT doc_id, n_in,
+         list_filter(string_split(
+           CASE WHEN len(syms) = 0 THEN ''
+                ELSE list_reduce(syms, (acc, x) ->
+                  CASE WHEN (acc = {m}.a OR
+                             ends_with(acc, ' ' || {m}.a))
+                            AND x = {m}.b
+                       THEN substr(acc, 1,
+                                   length(acc) - length({m}.a))
+                            || {m}.a || '+' || {m}.b
+                       ELSE acc || ' ' || x END) END, ' '),
+           y -> y <> '') AS syms
+  FROM {src} LEFT JOIN {m} ON TRUE"""
+
+
+def _bpe_encode_sql(n_merges: int = 3) -> str:
+    """DuckDB twin of q_bpe_encode: the X53 training chain restricted
+    to the doc_id%3==0 sample, then the apply chain over ALL docs
+    replaying each round's pair."""
+    sql = """
+WITH t0 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS syms
+  FROM documents),
+s0 AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS n_in, syms FROM t0
+  WHERE doc_id % 3 = 0),
+e0 AS (
+  SELECT doc_id, CAST(len(syms) AS BIGINT) AS n_in, syms FROM t0)"""
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        sql += f""",
+p{k} AS (
+  SELECT syms[j] AS a, syms[j+1] AS b
+  FROM (SELECT syms,
+               unnest(generate_series(1, greatest(len(syms) - 1, 0))) AS j
+        FROM s{p}) t),
+m{k} AS (SELECT a, b, count(*) AS c FROM p{k}
+         GROUP BY a, b ORDER BY c DESC, a, b LIMIT 1),
+s{k} AS ({_bpe_fold_sql(f's{p}', f'm{k}')}),
+e{k} AS ({_bpe_fold_sql(f'e{p}', f'm{k}')})"""
+    return sql + f"""
+SELECT doc_id, n_in, CAST(len(syms) AS BIGINT) AS n_out,
+       array_to_string(syms, ' ') AS merged_text
+FROM e{n_merges}
+"""
+
+
+SQL_BPE_ENCODE = _bpe_encode_sql()
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -7873,6 +7956,7 @@ QUERIES = {
     "zorder_receipts": (q_zorder_receipts, SQL_ZORDER_RECEIPTS),
     "zorder_prune_summary": (
         q_zorder_prune_summary, SQL_ZORDER_PRUNE_SUMMARY),
+    "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
 }
 
 

@@ -138,3 +138,46 @@ def phrase_merges(docs: DataFrame, n_merges: int = 3,
         rows, "step int, lhs string, rhs string, pair_count long"
     )
     return table, cur
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
+               checkpoint_every: int = 8) -> DataFrame:
+    """Apply a TRAINED merge list to a corpus — the tokenizer
+    inference path (X123; completes the train half above the way
+    SentencePiece's encode completes its trainer).
+
+    This is the job that actually runs at 100 TB: training touches a
+    sample, but every shard of the full corpus gets ENCODED. Unlike
+    the training loop there are no pair-count shuffles and no argmax
+    probes here — the merge list is a driver-side model (R rows), and
+    the encode is ONE map-only projection composing the R greedy
+    folds in training order (merge priority = training order, the
+    BPE contract). Map-only means: embarrassingly parallel, no
+    exchange, whole plan in a single stage per chunk.
+
+    Expression-depth guard: every `checkpoint_every` folds the
+    lineage is truncated with an eager localCheckpoint — the same
+    O(R²)-avoidance discipline as the trainer, needed only because
+    Catalyst's expression tree (not the data path) grows with R.
+
+    Returns (doc_id, n_in, syms): original token count and the
+    encoded symbol array. n_in − size(syms) is the number of merge
+    events the encode performed.
+    """
+    cur = docs.select(
+        "doc_id",
+        tokens(F.col("text")).alias("syms"),
+    ).select(
+        "doc_id", F.size("syms").cast("long").alias("n_in"), "syms"
+    )
+    for i, (a, b) in enumerate(merges, 1):
+        cur = cur.select(
+            "doc_id", "n_in",
+            F.filter(
+                F.split(_fold_apply(F.col("syms"), a, b), " "),
+                lambda t: t != "",
+            ).alias("syms"),
+        )
+        if i % checkpoint_every == 0 and i < len(merges):
+            cur = cur.localCheckpoint(eager=True)
+    return cur
