@@ -167,6 +167,7 @@ HEADLINE = [
     "kmeans_clusters",
     "zorder_prune_summary",
     "bpe_encode",
+    "dsir_weights",
 ]
 
 

@@ -7761,6 +7761,65 @@ FROM e{n_merges}
 SQL_BPE_ENCODE = _bpe_encode_sql()
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed n-gram importance weights (X124,
+    pipeline/dsir.py dsir_weights — Xie et al., NeurIPS 2023): score
+    every document by the Laplace-smoothed log-likelihood ratio of
+    its hashed unigram+bigram occurrences under the eval-holdout
+    target distribution vs the raw pool. One corpus explode, one
+    512-bucket groupBy counting both sides, one scalar-totals probe,
+    a broadcast B-row LLR join and one doc_id groupBy; the smoothed
+    ratio is an exact integer ratio divided once in doubles, rounded
+    once per bucket to micro-nats, so per-doc weights are pure
+    BIGINT sums — bit-identical in the oracle."""
+    from ptt_spider_go_spark.pipeline.dsir import dsir_weights
+
+    return dsir_weights(_t(spark, sf_dir, "documents"))
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+uni AS (SELECT doc_id, unnest(toks) AS f FROM toks),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(toks) - 1, 0)),
+           i -> toks[i] || ' ' || toks[i + 1])) AS f
+  FROM toks),
+feats AS (
+  SELECT doc_id, {md5_long_sql('f')} % 512 AS bucket,
+         (doc_id % 97 = 0) AS is_target
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+counts AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS cr
+  FROM feats GROUP BY bucket),
+tot AS (
+  SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS tt,
+         CAST(coalesce(sum(cr), 0) AS BIGINT) AS rt
+  FROM counts),
+llr AS (
+  SELECT bucket,
+         CAST(round(ln(CAST((ct + 1) * (rt + 512) AS DOUBLE) /
+                       CAST((cr + 1) * (tt + 512) AS DOUBLE)) * 1000000)
+              AS BIGINT) AS llr_micro
+  FROM counts, tot),
+doc_w AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(llr_micro) AS BIGINT) AS weight_micro
+  FROM feats JOIN llr USING (bucket) GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(w.n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(coalesce(w.weight_micro, 0) AS BIGINT) AS weight_micro
+FROM documents d LEFT JOIN doc_w w USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -7957,6 +8016,7 @@ QUERIES = {
     "zorder_prune_summary": (
         q_zorder_prune_summary, SQL_ZORDER_PRUNE_SUMMARY),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
+    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
 }
 
 
