@@ -7762,10 +7762,12 @@ SQL_BPE_ENCODE = _bpe_encode_sql()
 
 
 def q_dsir_weights(spark, sf_dir):
-    """DSIR hashed n-gram importance weights (X124,
-    pipeline/dsir.py dsir_weights — Xie et al., NeurIPS 2023): score
-    every document by the Laplace-smoothed log-likelihood ratio of
-    its hashed unigram+bigram occurrences under the eval-holdout
+    """DSIR bigram importance weights (X124, pipeline/dsir.py
+    dsir_weights — Xie et al., NeurIPS 2023; completes X50's unigram
+    selector with the paper's full unigram+bigram feature space and
+    emits the raw weight relation a downstream resampler consumes):
+    score every document by the Laplace-smoothed log-likelihood
+    ratio of its hashed feature occurrences under the eval-holdout
     target distribution vs the raw pool. One corpus explode, one
     512-bucket groupBy counting both sides, one scalar-totals probe,
     a broadcast B-row LLR join and one doc_id groupBy; the smoothed

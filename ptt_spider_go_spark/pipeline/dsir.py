@@ -39,6 +39,15 @@ repo (doc_id % 97 == 0 — the docs that act as quality exemplars);
 raw = everything else. Both distributions come from the same single
 feature-stream pass.
 
+Relation to lm.dsir_select (X50): X50 runs the paper's pipeline over
+UNIGRAM buckets with a source-designated target and finishes with
+rank-based resampling. This module completes the feature model to
+the paper's actual hashed n-gram space — unigrams + BIGRAMS, whose
+ablation is the paper's central result (bigrams are what separate
+fluent text from shuffled text) — and stops at the importance-WEIGHT
+relation, the artifact any downstream resampler (X50's per-language
+rank rule, textstats' priority sampler) consumes.
+
 Reference tie-in: the Go crawler filters by push-count threshold
 (crawler.go:117 via config.Push) — a popularity proxy; distribution-
 level quality targeting is pipeline-extension territory (SURVEY §2
