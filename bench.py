@@ -168,6 +168,9 @@ HEADLINE = [
     "zorder_prune_summary",
     "bpe_encode",
     "dsir_weights",
+    "nbayes_scores",
+    "collocations",
+    "eval_contamination",
 ]
 
 

@@ -7822,6 +7822,169 @@ ORDER BY d.doc_id
 """
 
 
+def q_nbayes_scores(spark, sf_dir):
+    """Multinomial Naive Bayes quality classifier TRAIN + APPLY
+    (X125, pipeline/nbayes.py — the trained-weight-table replacement
+    X37's docstring names; FineWeb-Edu/DCLM-style exemplar-trained
+    cheap classifier): train per-class token models on the labeled
+    slices (doc_id%97==0 positives, ==1 negatives), score EVERY doc
+    with exact-BIGINT micro-nat log-odds (Laplace-smoothed per-token
+    llr rounded once at the vocab level, OOV at the Laplace floor,
+    class prior added once); predict_pos compares the integer to 0.
+    One labeled explode + one vocab groupBy trains; one corpus
+    explode + one vocab join + one doc groupBy applies."""
+    from ptt_spider_go_spark.pipeline.nbayes import nbayes_scores
+
+    return nbayes_scores(_t(spark, sf_dir, "documents"))
+
+
+SQL_NBAYES_SCORES = """
+WITH lab AS (
+  SELECT doc_id, (doc_id % 97 = 0) AS is_pos,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE doc_id % 97 IN (0, 1)),
+counts AS (
+  SELECT tok,
+         CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+  FROM (SELECT doc_id, is_pos, unnest(toks) AS tok FROM lab)
+  GROUP BY tok),
+tot AS (
+  SELECT CAST(coalesce(sum(cp), 0) AS BIGINT) AS pt,
+         CAST(coalesce(sum(cn), 0) AS BIGINT) AS nt,
+         CAST(count(*) AS BIGINT) AS v
+  FROM counts),
+dtot AS (
+  SELECT CAST(coalesce(sum(CASE WHEN is_pos THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS np,
+         CAST(coalesce(sum(CASE WHEN is_pos THEN 0 ELSE 1 END), 0)
+              AS BIGINT) AS nn
+  FROM lab),
+consts AS (
+  SELECT
+    CASE WHEN np > 0 AND nn > 0
+         THEN CAST(round(ln(CAST(np AS DOUBLE) / CAST(nn AS DOUBLE))
+                         * 1000000) AS BIGINT)
+         ELSE 0 END AS prior_micro,
+    CASE WHEN v > 0
+         THEN CAST(round(ln(CAST(nt + v AS DOUBLE) /
+                            CAST(pt + v AS DOUBLE)) * 1000000) AS BIGINT)
+         ELSE 0 END AS oov_micro
+  FROM tot, dtot),
+model AS (
+  SELECT tok,
+         CAST(round(ln(CAST((cp + 1) * (nt + v) AS DOUBLE) /
+                       CAST((cn + 1) * (pt + v) AS DOUBLE)) * 1000000)
+              AS BIGINT) AS llr_micro
+  FROM counts, tot),
+stream AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+sc AS (
+  SELECT s.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN m.llr_micro IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_oov,
+         CAST(sum(coalesce(m.llr_micro,
+                           (SELECT oov_micro FROM consts)))
+              AS BIGINT) AS sum_llr
+  FROM stream s LEFT JOIN model m USING (tok)
+  GROUP BY s.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(sc.n_oov, 0) AS BIGINT) AS n_oov,
+       CAST(coalesce(sc.sum_llr, 0) + (SELECT prior_micro FROM consts)
+            AS BIGINT) AS score_micro,
+       (coalesce(sc.sum_llr, 0) + (SELECT prior_micro FROM consts)) > 0
+         AS predict_pos
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q_collocations(spark, sf_dir):
+    """PMI collocation mining (X126, pipeline/collocations.py —
+    Mikolov et al. 2013 word2phrase): top-100 adjacent token pairs by
+    discounted PMI ln((c_ab−1)·N/(c_a·c_b)) among pairs with
+    c_ab >= 3, micro-nat exact (one integer ratio, one division, one
+    ln, one round). Two counting groupBys + one scalar probe + two
+    vocab joins + a TakeOrdered; deterministic (score DESC, a, b)
+    total order."""
+    from ptt_spider_go_spark.pipeline.collocations import collocations
+
+    return collocations(_t(spark, sf_dir, "documents"))
+
+
+SQL_COLLOCATIONS = """
+WITH toked AS (
+  SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(toks) AS tok FROM toked) GROUP BY tok),
+big AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+  FROM (SELECT toks[i] AS a, toks[i + 1] AS b
+        FROM (SELECT toks,
+                     unnest(generate_series(1, greatest(len(toks) - 1, 0)))
+                       AS i
+              FROM toked) t)
+  GROUP BY a, b HAVING count(*) >= 3),
+n AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_tok FROM uni)
+SELECT g.a, g.b, g.c_ab, ua.c AS c_a, ub.c AS c_b,
+       CAST(round(ln(CAST((g.c_ab - 1) * n.n_tok AS DOUBLE) /
+                     CAST(ua.c * ub.c AS DOUBLE)) * 1000000)
+            AS BIGINT) AS score_micro
+FROM big g
+JOIN uni ua ON g.a = ua.tok
+JOIN uni ub ON g.b = ub.tok, n
+ORDER BY score_micro DESC, a, b
+LIMIT 100
+"""
+
+
+def q_eval_contamination(spark, sf_dir):
+    """Benchmark-side contamination report (X127,
+    dedup_text.eval_contamination — GPT-3 appendix-C direction): per
+    EVAL doc (doc_id%97==0), the fraction of its distinct 13-grams
+    found anywhere in the train side, as exact integer ppm. One
+    train-side distinct on the 60-bit gram hash + one broadcast-sized
+    eval join + one doc groupBy."""
+    return dedup_text.eval_contamination(_t(spark, sf_dir, "documents"))
+
+
+SQL_EVAL_CONTAMINATION = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '') AS toks
+  FROM documents),
+g0 AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, greatest(len(toks) - 13, 0))) AS j
+  FROM toks),
+grams AS (
+  SELECT DISTINCT doc_id,
+         {md5_long_sql(_GRAM13)} AS gh
+  FROM g0),
+train_gh AS (
+  SELECT DISTINCT gh FROM grams WHERE doc_id % 97 <> 0)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN t.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_train,
+       CAST(sum(CASE WHEN t.gh IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS contamination_ppm,
+       sum(CASE WHEN t.gh IS NOT NULL THEN 1 ELSE 0 END) > 0 AS is_burned
+FROM grams g LEFT JOIN train_gh t ON g.gh = t.gh
+WHERE g.doc_id % 97 = 0
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -8019,6 +8182,9 @@ QUERIES = {
         q_zorder_prune_summary, SQL_ZORDER_PRUNE_SUMMARY),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "nbayes_scores": (q_nbayes_scores, SQL_NBAYES_SCORES),
+    "collocations": (q_collocations, SQL_COLLOCATIONS),
+    "eval_contamination": (q_eval_contamination, SQL_EVAL_CONTAMINATION),
 }
 
 

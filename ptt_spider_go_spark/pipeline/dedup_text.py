@@ -769,3 +769,64 @@ def excise_dup_substrings(docs: DataFrame, window_tokens: int = 10,
             .cast("long").alias("n_removed_tokens"),
         )
     )
+
+
+def eval_contamination(docs: DataFrame, n: int = 13,
+                       eval_modulus: int = 97) -> DataFrame:
+    """(doc_id, n_grams, n_in_train, contamination_ppm, is_burned)
+    for every EVALUATION document: the benchmark-side contamination
+    report (X127) — decontaminate (X26) answers "which TRAIN docs
+    leak eval text" and filters them; this answers the reverse
+    question a benchmark owner asks before trusting a score: "how
+    much of each EVAL doc already occurs verbatim in the training
+    corpus" (the GPT-3 appendix-C "dirty" analysis / PaLM's
+    per-benchmark contamination percentages — reported per eval doc
+    as the fraction of its distinct word n-grams found anywhere in
+    the train side).
+
+    Same deterministic eval carve as X26 (doc_id % eval_modulus == 0
+    plays the benchmark; everything else is training data); docs
+    shorter than n tokens contribute one gram of all their tokens
+    (shingles_from_tokens semantics).
+
+    Scale shape: the eval side is tiny by construction (~1%; a real
+    benchmark is MBs) — its distinct (doc_id, gh) relation costs one
+    small groupBy. The train side needs only its DISTINCT gram-hash
+    dimension: one corpus explode -> one distinct on the 60-bit gram
+    hash [the only big shuffle] -> LEFT join onto the eval grams
+    (AQE broadcasts the eval side) -> one groupBy(doc_id). No n^2
+    anything; the fraction is integer-exact ppm (BIGINT cross-
+    multiplied floor division, no float).
+
+    Reference tie-in: no analogue in the Go crawler; extension
+    territory (SURVEY §2 X-table).
+    """
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("toks"), n)).alias("gram"),
+    ).select("doc_id", md5_long(F.col("gram")).alias("gh"))
+    is_eval = F.col("doc_id") % eval_modulus == 0
+    eval_grams = grams.filter(is_eval).groupBy("doc_id", "gh").agg(
+        F.lit(1).alias("_one")
+    )
+    train_gh = (
+        grams.filter(~is_eval).select("gh").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        eval_grams.join(train_gh, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long").alias("n_in_train"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_in_train",
+            F.expr("n_in_train * 1000000 DIV n_grams")
+            .alias("contamination_ppm"),
+            (F.col("n_in_train") > 0).alias("is_burned"),
+        )
+        .orderBy("doc_id")
+    )
