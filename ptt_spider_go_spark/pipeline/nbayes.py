@@ -92,9 +92,12 @@ def train_nbayes(docs: DataFrame) -> tuple[DataFrame, dict[str, int]]:
     lab = docs.filter(
         (F.col("doc_id") % LABEL_MOD).isin(POS_RESIDUE, NEG_RESIDUE)
     ).withColumn("is_pos", F.col("doc_id") % LABEL_MOD == POS_RESIDUE)
+    # localCheckpoint: the vocab-sized counts relation feeds the
+    # scalar probe AND the model projection — materialize it once
+    # instead of re-running the labeled explode+groupBy per consumer
+    # (the authority_budgets/ADVICE-r04 idiom).
     counts = (
-        _token_stream(lab)
-        .join(lab.select("doc_id", "is_pos"), "doc_id")
+        lab.select("is_pos", F.explode(tokens(F.col("text"))).alias("tok"))
         .groupBy("tok")
         .agg(
             F.sum(F.when(F.col("is_pos"), 1).otherwise(0))
@@ -102,6 +105,7 @@ def train_nbayes(docs: DataFrame) -> tuple[DataFrame, dict[str, int]]:
             F.sum(F.when(F.col("is_pos"), 0).otherwise(1))
             .cast("long").alias("cn"),
         )
+        .localCheckpoint()
     )
     probe = counts.agg(
         F.sum("cp").alias("pt"), F.sum("cn").alias("nt"),
@@ -147,8 +151,14 @@ def nbayes_scores(docs: DataFrame) -> DataFrame:
     Ordered by doc_id."""
     model, s = train_nbayes(docs)
     toks = _token_stream(docs)
+    # broadcast: the model is sample-trained (vocab of the ~2% labeled
+    # slice), so it is broadcast-bounded by construction; broadcasting
+    # keeps the corpus token stream — the biggest relation in the job —
+    # from shuffling on the token key (a giant-vocab model would flip
+    # this to a shuffle join, trading one corpus exchange for it).
     scored = (
-        toks.join(model.select("tok", "llr_micro"), "tok", "left")
+        toks.join(F.broadcast(model.select("tok", "llr_micro")),
+                  "tok", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
