@@ -171,6 +171,8 @@ HEADLINE = [
     "nbayes_scores",
     "collocations",
     "eval_contamination",
+    "containment_pairs",
+    "dedup_attrition",
 ]
 
 

@@ -7985,6 +7985,105 @@ ORDER BY g.doc_id
 """
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric set-containment pairs (X128,
+    dedup_text.containment_pairs — the quote/subset detector):
+    distinct-token containment in EITHER direction >= 0.95, exact
+    integer ppm (BIGINT cross-multiplied floor division, no float
+    anywhere — no rounding-boundary caveat by construction). Adaptive
+    plan: the measured probe routes the dense synthetic corpus to the
+    bitset popcount kernel (probe + kernel ~8 s vs the token
+    self-join's 29.5 s at sf0.1) and Zipfian text to the bucket-bounded self-join; the
+    PPJoin length filter deliberately does NOT apply on either path
+    (containment admits any size ratio — that is the point)."""
+    return dedup_text.containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold_ppm=950_000)
+
+
+SQL_CONTAINMENT_PAIRS = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, lang AS bucket,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM tok GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS common
+  FROM tok a JOIN tok b
+    ON a.tok = b.tok AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT c.doc_a, c.doc_b, c.common, sa.sz AS sz_a, sb.sz AS sz_b,
+       c.common * 1000000 // sa.sz AS cont_a_ppm,
+       c.common * 1000000 // sb.sz AS cont_b_ppm
+FROM common c
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE c.common * 1000000 // sa.sz >= 950000
+   OR c.common * 1000000 // sb.sz >= 950000
+"""
+
+
+def q_dedup_attrition(spark, sf_dir):
+    """Cross-source dedup attrition matrix (X129,
+    report.dedup_attrition): the corpus is extended with
+    deterministic duplicate injections — a 'mirror' source copying
+    every doc_id%7==0 text, an intra-source re-post of doc_id%11==0,
+    and a rotated-source copy of doc_id%13==0 — and the matrix
+    reports (keeper_source, loser_source, n_docs_lost, tokens_lost)
+    under the X1 md5-exact/min-id-keeper rule. All BIGINT."""
+    from ptt_spider_go_spark.pipeline.report import dedup_attrition
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source", "text")
+    mirror = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.lit("mirror").alias("source"), "text")
+    intra = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "source", "text")
+    rot = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(F.lit("src"),
+                 (((F.col("doc_id") % 20) + 1) % 20).cast("string"))
+        .alias("source"),
+        "text")
+    return dedup_attrition(
+        base.unionByName(mirror).unionByName(intra).unionByName(rot))
+
+
+SQL_DEDUP_ATTRITION = """
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, 'mirror', text FROM documents
+  WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, source, text FROM documents
+  WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 3000000,
+         'src' || CAST(((doc_id % 20) + 1) % 20 AS VARCHAR), text
+  FROM documents WHERE doc_id % 13 = 0),
+hh AS (
+  SELECT doc_id, source, md5(text) AS h,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM corpus),
+k AS (SELECT h, min(doc_id) AS keeper_id FROM hh GROUP BY h),
+l AS (
+  SELECT a.source AS loser_source, a.n_tokens, ks.source AS keeper_source
+  FROM hh a
+  JOIN k ON a.h = k.h AND a.doc_id <> k.keeper_id
+  JOIN hh ks ON ks.doc_id = k.keeper_id)
+SELECT keeper_source, loser_source,
+       CAST(count(*) AS BIGINT) AS n_docs_lost,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_lost
+FROM l GROUP BY keeper_source, loser_source
+ORDER BY keeper_source, loser_source
+"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -8185,6 +8284,8 @@ QUERIES = {
     "nbayes_scores": (q_nbayes_scores, SQL_NBAYES_SCORES),
     "collocations": (q_collocations, SQL_COLLOCATIONS),
     "eval_contamination": (q_eval_contamination, SQL_EVAL_CONTAMINATION),
+    "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
+    "dedup_attrition": (q_dedup_attrition, SQL_DEDUP_ATTRITION),
 }
 
 

@@ -384,6 +384,69 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.4,
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
+def _doc_bitmasks(docs: DataFrame, bucket_col: str = "lang") -> DataFrame:
+    """(doc_id, bucket, sz, masks): per-document vocabulary bitmask
+    relation shared by the bitset Jaccard and containment kernels —
+    per-bucket dense token ids, each document as ceil(V/64) longs,
+    zero-filled to the bucket's fixed chunk count so zip_with in the
+    pair joins sees equal-length arrays. The dictionary and chunk
+    counts are broadcast dimension tables (V <= BITSET_MAX_VOCAB per
+    bucket when the selector routes here)."""
+    tok = docs.select(
+        "doc_id", F.col(bucket_col).alias("bucket"),
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+    )
+    # Per-bucket dense token ids. The dictionary is tiny by selection,
+    # so the single-reducer-per-bucket rank window is a non-issue.
+    vocab = tok.select("bucket", "tok").distinct()
+    w_bucket = Window.partitionBy("bucket").orderBy("tok")
+    vocab_ids = vocab.withColumn("tok_id", F.row_number().over(w_bucket) - 1)
+    n_chunks = vocab_ids.groupBy("bucket").agg(
+        (F.max("tok_id") / 64 + 1).cast("long").alias("n_chunks")
+    )
+
+    ids = tok.join(F.broadcast(vocab_ids), ["bucket", "tok"]).select(
+        "doc_id", "bucket",
+        (F.col("tok_id") / 64).cast("long").alias("chunk"),
+        F.pmod(F.col("tok_id"), F.lit(64)).cast("int").alias("bit"),
+    )
+    per_chunk = ids.groupBy("doc_id", "bucket", "chunk").agg(
+        F.expr("bit_or(shiftleft(1L, bit))").alias("m")
+    )
+    return (
+        per_chunk.groupBy("doc_id", "bucket")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("chunk", "m"))
+            ).alias("mm"),
+            F.sum(F.bit_count("m")).alias("sz"),
+        )
+        .join(F.broadcast(n_chunks), "bucket")
+        # Zero-fill to a fixed per-bucket chunk count so zip_with in the
+        # pair join sees equal-length arrays.
+        .select(
+            "doc_id", "bucket", "sz",
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1),
+                lambda c: F.coalesce(F.col("mm")[c], F.lit(0).cast("long")),
+            ).alias("masks"),
+        )
+    )
+
+
+def _mask_intersection() -> F.Column:
+    """popcount(sum_i a.masks[i] & b.masks[i]) over aliased relations
+    'a' and 'b' — the shared per-pair kernel."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("a.masks"), F.col("b.masks"),
+            lambda x, y: F.bit_count(x.bitwiseAND(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def ngram_jaccard_pairs_bitset(docs: DataFrame, threshold: float = 0.4,
                                bucket_col: str = "lang") -> DataFrame:
     """Exact Jaccard pairs via per-document vocabulary bitmasks — same
@@ -414,47 +477,7 @@ def ngram_jaccard_pairs_bitset(docs: DataFrame, threshold: float = 0.4,
     LSH (lsh_candidate_pairs), not an exact join; the selector's vocab
     bound keeps this kernel inside that envelope.
     """
-    tok = docs.select(
-        "doc_id", F.col(bucket_col).alias("bucket"),
-        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
-    )
-    # Per-bucket dense token ids. The dictionary is tiny by selection
-    # (V <= BITSET_MAX_VOCAB per bucket when routed here), so the
-    # single-reducer-per-bucket rank window is a non-issue.
-    vocab = tok.select("bucket", "tok").distinct()
-    w_bucket = Window.partitionBy("bucket").orderBy("tok")
-    vocab_ids = vocab.withColumn("tok_id", F.row_number().over(w_bucket) - 1)
-    n_chunks = vocab_ids.groupBy("bucket").agg(
-        (F.max("tok_id") / 64 + 1).cast("long").alias("n_chunks")
-    )
-
-    ids = tok.join(F.broadcast(vocab_ids), ["bucket", "tok"]).select(
-        "doc_id", "bucket",
-        (F.col("tok_id") / 64).cast("long").alias("chunk"),
-        F.pmod(F.col("tok_id"), F.lit(64)).cast("int").alias("bit"),
-    )
-    per_chunk = ids.groupBy("doc_id", "bucket", "chunk").agg(
-        F.expr("bit_or(shiftleft(1L, bit))").alias("m")
-    )
-    doc_masks = (
-        per_chunk.groupBy("doc_id", "bucket")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("chunk", "m"))
-            ).alias("mm"),
-            F.sum(F.bit_count("m")).alias("sz"),
-        )
-        .join(F.broadcast(n_chunks), "bucket")
-        # Zero-fill to a fixed per-bucket chunk count so zip_with in the
-        # pair join sees equal-length arrays.
-        .select(
-            "doc_id", "bucket", "sz",
-            F.transform(
-                F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1),
-                lambda c: F.coalesce(F.col("mm")[c], F.lit(0).cast("long")),
-            ).alias("masks"),
-        )
-    )
+    doc_masks = _doc_bitmasks(docs, bucket_col)
 
     nparts = int(
         docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
@@ -463,14 +486,7 @@ def ngram_jaccard_pairs_bitset(docs: DataFrame, threshold: float = 0.4,
     b = F.broadcast(doc_masks.alias("b"))
     # Slackened for the round(J,4) emit boundary — see JACCARD_ROUND_SLACK.
     t = float(threshold) - JACCARD_ROUND_SLACK
-    inter = F.aggregate(
-        F.zip_with(
-            F.col("a.masks"), F.col("b.masks"),
-            lambda x, y: F.bit_count(x.bitwiseAND(y)).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    inter = _mask_intersection()
     return (
         a.join(
             b,
@@ -829,4 +845,125 @@ def eval_contamination(docs: DataFrame, n: int = 13,
             (F.col("n_in_train") > 0).alias("is_burned"),
         )
         .orderBy("doc_id")
+    )
+
+
+def containment_pairs(docs: DataFrame, threshold_ppm: int = 600_000,
+                      bucket_col: str = "lang",
+                      sample_fraction: float | None = None) -> DataFrame:
+    """Adaptive entry for asymmetric containment (X128): routes to the
+    bitset kernel in the small-vocab dense regime (the same measured
+    probe the Jaccard selector uses — on the dense synthetic corpus
+    measured at sf0.1: probe 3.6 s + kernel 4.4 s vs 29.5 s for the
+    token self-join) and to the token self-join otherwise. The 'prefix' rung
+    has no containment analogue (the PPJoin length filter assumes a
+    bounded size ratio — exactly what containment must not), so
+    Zipfian corpora route to the self-join with bucket bounding and
+    stop-token df-capping as the levers; both paths produce identical
+    output (equivalence-tested). See containment_pairs_naive for
+    semantics."""
+    p = jaccard_probe(docs, sample_fraction)
+    if p["vocab"] <= BITSET_MAX_VOCAB and p["density"] >= BITSET_MIN_DENSITY:
+        return containment_pairs_bitset(docs, threshold_ppm, bucket_col)
+    return containment_pairs_naive(docs, threshold_ppm, bucket_col)
+
+
+def containment_pairs_bitset(docs: DataFrame,
+                             threshold_ppm: int = 600_000,
+                             bucket_col: str = "lang") -> DataFrame:
+    """Bitset kernel for containment — same output as
+    containment_pairs_naive. The dense regime is the one where every
+    pair collides on some token, so the candidate join IS the pair
+    space and the only lever is per-pair cost: |A∩B| collapses to a
+    handful of AND+popcount words via the shared _doc_bitmasks
+    relation (broadcast build side, streamed probe side). NO length
+    bound is applied in the join condition — containment admits any
+    size ratio by design."""
+    doc_masks = _doc_bitmasks(docs, bucket_col)
+    nparts = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    a = doc_masks.repartition(nparts, "doc_id").alias("a")
+    b = F.broadcast(doc_masks.alias("b"))
+    return (
+        a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"),
+                      F.col("a.doc_id") < F.col("b.doc_id")])
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            _mask_intersection().alias("common"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .withColumn("cont_a_ppm", F.expr("common * 1000000 DIV sz_a"))
+        .withColumn("cont_b_ppm", F.expr("common * 1000000 DIV sz_b"))
+        .filter((F.col("cont_a_ppm") >= threshold_ppm)
+                | (F.col("cont_b_ppm") >= threshold_ppm))
+        .select("doc_a", "doc_b", "common", "sz_a", "sz_b",
+                "cont_a_ppm", "cont_b_ppm")
+    )
+
+
+def containment_pairs_naive(docs: DataFrame, threshold_ppm: int = 600_000,
+                            bucket_col: str = "lang") -> DataFrame:
+    """(doc_a, doc_b, common, sz_a, sz_b, cont_a_ppm, cont_b_ppm):
+    ASYMMETRIC set containment over distinct-token sets (X128) — the
+    quote/subset detector Jaccard is blind to. C(B⊆A) = |A∩B|/|B| is
+    ~1 when B is a quote, excerpt, or boilerplate-wrapped copy living
+    inside a much larger A, while J(A,B) = |A∩B|/|A∪B| stays tiny
+    (a 50-token quote in a 5,000-token page has J ≈ 0.01 — below any
+    usable Jaccard threshold — but C = 1.0). Near-dup passes built on
+    symmetric similarity systematically miss these partial copies
+    (the Lee et al. 2022 ExactSubstr motivation); the containment
+    relation is the set-level screen that finds them. A pair is
+    emitted when EITHER direction clears `threshold_ppm`; both
+    directions are reported (cont_a_ppm = share of A's tokens found
+    in B, cont_b_ppm = share of B's inside A).
+
+    Scale shape: the same bucket-bounded distinct-token self-join as
+    ngram_jaccard_pairs (one explode, one equi-join on (bucket, tok),
+    one pair groupBy, two size joins). NOTE the asymmetry has a real
+    scale consequence: the PPJoin length filter does NOT apply
+    (containment admits ANY size ratio — t·|A| ≤ |B| is exactly the
+    bound that quote detection must NOT assume), so the candidate set
+    is the raw token-collision set and the bucket bound plus stop-
+    token df-capping are the pruning levers; the LSH-family scale
+    path is asymmetric MinHash (Shrivastava & Li 2014), which trades
+    exactness for candidates the way X2 does for Jaccard.
+
+    Exactness: containment is published as exact integer ppm
+    (BIGINT cross-multiplied floor division) and the threshold
+    compares integers — no float anywhere, so the oracle replays
+    bit-exactly with no rounding-boundary caveat (the ADVICE-r04
+    PPJoin lesson applied by construction).
+
+    Reference tie-in: no analogue in the Go crawler (its dedup is
+    URL-level, crawler.go globalSeen); extension territory (SURVEY §2
+    X-table).
+    """
+    tok = docs.select(
+        "doc_id", F.col(bucket_col).alias("bucket"),
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    common = (
+        a.join(b, on=[F.col("a.tok") == F.col("b.tok"),
+                      F.col("a.bucket") == F.col("b.bucket"),
+                      F.col("a.doc_id") < F.col("b.doc_id")])
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("cont_a_ppm", F.expr("common * 1000000 DIV sz_a"))
+        .withColumn("cont_b_ppm", F.expr("common * 1000000 DIV sz_b"))
+        .filter((F.col("cont_a_ppm") >= threshold_ppm)
+                | (F.col("cont_b_ppm") >= threshold_ppm))
+        .select("doc_a", "doc_b", "common", "sz_a", "sz_b",
+                "cont_a_ppm", "cont_b_ppm")
     )

@@ -162,3 +162,55 @@ def corpus_digest(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         ).alias("digest_sum"),
         F.expr("coalesce(bit_xor(h), 0)").alias("digest_xor"),
     )
+
+
+def dedup_attrition(docs: DataFrame) -> DataFrame:
+    """(keeper_source, loser_source, n_docs_lost, tokens_lost):
+    cross-source dedup attrition matrix (X129) — WHO loses WHAT to
+    WHOM when exact dedup keeps one copy per text. Released corpora
+    report this accounting (FineWeb's cross-snapshot dedup tables:
+    how much of each CC snapshot survives dedup against the others;
+    Dolma's per-source attrition) because the answer changes the mix:
+    if source B loses most of its tokens to keepers in source A, B's
+    nominal share of the training mix is an illusion.
+
+    Semantics: exact groups by md5(text) (the X1 key), keeper = the
+    group's min doc_id (the X1/X15 canonical rule). Every NON-keeper
+    doc contributes one row of evidence (its source loses the doc and
+    its tokens) attributed to its keeper's source; same-source rows
+    (keeper_source == loser_source) are intra-source duplication.
+    Unique docs lose nothing and appear nowhere.
+
+    Scale shape: one narrow (doc_id, source, md5, token-count)
+    projection; ONE groupBy on the md5 key (map-side combinable
+    min/count — text bytes never shuffle); keeper attribution is an
+    equi-join back on the keeper doc_id (key cardinality = number of
+    dup groups, far smaller than the corpus); the matrix groupBy
+    emits at most |sources|² rows. All counts BIGINT — the oracle
+    replays bit-exactly.
+
+    Reference tie-in: the Go crawler's accounting is the progress
+    counter set (progress.go); corpus-level release accounting is
+    extension territory (SURVEY §2 X-table).
+    """
+    h = docs.select(
+        "doc_id", "source", F.md5(F.col("text")).alias("h"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    keepers = h.groupBy("h").agg(F.min("doc_id").alias("keeper_id"))
+    ksrc = h.select(F.col("doc_id").alias("keeper_id"),
+                    F.col("source").alias("keeper_source"))
+    losers = (
+        h.join(keepers, "h")
+        .filter(F.col("doc_id") != F.col("keeper_id"))
+        .join(ksrc, "keeper_id")
+    )
+    return (
+        losers.groupBy("keeper_source",
+                       F.col("source").alias("loser_source"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs_lost"),
+            F.sum("n_tokens").cast("long").alias("tokens_lost"),
+        )
+        .orderBy("keeper_source", "loser_source")
+    )
