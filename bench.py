@@ -173,6 +173,7 @@ HEADLINE = [
     "eval_contamination",
     "containment_pairs",
     "dedup_attrition",
+    "bpe_fertility",
 ]
 
 

@@ -8084,6 +8084,63 @@ ORDER BY keeper_source, loser_source
 """
 
 
+def q_bpe_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility report (X130) — the tokenizer
+    EVALUATION every multilingual corpus runs before committing to a
+    vocab (the XLM-R/NLLB fertility tables: symbols emitted per input
+    word, per language; a language with high fertility is
+    under-served by the merges and will pay more context per word):
+    the X123 sample-trained encode (doc_id%3==0, 3 merge rounds)
+    applied to the full corpus, rolled up per lang as exact BIGINT
+    sums with fertility_ppm = tokens_out * 1e6 DIV tokens_in (NULL
+    for a language with no tokens). Composition receipts: the oracle
+    nests the entire SQL_BPE_ENCODE chain."""
+    from ptt_spider_go_spark.pipeline import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    table, _ = bpe.phrase_merges(
+        docs.filter(F.col("doc_id") % 3 == 0), n_merges=3
+    )
+    merges = [
+        (r["lhs"], r["rhs"]) for r in table.orderBy("step").collect()
+    ]
+    enc = bpe.bpe_encode(docs, merges)
+    per = enc.select(
+        "doc_id", F.col("n_in").cast("long").alias("n_in"),
+        F.size("syms").cast("long").alias("n_out"),
+    )
+    return (
+        per.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_in").cast("long").alias("tokens_in"),
+            F.sum("n_out").cast("long").alias("tokens_out"),
+        )
+        .withColumn(
+            "fertility_ppm",
+            F.expr("CASE WHEN tokens_in > 0 "
+                   "THEN tokens_out * 1000000 DIV tokens_in END"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_BPE_FERTILITY = f"""
+WITH enc AS ({SQL_BPE_ENCODE})
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(e.n_in) AS BIGINT) AS tokens_in,
+       CAST(sum(e.n_out) AS BIGINT) AS tokens_out,
+       CASE WHEN sum(e.n_in) > 0
+            THEN CAST(sum(e.n_out) * 1000000 // sum(e.n_in) AS BIGINT)
+            END AS fertility_ppm
+FROM enc e JOIN documents d ON e.doc_id = d.doc_id
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -8286,6 +8343,7 @@ QUERIES = {
     "eval_contamination": (q_eval_contamination, SQL_EVAL_CONTAMINATION),
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "dedup_attrition": (q_dedup_attrition, SQL_DEDUP_ATTRITION),
+    "bpe_fertility": (q_bpe_fertility, SQL_BPE_FERTILITY),
 }
 
 
