@@ -54,9 +54,14 @@ def collocations(
     pairs by discounted PMI among pairs with c_ab >= min_count,
     ordered (score_micro DESC, a, b)."""
     toked = docs.select(tokens(F.col("text")).alias("toks"))
+    # localCheckpoint: the vocab-sized unigram counts feed the scalar
+    # N probe AND both sides of the scoring join — materialize once
+    # instead of re-running the corpus explode+groupBy per consumer
+    # (the authority_budgets/ADVICE-r04 idiom).
     uni = (
         toked.select(F.explode("toks").alias("tok"))
         .groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint()
     )
     pair_arr = F.when(
         F.size("toks") >= 2,
