@@ -174,6 +174,8 @@ HEADLINE = [
     "containment_pairs",
     "dedup_attrition",
     "bpe_fertility",
+    "pq_codes",
+    "pq_adc_topk",
 ]
 
 

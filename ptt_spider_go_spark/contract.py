@@ -8141,6 +8141,141 @@ ORDER BY d.lang
 """
 
 
+def _pq_chain_sql(m: int, sub_d: int = 16) -> str:
+    """One subspace's full training chain (the X121 two-round Lloyd
+    SQL over the sliced vectors) ending in the final code assignment
+    under the post-round-2 codebook."""
+    lo, hi = m * sub_d + 1, (m + 1) * sub_d
+    d = _KM_DIST
+
+    def _assign(name: str, cents: str) -> str:
+        return f"""
+{name} AS (
+  SELECT vec_id, q, cid FROM (
+    SELECT v.vec_id, v.q, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {d.format(q='v.q', c='c.c')}, c.cid) AS r
+    FROM quant{m} v, {cents} c) WHERE r = 1)"""
+
+    def _update(name: str, src: str) -> str:
+        return f"""
+{name} AS (
+  SELECT cid, list(cd ORDER BY pos) AS c FROM (
+    SELECT cid, pos,
+           CAST(floor(CAST(sum(qd) AS DOUBLE) / count(*)) AS BIGINT) AS cd
+    FROM (SELECT cid, unnest(q) AS qd,
+                 unnest(generate_series(1, len(q))) AS pos FROM {src})
+    GROUP BY cid, pos) GROUP BY cid)"""
+
+    return f"""
+quant{m} AS (SELECT vec_id, label, q[{lo}:{hi}] AS q FROM quant),
+c0_{m} AS (
+  SELECT CAST(label AS BIGINT) AS cid, q AS c FROM (
+    SELECT label, q,
+           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS r
+    FROM quant{m}) WHERE r = 1),{_assign(f'a1_{m}', f'c0_{m}')},{_update(f'c1_{m}', f'a1_{m}')},{_assign(f'a2_{m}', f'c1_{m}')},{_update(f'c2_{m}', f'a2_{m}')},
+code{m} AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT v.vec_id, c.cid, {d.format(q='v.q', c='c.c')} AS d,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {d.format(q='v.q', c='c.c')}, c.cid) AS r
+    FROM quant{m} v, c2_{m} c) WHERE r = 1)"""
+
+
+_PQ_QUANT = """
+quant AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+  FROM embeddings)"""
+
+
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization codes + reconstruction error (X131,
+    pipeline/pq.py pq_codes — Jégou et al., TPAMI 2011; FAISS
+    IVF-PQ's compression half, completing the X5–X9 ANN family):
+    M=4 subspaces of 16 dims, per-subspace codebooks trained with the
+    X121 exact-integer Lloyd loop (label-seeded, two rounds), then
+    code assignment as ONE map-only projection — all four argmins
+    and the BIGINT reconstruction error ride in the expression, zero
+    joins. The oracle replays all four training chains and every
+    code bit-exactly."""
+    from ptt_spider_go_spark.pipeline.pq import pq_codes
+
+    return pq_codes(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_PQ_CODES = f"""
+WITH {_PQ_QUANT},{''.join(_pq_chain_sql(m) + ',' for m in range(4)).rstrip(',')}
+SELECT c0.vec_id,
+       c0.cid AS code0, c1.cid AS code1, c2.cid AS code2, c3.cid AS code3,
+       CAST(c0.d + c1.d + c2.d + c3.d AS BIGINT) AS qerr
+FROM code0 c0
+JOIN code1 c1 USING (vec_id)
+JOIN code2 c2 USING (vec_id)
+JOIN code3 c3 USING (vec_id)
+ORDER BY c0.vec_id
+"""
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """ADC search receipt (X131, pipeline/pq.py pq_adc_topk): per
+    holdout query (vec_id % 97 == 0), top-5 database vectors by
+    asymmetric distance — Σ over the 4 subspaces of the query's
+    k-entry look-up table at the vector's code (M map lookups per
+    vector instead of 64 multiplies, the PQ scoring shape) — with
+    the exact quantized distance alongside so the approximation is
+    auditable. All BIGINT; the oracle rebuilds the tables from the
+    replayed codebooks and matches every rank."""
+    from ptt_spider_go_spark.pipeline.pq import pq_adc_topk
+
+    return pq_adc_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+def _pq_tab_sql(m: int, sub_d: int = 16) -> str:
+    lo, hi = m * sub_d + 1, (m + 1) * sub_d
+    return f"""
+qv{m} AS (SELECT q_id, q[{lo}:{hi}] AS q FROM qv),
+tab{m} AS (
+  SELECT qq.q_id, c.cid, {_KM_DIST.format(q='qq.q', c='c.c')} AS d
+  FROM qv{m} qq, c2_{m} c)"""
+
+
+SQL_PQ_ADC_TOPK = f"""
+WITH {_PQ_QUANT},{''.join(_pq_chain_sql(m) + ',' for m in range(4)).rstrip(',')},
+qv AS (SELECT vec_id AS q_id, q FROM quant WHERE vec_id % 97 = 0),{''.join(_pq_tab_sql(m) + ',' for m in range(4)).rstrip(',')},
+codes AS (
+  SELECT c0.vec_id, c0.cid AS code0, c1.cid AS code1,
+         c2.cid AS code2, c3.cid AS code3
+  FROM code0 c0
+  JOIN code1 c1 USING (vec_id)
+  JOIN code2 c2 USING (vec_id)
+  JOIN code3 c3 USING (vec_id)),
+adc AS (
+  SELECT q.q_id, x.vec_id,
+         CAST(t0.d + t1.d + t2.d + t3.d AS BIGINT) AS adc_d2,
+         CAST({_KM_DIST.format(q='f.q', c='q.q')} AS BIGINT) AS exact_d2
+  FROM qv q
+  CROSS JOIN codes x
+  JOIN quant f ON f.vec_id = x.vec_id
+  JOIN tab0 t0 ON t0.q_id = q.q_id AND t0.cid = x.code0
+  JOIN tab1 t1 ON t1.q_id = q.q_id AND t1.cid = x.code1
+  JOIN tab2 t2 ON t2.q_id = q.q_id AND t2.cid = x.code2
+  JOIN tab3 t3 ON t3.q_id = q.q_id AND t3.cid = x.code3
+  WHERE x.vec_id <> q.q_id)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_d2, exact_d2
+FROM (
+  SELECT q_id, vec_id, adc_d2, exact_d2,
+         row_number() OVER (
+           PARTITION BY q_id ORDER BY adc_d2, vec_id) AS rank
+  FROM adc)
+WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -8344,6 +8479,8 @@ QUERIES = {
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "dedup_attrition": (q_dedup_attrition, SQL_DEDUP_ATTRITION),
     "bpe_fertility": (q_bpe_fertility, SQL_BPE_FERTILITY),
+    "pq_codes": (q_pq_codes, SQL_PQ_CODES),
+    "pq_adc_topk": (q_pq_adc_topk, SQL_PQ_ADC_TOPK),
 }
 
 
