@@ -176,6 +176,7 @@ HEADLINE = [
     "bpe_fertility",
     "pq_codes",
     "pq_adc_topk",
+    "ivf_pq_topk",
 ]
 
 

@@ -8276,6 +8276,70 @@ ORDER BY q_id, rank
 """
 
 
+def q_ivf_pq_topk(spark, sf_dir):
+    """Composed IVF-PQ search (X132, pipeline/pq.py ivf_pq_topk —
+    FAISS IVFADC, the standard billion-vector layout): the coarse
+    quantizer (label cells, min-vec_id centroid, exact BIGINT L2)
+    prunes WHICH vectors each query scores — n_probe=2 cells,
+    selected driver-side at zero Spark jobs since training already
+    collected the centroids — and PQ codes decide HOW (ADC map-
+    literal lookups). Scoring touches only the probed cells (a
+    partition-pruning filter on the cell key at 100 TB). The oracle
+    replays coarse selection, all four codebook chains, the tables,
+    and every rank bit-exactly."""
+    from ptt_spider_go_spark.pipeline.pq import ivf_pq_topk
+
+    return ivf_pq_topk(_t(spark, sf_dir, "embeddings"), k=5, n_probe=2)
+
+
+SQL_IVF_PQ_TOPK = f"""
+WITH {_PQ_QUANT},{''.join(_pq_chain_sql(m) + ',' for m in range(4)).rstrip(',')},
+qv AS (SELECT vec_id AS q_id, q FROM quant WHERE vec_id % 97 = 0),{''.join(_pq_tab_sql(m) + ',' for m in range(4)).rstrip(',')},
+coarse AS (
+  SELECT CAST(label AS BIGINT) AS cell, q AS c FROM (
+    SELECT label, q,
+           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS r
+    FROM quant) WHERE r = 1),
+probe AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, s.cell,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY {_KM_DIST.format(q='q.q', c='s.c')}, s.cell) AS r
+    FROM qv q, coarse s) WHERE r <= 2),
+codes AS (
+  SELECT c0.vec_id, CAST(f.label AS BIGINT) AS cell,
+         c0.cid AS code0, c1.cid AS code1,
+         c2.cid AS code2, c3.cid AS code3
+  FROM code0 c0
+  JOIN code1 c1 USING (vec_id)
+  JOIN code2 c2 USING (vec_id)
+  JOIN code3 c3 USING (vec_id)
+  JOIN quant f ON f.vec_id = c0.vec_id),
+adc AS (
+  SELECT q.q_id, x.vec_id, x.cell,
+         CAST(t0.d + t1.d + t2.d + t3.d AS BIGINT) AS adc_d2,
+         CAST({_KM_DIST.format(q='f.q', c='q.q')} AS BIGINT) AS exact_d2
+  FROM qv q
+  JOIN probe p ON p.q_id = q.q_id
+  JOIN codes x ON x.cell = p.cell
+  JOIN quant f ON f.vec_id = x.vec_id
+  JOIN tab0 t0 ON t0.q_id = q.q_id AND t0.cid = x.code0
+  JOIN tab1 t1 ON t1.q_id = q.q_id AND t1.cid = x.code1
+  JOIN tab2 t2 ON t2.q_id = q.q_id AND t2.cid = x.code2
+  JOIN tab3 t3 ON t3.q_id = q.q_id AND t3.cid = x.code3
+  WHERE x.vec_id <> q.q_id)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cell, adc_d2, exact_d2
+FROM (
+  SELECT q_id, vec_id, cell, adc_d2, exact_d2,
+         row_number() OVER (
+           PARTITION BY q_id ORDER BY adc_d2, vec_id) AS rank
+  FROM adc)
+WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -8481,6 +8545,7 @@ QUERIES = {
     "bpe_fertility": (q_bpe_fertility, SQL_BPE_FERTILITY),
     "pq_codes": (q_pq_codes, SQL_PQ_CODES),
     "pq_adc_topk": (q_pq_adc_topk, SQL_PQ_ADC_TOPK),
+    "ivf_pq_topk": (q_ivf_pq_topk, SQL_IVF_PQ_TOPK),
 }
 
 

@@ -59,9 +59,18 @@ QUERY_MOD = 97
 def train_codebooks(
     quant: DataFrame, n_iters: int = 2, m_subspaces: int = M_SUBSPACES
 ) -> list[list[tuple[int, list[int]]]]:
+    """See _train — returns the M codebooks only."""
+    return _train(quant, n_iters, m_subspaces)[0]
+
+
+def _train(
+    quant: DataFrame, n_iters: int = 2, m_subspaces: int = M_SUBSPACES
+) -> tuple[list[list[tuple[int, list[int]]]], list[tuple[int, list[int]]]]:
     """The M per-subspace codebooks, each trained with the X121 Lloyd
     loop (label-seeded init, `n_iters` rounds). Driver-side:
-    [[(cid, centroid_vals)] per subspace].
+    (books = [[(cid, centroid_vals)] per subspace], seeds = the
+    per-label minimum-vec_id FULL vectors — the same relation the
+    IVF coarse quantizer uses as cell centroids).
 
     All M subspaces train TOGETHER, not sequentially: the seed is one
     collect of the per-label minimum-vec_id vectors (the same vector
@@ -144,7 +153,7 @@ def train_codebooks(
             )
             for m in range(m_subspaces)
         ]
-    return books
+    return books, seeds
 
 
 def _dist_slice(vals: list[int], off: int, sub_d: int) -> F.Column:
@@ -263,4 +272,96 @@ def pq_adc_topk(embeddings: DataFrame, k: int = 5, n_iters: int = 2,
     return out.select(
         "q_id", w_rank.cast("long").alias("rank"),
         "vec_id", "adc_d2", "exact_d2",
+    ).orderBy("q_id", "rank")
+
+
+def ivf_pq_topk(embeddings: DataFrame, k: int = 5, n_probe: int = 2,
+                n_iters: int = 2,
+                m_subspaces: int = M_SUBSPACES) -> DataFrame:
+    """(q_id, rank, vec_id, cell, adc_d2, exact_d2): the composed
+    IVF-PQ search — the standard billion-vector layout (FAISS
+    IVFADC): the coarse quantizer (label cells, centroid = the cell's
+    minimum-vec_id vector — the X8/X121 seed rule, here on the
+    quantized vectors under exact BIGINT L2) prunes WHICH vectors are
+    scored (the n_probe nearest cells per query), PQ codes decide HOW
+    (ADC table lookups). Cell selection happens DRIVER-SIDE per
+    query — the coarse centroids are already collected by training,
+    so probing costs zero Spark jobs; scoring touches only the probed
+    cells' partitions (a partition-pruning filter on the cell key —
+    on a cell-partitioned 100 TB table this skips everything else).
+    Deterministic end to end: cell ranking by (L2, cell) on exact
+    integers, ADC ranking by (adc_d2, vec_id); the oracle replays
+    coarse selection, codebooks, tables, and ranks bit-exactly."""
+    quant = quantize(embeddings).localCheckpoint(eager=True)
+    books, seeds = _train(quant, n_iters, m_subspaces)
+    sub_d = len(books[0][0][1])
+
+    cols = []
+    for m, cents in enumerate(books):
+        packed = [
+            F.struct(
+                _dist_slice(vals, m * sub_d, sub_d).alias("d"),
+                F.lit(int(cid)).cast("long").alias("c"),
+            )
+            for cid, vals in cents
+        ]
+        best = F.least(*packed) if len(packed) > 1 else packed[0]
+        cols.append(best["c"].alias(f"code{m}"))
+    coded = quant.select(
+        "vec_id", F.col("label").cast("long").alias("cell"), "q", *cols
+    ).localCheckpoint(eager=True)
+
+    queries = sorted(
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in quant.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select("vec_id", "q").collect()
+    )
+
+    def _py_dist(a: list[int], b: list[int]) -> int:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    per_query = []
+    for q_id, qv in queries:
+        probe = sorted(
+            (_py_dist(qv, vec), cell) for cell, vec in seeds
+        )[:n_probe]
+        cells = [c for _d, c in probe]
+        adc = None
+        for m, cents in enumerate(books):
+            sub_q = qv[m * sub_d:(m + 1) * sub_d]
+            table = F.map_from_arrays(
+                F.array(*[F.lit(int(cid)).cast("long")
+                          for cid, _ in cents]),
+                F.array(*[F.lit(_py_dist(sub_q, vals)).cast("long")
+                          for _, vals in cents]),
+            )
+            term = F.element_at(table, F.col(f"code{m}"))
+            adc = term if adc is None else adc + term
+        q_arr = F.array(*[F.lit(int(v)).cast("long") for v in qv])
+        exact = F.aggregate(
+            F.zip_with("q", q_arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        per_query.append(
+            coded.filter(F.col("cell").isin([int(c) for c in cells])
+                         & (F.col("vec_id") != q_id))
+            .select(
+                F.lit(q_id).cast("long").alias("q_id"),
+                "vec_id", "cell",
+                adc.cast("long").alias("adc_d2"),
+                exact.cast("long").alias("exact_d2"),
+            )
+            .orderBy("adc_d2", "vec_id")
+            .limit(k)
+        )
+    out = per_query[0]
+    for p in per_query[1:]:
+        out = out.unionByName(p)
+    w_rank = F.row_number().over(
+        Window.partitionBy("q_id").orderBy("adc_d2", "vec_id")
+    )
+    return out.select(
+        "q_id", w_rank.cast("long").alias("rank"),
+        "vec_id", "cell", "adc_d2", "exact_d2",
     ).orderBy("q_id", "rank")

@@ -149,3 +149,38 @@ def test_partitioning_invariant(spark):
     a = [tuple(r) for r in pq_codes(_edf(spark, rows, 1)).collect()]
     b = [tuple(r) for r in pq_codes(_edf(spark, rows, 9)).collect()]
     assert a == b
+
+
+def test_ivf_pq_scores_only_probed_cells(spark):
+    from ptt_spider_go_spark.pipeline.pq import ivf_pq_topk
+
+    # 3 cells; the query (97, label 0) sits on cell 0's centroid, so
+    # n_probe=1 must admit ONLY cell-0 vectors.
+    rows = (
+        [(i, [0.0 + i / 100.0] * 8, 0) for i in range(1, 5)]
+        + [(10 + i, [5.0 + i / 100.0] * 8, 1) for i in range(4)]
+        + [(20 + i, [9.0 + i / 100.0] * 8, 2) for i in range(4)]
+        + [(97, [0.005] * 8, 0)]
+    )
+    got = ivf_pq_topk(_edf(spark, rows), k=10, n_probe=1).collect()
+    assert got and all(r["cell"] == 0 for r in got)
+    # every cell-0 vector except the query itself is scored
+    assert {r["vec_id"] for r in got} == {1, 2, 3, 4}
+
+
+def test_ivf_pq_subset_of_full_adc(spark):
+    from ptt_spider_go_spark.pipeline.pq import ivf_pq_topk, pq_adc_topk
+
+    rows = [
+        (i, [((i * 13 + d * 5) % 19 - 9) / 11.0 for d in range(8)], i % 3)
+        for i in range(60)
+    ]
+    full = {
+        (r["q_id"], r["vec_id"]): r["adc_d2"]
+        for r in pq_adc_topk(_edf(spark, rows), k=60).collect()
+    }
+    ivf = ivf_pq_topk(_edf(spark, rows), k=5, n_probe=3).collect()
+    # n_probe = all cells -> the composed search agrees with full ADC
+    # on every returned (pair, distance).
+    for r in ivf:
+        assert full[(r["q_id"], r["vec_id"])] == r["adc_d2"]
