@@ -177,6 +177,9 @@ HEADLINE = [
     "pq_codes",
     "pq_adc_topk",
     "ivf_pq_topk",
+    # r5j trained lang-id
+    "langid_scores",
+    "langid_confusion",
 ]
 
 

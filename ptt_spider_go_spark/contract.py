@@ -8340,6 +8340,131 @@ ORDER BY q_id, rank
 """
 
 
+def q_langid_scores(spark, sf_dir):
+    """Trained char-bigram language classifier (X133,
+    pipeline/langid.py — the fastText-lid/CLD shape completing X10's
+    heuristic): multinomial NB over char bigrams of the first 256
+    chars, trained on the doc_id%3==0 slice against the stored lang
+    labels, applied corpus-wide. One vocab groupBy trains, one
+    broadcast join + one doc groupBy applies; scores are exact BIGINT
+    micro-nat sums, argmax ties break to the lexicographically
+    smallest language, margin = best − runner-up. The oracle replays
+    the ENTIRE train+apply chain bit-exactly."""
+    from ptt_spider_go_spark.pipeline.langid import langid_scores
+
+    return langid_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_langid_confusion(spark, sf_dir):
+    """Per-language confusion matrix (X133 receipt): stored label ×
+    trained-model prediction, ≤|L|² rows off one tiny groupBy over
+    the per-doc scores — the agreement table a corpus release
+    publishes next to its lang-id column."""
+    from ptt_spider_go_spark.pipeline.langid import langid_confusion
+
+    return langid_confusion(_t(spark, sf_dir, "documents"))
+
+
+# shared train/apply chain for the X133 oracle: the model CTEs mirror
+# train_langid (dense vocab × lang grid, per-lang totals, priors and
+# Laplace floors in micro-nats) and `persc` mirrors the per-(doc,
+# lang) BIGINT sums of langid_scores.
+_LANGID_CHAIN = """
+train AS (
+  SELECT doc_id, lang, substr(text, 1, 256) AS pref
+  FROM documents WHERE doc_id % 3 = 0),
+lcls AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM train GROUP BY lang),
+ntr AS (SELECT CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS n FROM lcls),
+tg AS (
+  SELECT lang, substr(pref, CAST(i AS INT), 2) AS gram
+  FROM (SELECT lang, pref,
+               unnest(generate_series(
+                 1, greatest(length(pref) - 1, 0))) AS i
+        FROM train)
+  WHERE length(substr(pref, CAST(i AS INT), 2)) = 2),
+gcounts AS (
+  SELECT gram, lang, CAST(count(*) AS BIGINT) AS c
+  FROM tg GROUP BY gram, lang),
+vocab AS (SELECT DISTINCT gram FROM gcounts),
+vsz AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+ltot AS (
+  SELECT l.lang,
+         CAST(coalesce((SELECT sum(c) FROM gcounts g
+                        WHERE g.lang = l.lang), 0) AS BIGINT) AS t
+  FROM lcls l),
+consts AS (
+  SELECT l.lang,
+         CAST(round(ln(CAST(l.n_docs AS DOUBLE) / CAST(n.n AS DOUBLE))
+                    * 1000000) AS BIGINT) AS prior_micro,
+         CAST(round(ln(1.0 / CAST(t.t + v.v AS DOUBLE)) * 1000000)
+              AS BIGINT) AS floor_micro
+  FROM lcls l JOIN ltot t USING (lang), ntr n, vsz v),
+model AS (
+  SELECT vg.gram, l.lang,
+         CAST(round(ln(CAST(coalesce(g.c, 0) + 1 AS DOUBLE) /
+                       CAST(t.t + v.v AS DOUBLE)) * 1000000)
+              AS BIGINT) AS lp
+  FROM vocab vg
+  CROSS JOIN lcls l
+  JOIN ltot t USING (lang)
+  LEFT JOIN gcounts g ON g.gram = vg.gram AND g.lang = l.lang, vsz v),
+stream AS (
+  SELECT doc_id, substr(pref, CAST(i AS INT), 2) AS gram
+  FROM (SELECT doc_id, pref,
+               unnest(generate_series(
+                 1, greatest(length(pref) - 1, 0))) AS i
+        FROM (SELECT doc_id, substr(text, 1, 256) AS pref
+              FROM documents))
+  WHERE length(substr(pref, CAST(i AS INT), 2)) = 2),
+persc AS (
+  SELECT s.doc_id, c.lang,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN m.lp IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_oov,
+         CAST(sum(coalesce(m.lp, c.floor_micro)) AS BIGINT) AS s_l
+  FROM stream s
+  CROSS JOIN consts c
+  LEFT JOIN model m ON m.gram = s.gram AND m.lang = c.lang
+  GROUP BY s.doc_id, c.lang),
+cand AS (
+  SELECT d.doc_id, d.lang AS stored_lang, c.lang AS cand_lang,
+         CAST(coalesce(p.s_l, 0) + c.prior_micro AS BIGINT) AS score,
+         CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+         CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov
+  FROM documents d
+  CROSS JOIN consts c
+  LEFT JOIN persc p ON p.doc_id = d.doc_id AND p.lang = c.lang),
+ranked AS (
+  SELECT doc_id, stored_lang, cand_lang, score, n_grams, n_oov,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn,
+         lead(score) OVER (
+           PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS nxt
+  FROM cand),
+lsc AS (
+  SELECT doc_id, stored_lang AS lang, cand_lang AS pred_lang,
+         n_grams, n_oov, score AS score_micro,
+         CAST(score - coalesce(nxt, score) AS BIGINT) AS margin_micro,
+         cand_lang = stored_lang AS agree
+  FROM ranked WHERE rn = 1)
+"""
+
+SQL_LANGID_SCORES = f"""
+WITH {_LANGID_CHAIN}
+SELECT doc_id, lang, pred_lang, n_grams, n_oov, score_micro,
+       margin_micro, agree
+FROM lsc ORDER BY doc_id
+"""
+
+SQL_LANGID_CONFUSION = f"""
+WITH {_LANGID_CHAIN}
+SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM lsc GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -8546,6 +8671,8 @@ QUERIES = {
     "pq_codes": (q_pq_codes, SQL_PQ_CODES),
     "pq_adc_topk": (q_pq_adc_topk, SQL_PQ_ADC_TOPK),
     "ivf_pq_topk": (q_ivf_pq_topk, SQL_IVF_PQ_TOPK),
+    "langid_scores": (q_langid_scores, SQL_LANGID_SCORES),
+    "langid_confusion": (q_langid_confusion, SQL_LANGID_CONFUSION),
 }
 
 
