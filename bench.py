@@ -177,9 +177,11 @@ HEADLINE = [
     "pq_codes",
     "pq_adc_topk",
     "ivf_pq_topk",
-    # r5j trained lang-id
+    # r5j trained lang-id + winnowing
     "langid_scores",
     "langid_confusion",
+    "winnow_fingerprints",
+    "winnow_pairs",
 ]
 
 

@@ -8465,6 +8465,89 @@ FROM lsc GROUP BY lang, pred_lang ORDER BY lang, pred_lang
 """
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint selection (X134, pipeline/winnow.py —
+    Schleimer/Wilkerson/Aiken SIGMOD 2003, the MOSS algorithm):
+    char-8-gram md5 hashes, window of 4, rightmost-min (robust
+    winnowing) per window, distinct (hash, pos) per doc — all
+    map-only on in-row array expressions; short docs get one
+    truncated window so every doc with a gram owns a fingerprint.
+    The oracle replays hashing, frame minima, and the rightmost-min
+    tie-break bit-exactly."""
+    from ptt_spider_go_spark.pipeline.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents")
+    ).orderBy("doc_id", "pos")
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Local-copy candidate pairs over the X134 fingerprints: df-cap
+    the boilerplate fingerprints (df ≤ 64 bounds every join key's
+    fan-out), one equi-join on the 60-bit hash, one pair groupBy,
+    exact integer overlap-coefficient ppm thresholded at 20%
+    (unthresholded, stock web 8-grams make near-all-pairs). The MinHash-band scale
+    shape; text bytes never shuffle."""
+    from ptt_spider_go_spark.pipeline.winnow import winnow_pairs
+
+    return winnow_pairs(_t(spark, sf_dir, "documents"))
+
+
+# shared winnowing chain: gram hashes -> frame minima -> rightmost
+# tie-break -> distinct (doc, pos, fp). Mirrors winnow.py (K=8, W=4).
+_WINNOW_CHAIN = f"""
+wh AS (
+  SELECT doc_id, i, {md5_long_sql('substr(text, CAST(i AS INT), 8)')} AS fp,
+         m
+  FROM (SELECT doc_id, text, greatest(length(text) - 7, 0) AS m,
+               unnest(generate_series(
+                 1, greatest(length(text) - 7, 0))) AS i
+        FROM documents)),
+wmin AS (
+  SELECT doc_id, i AS s, m,
+         min(fp) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+           AS minfp
+  FROM wh),
+wsel AS (
+  SELECT st.doc_id, st.minfp AS fp, CAST(max(h2.i) - 1 AS BIGINT) AS pos
+  FROM (SELECT * FROM wmin WHERE s <= greatest(m - 3, 1)) st
+  JOIN wh h2
+    ON h2.doc_id = st.doc_id
+   AND h2.i BETWEEN st.s AND least(st.s + 3, st.m)
+   AND h2.fp = st.minfp
+  GROUP BY st.doc_id, st.s, st.minfp),
+wfp AS (SELECT DISTINCT doc_id, pos, fp FROM wsel)
+"""
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH {_WINNOW_CHAIN}
+SELECT doc_id, pos, fp FROM wfp ORDER BY doc_id, pos
+"""
+
+SQL_WINNOW_PAIRS = f"""
+WITH {_WINNOW_CHAIN},
+fps AS (SELECT DISTINCT doc_id, fp FROM wfp),
+dfc AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp),
+keep AS (SELECT f.doc_id, f.fp
+         FROM fps f JOIN dfc USING (fp) WHERE df <= 64),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+          FROM keep GROUP BY doc_id),
+pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT doc_a, doc_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+       CAST(n_shared * 1000000 // least(sa.n, sb.n) AS BIGINT)
+         AS sim_ppm
+FROM pr JOIN sizes sa ON pr.doc_a = sa.doc_id
+        JOIN sizes sb ON pr.doc_b = sb.doc_id
+WHERE n_shared * 1000000 // least(sa.n, sb.n) >= 200000
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -8673,6 +8756,9 @@ QUERIES = {
     "ivf_pq_topk": (q_ivf_pq_topk, SQL_IVF_PQ_TOPK),
     "langid_scores": (q_langid_scores, SQL_LANGID_SCORES),
     "langid_confusion": (q_langid_confusion, SQL_LANGID_CONFUSION),
+    "winnow_fingerprints": (q_winnow_fingerprints,
+                            SQL_WINNOW_FINGERPRINTS),
+    "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
 }
 
 
