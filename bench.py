@@ -182,6 +182,8 @@ HEADLINE = [
     "langid_confusion",
     "winnow_fingerprints",
     "winnow_pairs",
+    "host_communities",
+    "host_triangles",
 ]
 
 

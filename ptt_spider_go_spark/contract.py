@@ -8465,6 +8465,117 @@ FROM lsc GROUP BY lang, pred_lang ORDER BY lang, pred_lang
 """
 
 
+def q_host_communities(spark, sf_dir):
+    """Label-propagation communities over the host link graph (X135,
+    operators/graphalgo.py — Raghavan et al. 2007, the GraphX
+    LabelPropagation shape): 3 synchronous rounds, each ONE
+    label-relation join + ONE (host, label) groupBy + ONE per-host
+    argmax with the (count DESC, label ASC) total tie-break;
+    per-round localCheckpoint truncates the join lineage. The oracle
+    unrolls all 3 rounds bit-exactly."""
+    from ptt_spider_go_spark.operators import linkrank
+    from ptt_spider_go_spark.operators.graphalgo import host_communities
+
+    docs = _t(spark, sf_dir, "documents")
+    return host_communities(linkrank.host_edges_from_documents(docs))
+
+
+def q_host_triangles(spark, sf_dir):
+    """Exact per-host triangle counts + clustering coefficient (X136,
+    operators/graphalgo.py — Suri & Vassilvitskii WWW'11 degree-
+    ordered orientation: every out-degree bounded O(sqrt(2|E|)), so
+    the wedge join is O(|E|^1.5) instead of star-quadratic).
+    clustering_ppm = 2·tri·10^6 DIV deg·(deg−1), all BIGINT."""
+    from ptt_spider_go_spark.operators import linkrank
+    from ptt_spider_go_spark.operators.graphalgo import host_triangles
+
+    docs = _t(spark, sf_dir, "documents")
+    return host_triangles(linkrank.host_edges_from_documents(docs))
+
+
+def _host_sym_sql(n_hosts: int = 97, outlinks: int = 3) -> str:
+    """Shared CTE fragment: the deterministic documents-derived host
+    edge list (the host_edges_from_documents twin, as in
+    _link_rank_sql) symmetrized to an undirected simple adjacency."""
+    parts = []
+    for j in range(outlinks):
+        h = md5_long_sql(f"concat(doc_id, ':', {j})")
+        parts.append(f"concat('h', {h} % {n_hosts})")
+    dsts = ", ".join(parts)
+    return f"""
+raw_e AS (
+  SELECT concat('h', doc_id % {n_hosts}) AS src,
+         unnest([{dsts}]) AS dst
+  FROM documents),
+edges AS (SELECT src, dst FROM raw_e WHERE src <> dst),
+sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges
+    UNION ALL SELECT dst AS src, src AS dst FROM edges))"""
+
+
+def _host_communities_sql(rounds: int = 3) -> str:
+    sql = f"""
+WITH {_host_sym_sql()},
+nodes AS (SELECT DISTINCT src AS host FROM sym),
+l0 AS (SELECT host, host AS lbl FROM nodes)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+nb{i} AS (
+  SELECT s.src AS host, l.lbl, CAST(count(*) AS BIGINT) AS c
+  FROM sym s JOIN l{i - 1} l ON l.host = s.dst
+  GROUP BY 1, 2),
+l{i} AS (
+  SELECT host, lbl FROM (
+    SELECT host, lbl,
+           row_number() OVER (
+             PARTITION BY host ORDER BY c DESC, lbl) AS rn
+    FROM nb{i}) WHERE rn = 1)"""
+    return sql + f""",
+csizes AS (
+  SELECT lbl, CAST(count(*) AS BIGINT) AS n
+  FROM l{rounds} GROUP BY lbl)
+SELECT l.host, l.lbl AS community, csizes.n AS n_members
+FROM l{rounds} l JOIN csizes USING (lbl)
+ORDER BY l.host"""
+
+
+SQL_HOST_COMMUNITIES = _host_communities_sql()
+
+SQL_HOST_TRIANGLES = f"""
+WITH {_host_sym_sql()},
+deg AS (SELECT src AS host, CAST(count(*) AS BIGINT) AS degree
+        FROM sym GROUP BY src),
+canon AS (SELECT src, dst FROM sym WHERE src < dst),
+o AS (
+  SELECT CASE WHEN (da.degree, c.src) < (db.degree, c.dst)
+              THEN c.src ELSE c.dst END AS u,
+         CASE WHEN (da.degree, c.src) < (db.degree, c.dst)
+              THEN c.dst ELSE c.src END AS v
+  FROM canon c
+  JOIN deg da ON da.host = c.src
+  JOIN deg db ON db.host = c.dst),
+wed AS (
+  SELECT w1.u, w1.v AS a, w2.v AS b
+  FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.v <> w2.v),
+tri AS (
+  SELECT wed.u, wed.a, wed.b
+  FROM wed JOIN o ON o.u = wed.a AND o.v = wed.b),
+ph AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT unnest([u, a, b]) AS host FROM tri)
+  GROUP BY host)
+SELECT d.host, d.degree,
+       CAST(coalesce(ph.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN d.degree >= 2
+                 THEN coalesce(ph.n_triangles, 0) * 2000000
+                      // (d.degree * (d.degree - 1))
+                 ELSE 0 END AS BIGINT) AS clustering_ppm
+FROM deg d LEFT JOIN ph ON ph.host = d.host
+ORDER BY d.host
+"""
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing fingerprint selection (X134, pipeline/winnow.py —
     Schleimer/Wilkerson/Aiken SIGMOD 2003, the MOSS algorithm):
@@ -8759,6 +8870,8 @@ QUERIES = {
     "winnow_fingerprints": (q_winnow_fingerprints,
                             SQL_WINNOW_FINGERPRINTS),
     "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
+    "host_communities": (q_host_communities, SQL_HOST_COMMUNITIES),
+    "host_triangles": (q_host_triangles, SQL_HOST_TRIANGLES),
 }
 
 
