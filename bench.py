@@ -184,6 +184,9 @@ HEADLINE = [
     "winnow_pairs",
     "host_communities",
     "host_triangles",
+    "source_templates",
+    "leakage_safe_splits",
+    "split_manifest",
 ]
 
 

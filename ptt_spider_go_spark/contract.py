@@ -8659,6 +8659,111 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_source_templates(spark, sf_dir):
+    """Per-doc site-chrome evidence (X137, pipeline/winnow.py
+    source_templates): a fingerprint is a source TEMPLATE when ≥50%
+    of the source's fingerprinted docs carry it; template_ppm = the
+    share of each doc's own fingerprints that are templates (exact
+    BIGINT). The per-site counterpart of X32/X112, localized to
+    ≥11-char runs. Composes the X134 chain; the oracle replays it
+    end to end."""
+    from ptt_spider_go_spark.pipeline.winnow import source_templates
+
+    return source_templates(_t(spark, sf_dir, "documents"))
+
+
+SQL_SOURCE_TEMPLATES = f"""
+WITH {_WINNOW_CHAIN},
+fps AS (SELECT DISTINCT doc_id, fp FROM wfp),
+j AS (SELECT f.doc_id, d.source, f.fp
+      FROM fps f JOIN documents d USING (doc_id)),
+srcd AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+         FROM j GROUP BY source),
+fpdf AS (SELECT source, fp, CAST(count(*) AS BIGINT) AS df
+         FROM j GROUP BY source, fp),
+tmpl AS (SELECT f.source, f.fp
+         FROM fpdf f JOIN srcd s USING (source)
+         WHERE s.nd >= 5 AND f.df * 1000000 // s.nd >= 500000),
+mk AS (SELECT j.doc_id, j.source,
+              CASE WHEN t.fp IS NULL THEN 0 ELSE 1 END AS is_t
+       FROM j LEFT JOIN tmpl t
+         ON t.source = j.source AND t.fp = j.fp),
+pd AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_fps,
+              CAST(sum(is_t) AS BIGINT) AS n_template
+       FROM mk GROUP BY doc_id, source)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(pd.n_fps, 0) AS BIGINT) AS n_fps,
+       CAST(coalesce(pd.n_template, 0) AS BIGINT) AS n_template,
+       CAST(CASE WHEN coalesce(pd.n_fps, 0) > 0
+                 THEN coalesce(pd.n_template, 0) * 1000000 // pd.n_fps
+                 ELSE 0 END AS BIGINT) AS template_ppm
+FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q_leakage_safe_splits(spark, sf_dir):
+    """Cluster-aware train/val/test split (X138,
+    pipeline/clusters.py leakage_safe_splits): the split draw hashes
+    the near-dup CLUSTER id (seeded md5 % 100 -> 90/5/5), so no
+    near-duplicate pair can straddle splits — eval-hygiene by
+    construction (the up-front dual of X26/X127's after-the-fact
+    contamination checks). Components from the same O(log d) CC as
+    X15; the oracle replays the recursive reachability + the hash
+    draw bit-exactly."""
+    from ptt_spider_go_spark.pipeline import clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup_text.minhash_signatures(docs)
+    pairs = dedup_text.lsh_candidate_pairs(sigs)
+    return clusters.leakage_safe_splits(docs, pairs).orderBy("doc_id")
+
+
+def q_split_manifest(spark, sf_dir):
+    """Release manifest for the X138 split: per-split doc, cluster,
+    and whitespace-token mass — one tiny groupBy over the per-doc
+    assignment."""
+    from ptt_spider_go_spark.pipeline import clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup_text.minhash_signatures(docs)
+    pairs = dedup_text.lsh_candidate_pairs(sigs)
+    return clusters.split_manifest(docs, pairs)
+
+
+_SPLITS_TAIL = f"""comp AS (
+  SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+assigned AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN b < 90 THEN 'train'
+              WHEN b < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id, cluster_id,
+               {md5_long_sql('CAST(cluster_id AS VARCHAR)', 71)} % 100
+                 AS b
+        FROM comp))"""
+
+SQL_LEAKAGE_SAFE_SPLITS = (
+    _COMP_PREFIX.rstrip() + ",\n" + _SPLITS_TAIL
+    + "\nSELECT doc_id, cluster_id, split FROM assigned ORDER BY doc_id"
+)
+
+SQL_SPLIT_MANIFEST = (
+    _COMP_PREFIX.rstrip() + ",\n" + _SPLITS_TAIL + """,
+tk AS (SELECT doc_id,
+              CAST(len(list_filter(
+                regexp_split_to_array(trim(text), '\\s+'),
+                x -> x <> '')) AS BIGINT) AS nt
+       FROM documents)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(sum(nt) AS BIGINT) AS n_tokens
+FROM assigned JOIN tk USING (doc_id)
+GROUP BY split ORDER BY split
+""")
+
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -8872,6 +8977,10 @@ QUERIES = {
     "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
     "host_communities": (q_host_communities, SQL_HOST_COMMUNITIES),
     "host_triangles": (q_host_triangles, SQL_HOST_TRIANGLES),
+    "source_templates": (q_source_templates, SQL_SOURCE_TEMPLATES),
+    "leakage_safe_splits": (q_leakage_safe_splits,
+                            SQL_LEAKAGE_SAFE_SPLITS),
+    "split_manifest": (q_split_manifest, SQL_SPLIT_MANIFEST),
 }
 
 

@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ptt_spider_go_spark.pipeline.common import md5_long, tokens
+
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """(u,v) edge set -> re-attach every strictly-larger neighbor to the
@@ -166,4 +168,68 @@ def quality_keepers(docs: DataFrame, pairs: DataFrame,
         scored.join(keeper, "cluster_id")
         .select("doc_id", "cluster_id", "quality",
                 (F.col("doc_id") == F.col("_keeper")).alias("keep"))
+    )
+
+
+#: split percentage bounds (of 100): [0, TRAIN) train,
+#: [TRAIN, TRAIN+VAL) val, rest test.
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5
+#: hash seed separating the split draw from every other md5 use.
+SPLIT_SEED = 71
+
+
+def leakage_safe_splits(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, split): deterministic train/val/test
+    assignment that can NEVER leak near-duplicates across splits —
+    the draw hashes the CLUSTER id, not the doc id, so every member
+    of a near-dup component lands in the same split by construction
+    (the eval-hygiene split real corpora need: a verbatim or near
+    copy of a validation document sitting in train is exactly the
+    contamination X26/X127 measure after the fact; splitting by
+    cluster prevents it up front).
+
+    split = md5(seed:cluster_id) % 100 -> [0,90) train, [90,95) val,
+    [95,100) test. The draw is the repo-wide 60-bit md5 construction:
+    deterministic, seedable, bit-identical in the DuckDB oracle, and
+    independent of corpus order or partitioning. Cluster ids come
+    from the same O(log d) connected components as X15; singleton
+    docs are their own cluster, so unique docs split i.i.d. while
+    dup constellations move as one unit (weighted by cluster mass,
+    which is the statistically honest way to split a deduplicatable
+    corpus).
+
+    Scale shape: components + ONE map-only hash projection — no new
+    shuffles beyond connected_components itself."""
+    comp = connected_components(docs.select("doc_id"), pairs)
+    bucket = F.pmod(
+        md5_long(F.col("cluster_id").cast("string"), seed=SPLIT_SEED),
+        F.lit(100),
+    )
+    return comp.select(
+        "doc_id", "cluster_id",
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test")).alias("split"),
+    )
+
+
+def split_manifest(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(split, n_docs, n_clusters, n_tokens): the release manifest
+    for the leakage-safe split — document, cluster, and whitespace-
+    token mass per split, one tiny groupBy over the per-doc
+    assignment. Ordered by split."""
+    assigned = leakage_safe_splits(docs, pairs)
+    toks = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("nt")
+    )
+    return (
+        assigned.join(toks, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+        .orderBy("split")
     )

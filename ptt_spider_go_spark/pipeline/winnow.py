@@ -187,3 +187,71 @@ def winnow_pairs(docs: DataFrame) -> DataFrame:
         .filter(F.col("sim_ppm") >= SIM_PPM_MIN)
         .orderBy("doc_a", "doc_b")
     )
+
+
+#: a fingerprint is a source TEMPLATE when it appears in at least
+#: this share (ppm) of the source's fingerprinted docs...
+TEMPLATE_SHARE_PPM = 500_000
+#: ...among sources with at least this many fingerprinted docs.
+TEMPLATE_MIN_DOCS = 5
+
+
+def source_templates(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_fps, n_template, template_ppm): per-doc
+    boilerplate evidence from winnowing — a fingerprint is a TEMPLATE
+    of a source when >= 50% of the source's fingerprinted docs carry
+    it (site chrome: headers, footers, nav runs — the per-SITE
+    counterpart of X32's per-doc segment heuristic and X112's
+    corpus-wide common-line removal, localized to 11-char-and-up
+    runs with positions); template_ppm = the share of the doc's own
+    fingerprints that are source templates (BIGINT cross-multiplied,
+    exact) — the direct 'how much of this page is site chrome'
+    score a cleaning gate thresholds on.
+
+    Scale shape: the X134 map-only selection (localCheckpointed
+    once), ONE doc->source equi-join (broadcast-eligible dimension),
+    ONE (source, fp) groupBy, ONE source groupBy, then one semi-
+    annotating LEFT join back and ONE doc groupBy — all keyed
+    shuffles on hashes, text never moves. Docs with zero
+    fingerprints report zeros. Ordered by doc_id."""
+    fps = (
+        winnow_fingerprints(docs)
+        .select("doc_id", "fp")
+        .distinct()
+        .localCheckpoint()
+    )
+    j = fps.join(docs.select("doc_id", "source"), "doc_id")
+    src_docs = j.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    fp_df = j.groupBy("source", "fp").agg(F.count("*").alias("df"))
+    tmpl = (
+        fp_df.join(src_docs, "source")
+        .filter(
+            (F.col("nd") >= TEMPLATE_MIN_DOCS)
+            & (F.expr("df * 1000000 DIV nd")
+               >= TEMPLATE_SHARE_PPM)
+        )
+        .select("source", "fp", F.lit(1).alias("is_t"))
+    )
+    marked = j.join(tmpl, ["source", "fp"], "left")
+    per_doc = marked.groupBy("doc_id", "source").agg(
+        F.count("*").cast("long").alias("n_fps"),
+        F.sum(F.coalesce("is_t", F.lit(0))).cast("long")
+        .alias("n_template"),
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(per_doc, ["doc_id", "source"], "left")
+        .select(
+            "doc_id", "source",
+            F.coalesce("n_fps", F.lit(0)).cast("long").alias("n_fps"),
+            F.coalesce("n_template", F.lit(0)).cast("long")
+            .alias("n_template"),
+            F.when(
+                F.coalesce("n_fps", F.lit(0)) > 0,
+                F.expr("n_template * 1000000 DIV n_fps"),
+            ).otherwise(F.lit(0)).cast("long").alias("template_ppm"),
+        )
+        .orderBy("doc_id")
+    )
