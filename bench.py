@@ -187,6 +187,8 @@ HEADLINE = [
     "source_templates",
     "leakage_safe_splits",
     "split_manifest",
+    "cdc_chunks",
+    "cdc_dedup_stats",
 ]
 
 

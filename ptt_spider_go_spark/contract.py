@@ -8764,6 +8764,98 @@ GROUP BY split ORDER BY split
 
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (X139, pipeline/cdc.py — the
+    LBFS/restic/casync storage-dedup primitive; boundaries where the
+    8-char window-end md5 % 64 == 0, so edits perturb only touched
+    chunks and the tail re-aligns): per-doc chunk spans + 60-bit
+    chunk hashes, map-only in-row spans + one explode. The oracle
+    replays hashing, boundary selection, and span assembly
+    bit-exactly."""
+    from ptt_spider_go_spark.pipeline.cdc import cdc_chunks
+
+    return cdc_chunks(
+        _t(spark, sf_dir, "documents")
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def q_cdc_dedup_stats(spark, sf_dir):
+    """Storage receipt over X139: total vs distinct chunk chars and
+    exact-ppm savings a content-addressed store realizes — one
+    chunk-hash groupBy + one 1-row aggregate; chunk text never
+    shuffles."""
+    from ptt_spider_go_spark.pipeline.cdc import cdc_dedup_stats
+
+    return cdc_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+# shared CDC chain: window-end hashes -> boundary marks -> index-wise
+# span assembly (mirrors pipeline/cdc.py; only the final span can be
+# empty, so r-1 stays a contiguous 0-based chunk_idx after the s<=e
+# filter).
+_CDC_CHAIN = f"""
+cdocs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+chh AS (
+  SELECT doc_id, i + 7 AS p,
+         {md5_long_sql('substr(text, CAST(i AS INT), 8)')} AS h
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(
+                 1, greatest(length(text) - 7, 0))) AS i
+        FROM cdocs)),
+cb AS (
+  SELECT doc_id, p,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p) AS r
+  FROM chh WHERE h % 64 = 0),
+cbk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS k
+        FROM cb GROUP BY doc_id),
+crr AS (
+  SELECT doc_id, unnest(generate_series(1, k + 1)) AS r
+  FROM (SELECT d.doc_id, coalesce(c.k, 0) AS k
+        FROM cdocs d LEFT JOIN cbk c USING (doc_id)
+        WHERE d.n > 0)),
+cspans AS (
+  SELECT rr.doc_id, rr.r,
+         CASE WHEN rr.r = 1 THEN 1 ELSE pb.p + 1 END AS s,
+         CASE WHEN pe.p IS NOT NULL THEN pe.p ELSE dn.n END AS e
+  FROM crr rr
+  LEFT JOIN cb pb ON pb.doc_id = rr.doc_id AND pb.r = rr.r - 1
+  LEFT JOIN cb pe ON pe.doc_id = rr.doc_id AND pe.r = rr.r
+  JOIN cdocs dn ON dn.doc_id = rr.doc_id),
+cchunks AS (
+  SELECT sp.doc_id, CAST(sp.r - 1 AS BIGINT) AS chunk_idx,
+         CAST(sp.s AS BIGINT) AS start,
+         CAST(sp.e - sp.s + 1 AS BIGINT) AS length,
+         {md5_long_sql('substr(d.text, CAST(sp.s AS INT), CAST(sp.e - sp.s + 1 AS INT))')}
+           AS chunk_hash
+  FROM cspans sp JOIN cdocs d USING (doc_id)
+  WHERE sp.s <= sp.e)"""
+
+SQL_CDC_CHUNKS = f"""
+WITH {_CDC_CHAIN}
+SELECT doc_id, chunk_idx, start, length, chunk_hash
+FROM cchunks ORDER BY doc_id, chunk_idx
+"""
+
+SQL_CDC_DEDUP_STATS = f"""
+WITH {_CDC_CHAIN},
+ph AS (SELECT chunk_hash, CAST(count(*) AS BIGINT) AS cnt,
+              CAST(min(length) AS BIGINT) AS length
+       FROM cchunks GROUP BY chunk_hash),
+tot AS (
+  SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_chunks,
+         CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+         CAST(coalesce(sum(cnt * length), 0) AS BIGINT) AS total_chars,
+         CAST(coalesce(sum(length), 0) AS BIGINT) AS unique_chars
+  FROM ph)
+SELECT n_chunks, n_distinct_chunks, total_chars, unique_chars,
+       CAST(CASE WHEN total_chars > 0
+                 THEN (total_chars - unique_chars) * 1000000
+                      // total_chars
+                 ELSE 0 END AS BIGINT) AS savings_ppm
+FROM tot
+"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -8981,6 +9073,8 @@ QUERIES = {
     "leakage_safe_splits": (q_leakage_safe_splits,
                             SQL_LEAKAGE_SAFE_SPLITS),
     "split_manifest": (q_split_manifest, SQL_SPLIT_MANIFEST),
+    "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
+    "cdc_dedup_stats": (q_cdc_dedup_stats, SQL_CDC_DEDUP_STATS),
 }
 
 
