@@ -189,6 +189,7 @@ HEADLINE = [
     "split_manifest",
     "cdc_chunks",
     "cdc_dedup_stats",
+    "mojibake_repair",
 ]
 
 

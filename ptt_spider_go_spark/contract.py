@@ -8856,6 +8856,72 @@ FROM tot
 """
 
 
+MOJI_DEMO = ' café – “naïve” … ©2026 «résumé» €42'
+MOJI_DEMO_CORRUPTED = ' cafÃ© â€“ â€œnaÃ¯ve” â€¦ Â©2026 Â«rÃ©sumÃ©Â» â‚¬42'
+
+
+def q_mojibake_repair(spark, sf_dir):
+    """Encoding-repair receipts (X140, pipeline/mojibake.py — the
+    ftfy UTF-8/cp1252 fix every real corpus runs, as a deterministic
+    generated replace chain inside codegen): docs with doc_id%7==0
+    get a corrupted demo suffix appended, the repair chain runs over
+    EVERY doc, and the receipt proves round-trip repair (repaired_ok
+    compares against the clean-suffix expectation; untouched docs
+    must pass through unchanged). The oracle replays the same
+    generated chain."""
+    from pyspark.sql import functions as F
+
+    from ptt_spider_go_spark.functions.columns import _let
+    from ptt_spider_go_spark.pipeline.mojibake import fix_mojibake
+
+    docs = _t(spark, sf_dir, "documents")
+    inj = F.col("doc_id") % 7 == 0
+    dirty = F.when(
+        inj, F.concat(F.col("text"), F.lit(MOJI_DEMO_CORRUPTED))
+    ).otherwise(F.col("text"))
+    expected = F.when(
+        inj, F.concat(F.col("text"), F.lit(MOJI_DEMO))
+    ).otherwise(F.col("text"))
+    row = _let(dirty, lambda d: _let(fix_mojibake(d), lambda f: F.struct(
+        (f != d).alias("had"),
+        (F.char_length(d) - F.char_length(f)).cast("long").alias("nfix"),
+        (f == expected).alias("ok"),
+    )))
+    return docs.select(
+        "doc_id", inj.alias("injected"), row.alias("r")
+    ).select(
+        "doc_id", "injected",
+        F.col("r.had").alias("had_mojibake"),
+        F.col("r.nfix").alias("chars_fixed"),
+        F.col("r.ok").alias("repaired_ok"),
+    ).orderBy("doc_id")
+
+
+def _mojibake_sql() -> str:
+    from ptt_spider_go_spark.pipeline.mojibake import fix_mojibake_sql
+
+    corr = MOJI_DEMO_CORRUPTED.replace("'", "''")
+    demo = MOJI_DEMO.replace("'", "''")
+    return """
+SELECT doc_id, injected,
+       fixed <> dirty AS had_mojibake,
+       CAST(length(dirty) - length(fixed) AS BIGINT) AS chars_fixed,
+       fixed = expected AS repaired_ok
+FROM (SELECT doc_id, injected, dirty, expected,
+             {0} AS fixed
+      FROM (SELECT doc_id, (doc_id % 7 = 0) AS injected,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || '{1}' ELSE text END AS dirty,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || '{2}' ELSE text END AS expected
+            FROM documents))
+ORDER BY doc_id
+""".format(fix_mojibake_sql("dirty"), corr, demo)
+
+
+SQL_MOJIBAKE_REPAIR = _mojibake_sql()
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -9075,6 +9141,7 @@ QUERIES = {
     "split_manifest": (q_split_manifest, SQL_SPLIT_MANIFEST),
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
     "cdc_dedup_stats": (q_cdc_dedup_stats, SQL_CDC_DEDUP_STATS),
+    "mojibake_repair": (q_mojibake_repair, SQL_MOJIBAKE_REPAIR),
 }
 
 
