@@ -190,6 +190,7 @@ HEADLINE = [
     "cdc_chunks",
     "cdc_dedup_stats",
     "mojibake_repair",
+    "char_entropy",
 ]
 
 

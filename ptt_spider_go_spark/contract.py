@@ -8922,6 +8922,51 @@ ORDER BY doc_id
 SQL_MOJIBAKE_REPAIR = _mojibake_sql()
 
 
+def q_char_entropy(spark, sf_dir):
+    """Character-entropy quality signal (X141, pipeline/entropy.py —
+    the classic cheap screen for base64/minified/binary/key-mash
+    content the rule batteries assume away): per-doc Shannon entropy
+    in micro-nats, per-char term rounded once so the sum is an
+    order-independent BIGINT; low/high decision flags. One explode +
+    two groupBys; no float crosses a shuffle."""
+    from ptt_spider_go_spark.pipeline.entropy import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
+SQL_CHAR_ENTROPY = """
+WITH echars AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text), 1)))
+                 AS i
+        FROM documents)
+  WHERE substr(text, CAST(i AS INT), 1) <> ''),
+ecounts AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+            FROM echars GROUP BY doc_id, ch),
+epd AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+         CAST(count(*) AS BIGINT) AS n_distinct_chars,
+         CAST(sum(CAST(round(CAST(c AS DOUBLE) *
+                             ln(CAST(c AS DOUBLE)) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS terms
+  FROM ecounts GROUP BY doc_id),
+ee AS (SELECT doc_id, n_chars, n_distinct_chars,
+              CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000)
+                   AS BIGINT) - terms // n_chars AS ent
+       FROM epd)
+SELECT d.doc_id,
+       CAST(coalesce(ee.n_chars, 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(ee.n_distinct_chars, 0) AS BIGINT)
+         AS n_distinct_chars,
+       CAST(coalesce(ee.ent, 0) AS BIGINT) AS entropy_micro,
+       coalesce(ee.ent, 0) < 1500000 AS is_low,
+       coalesce(ee.ent, 0) > 4200000 AS is_high
+FROM documents d LEFT JOIN ee USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -9142,6 +9187,7 @@ QUERIES = {
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
     "cdc_dedup_stats": (q_cdc_dedup_stats, SQL_CDC_DEDUP_STATS),
     "mojibake_repair": (q_mojibake_repair, SQL_MOJIBAKE_REPAIR),
+    "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
 }
 
 
