@@ -191,6 +191,7 @@ HEADLINE = [
     "cdc_dedup_stats",
     "mojibake_repair",
     "char_entropy",
+    "stream_late_data",
 ]
 
 

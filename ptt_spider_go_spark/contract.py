@@ -8967,6 +8967,43 @@ ORDER BY d.doc_id
 """
 
 
+def q_stream_late_data(spark, sf_dir):
+    """Watermark late-data audit (X142, streaming/latedata.py): the
+    append-mode output of a watermarked windowed count over a
+    deterministic THREE-microbatch replay of the events table —
+    batch A establishes the watermark, M advances it so eviction
+    runs, B arrives late and its below-watermark rows are DROPPED
+    (three batches are required to observe a drop: same-batch rows
+    merge before eviction — measured and pinned). The DuckDB oracle
+    replays Spark's dual watermark (late filter one batch behind
+    eviction, SPARK-24634) bit-exactly, drops included."""
+    from ptt_spider_go_spark.streaming.latedata import late_data_audit
+
+    return late_data_audit(spark, _t(spark, sf_dir, "events"))
+
+
+SQL_STREAM_LATE_DATA = """
+WITH la AS (SELECT * FROM events WHERE event_id % 5 = 1),
+lm AS (SELECT * FROM events WHERE event_id % 5 = 4),
+lb AS (SELECT * FROM events WHERE event_id % 5 NOT IN (1, 4)),
+wm0 AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM la),
+wm1 AS (SELECT greatest((SELECT max(ts) FROM la),
+                        (SELECT max(ts) FROM lm))
+               - INTERVAL 2 HOUR AS wm),
+kept AS (
+  SELECT ts, event_type FROM la
+  UNION ALL SELECT ts, event_type FROM lm
+  UNION ALL SELECT lb.ts, lb.event_type FROM lb, wm0
+            WHERE date_trunc('hour', lb.ts) + INTERVAL 1 HOUR
+                  > wm0.wm)
+SELECT ws AS window_start, event_type, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT date_trunc('hour', ts) AS ws, event_type FROM kept), wm1
+WHERE ws + INTERVAL 1 HOUR <= wm1.wm
+GROUP BY ws, event_type
+ORDER BY window_start, event_type
+"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -9188,6 +9225,7 @@ QUERIES = {
     "cdc_dedup_stats": (q_cdc_dedup_stats, SQL_CDC_DEDUP_STATS),
     "mojibake_repair": (q_mojibake_repair, SQL_MOJIBAKE_REPAIR),
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
+    "stream_late_data": (q_stream_late_data, SQL_STREAM_LATE_DATA),
 }
 
 
