@@ -192,6 +192,7 @@ HEADLINE = [
     "mojibake_repair",
     "char_entropy",
     "stream_late_data",
+    "kn_perplexity",
 ]
 
 

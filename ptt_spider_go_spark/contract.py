@@ -9004,6 +9004,89 @@ ORDER BY window_start, event_type
 """
 
 
+def q_kn_perplexity(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring (X143, pipeline/lm.py
+    train_kn/kn_scores — Kneser & Ney 1995 / Chen & Goodman 1999,
+    the canonical n-gram smoothing upgrading X47's add-one): trained
+    on the doc_id % 3 == 0 sample, scoring EVERY doc, so the
+    continuation-backoff rungs are exercised under the oracle; the
+    d = 3/4 discount folds into an exact-BIGINT common denominator —
+    one division, one ln, one micro-nat round per scored bigram."""
+    from ptt_spider_go_spark.pipeline.lm import kn_scores, train_kn
+
+    docs = _t(spark, sf_dir, "documents")
+    return kn_scores(docs, train_kn(docs.filter(F.col("doc_id") % 3 == 0)))
+
+
+SQL_KN_PERPLEXITY = """
+WITH ktoked AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+kidx AS (
+  SELECT doc_id, lang, toks,
+         unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS j
+  FROM ktoked),
+kbg AS (SELECT doc_id, lang, toks[j] AS prev, toks[j+1] AS cur
+        FROM kidx),
+ktr AS (SELECT * FROM kbg WHERE doc_id % 3 = 0),
+kbc AS (SELECT lang, prev, cur, CAST(count(*) AS BIGINT) AS c
+        FROM ktr GROUP BY 1, 2, 3),
+kcc AS (SELECT lang, prev, CAST(sum(c) AS BIGINT) AS c_prev,
+               CAST(count(*) AS BIGINT) AS n1_fwd
+        FROM kbc GROUP BY 1, 2),
+kcw AS (SELECT lang, cur, CAST(count(*) AS BIGINT) AS n1_back
+        FROM kbc GROUP BY 1, 2),
+ksz AS (
+  SELECT b.lang, b.b_total, v.v
+  FROM (SELECT lang, CAST(count(*) AS BIGINT) AS b_total
+        FROM kbc GROUP BY lang) b
+  JOIN (SELECT lang, CAST(count(DISTINCT t.tok) AS BIGINT) AS v
+        FROM ktoked, unnest(toks) t(tok)
+        WHERE doc_id % 3 = 0 GROUP BY lang) v USING (lang)),
+kj AS (
+  SELECT g.doc_id,
+         c.c, p.c_prev, p.n1_fwd, w.n1_back, z.b_total, z.v
+  FROM kbg g
+  LEFT JOIN kbc c ON c.lang = g.lang AND c.prev = g.prev
+                 AND c.cur = g.cur
+  LEFT JOIN kcc p ON p.lang = g.lang AND p.prev = g.prev
+  LEFT JOIN kcw w ON w.lang = g.lang AND w.cur = g.cur
+  LEFT JOIN ksz z ON z.lang = g.lang),
+knll AS (
+  SELECT doc_id,
+         CASE
+           WHEN c_prev IS NOT NULL AND b_total IS NOT NULL THEN
+             CAST(-round(ln(
+               CAST(greatest(4 * coalesce(c, 0) - 3, 0)
+                    * (b_total + v)
+                    + 3 * n1_fwd * (coalesce(n1_back, 0) + 1)
+                    AS DOUBLE)
+               / (CAST(4 * c_prev AS DOUBLE)
+                  * CAST(b_total + v AS DOUBLE))) * 1000000)
+             AS BIGINT)
+           WHEN b_total IS NOT NULL THEN
+             CAST(-round(ln(
+               CAST(coalesce(n1_back, 0) + 1 AS DOUBLE)
+               / CAST(b_total + v AS DOUBLE)) * 1000000) AS BIGINT)
+           ELSE CAST(round(ln(2) * 1000000) AS BIGINT)
+         END AS nll,
+         CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END AS seen
+  FROM kj),
+kscored AS (
+  SELECT doc_id, CAST(sum(nll) AS BIGINT) AS s,
+         count(*) AS n, CAST(sum(seen) AS BIGINT) AS n_seen
+  FROM knll GROUP BY doc_id)
+SELECT d.doc_id, d.lang,
+       CAST(coalesce(ks.n, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(ks.n_seen, 0) AS BIGINT) AS n_seen,
+       round(ks.s / (ks.n * 1000000.0), 4) AS avg_nll
+FROM documents d LEFT JOIN kscored ks ON ks.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -9226,6 +9309,7 @@ QUERIES = {
     "mojibake_repair": (q_mojibake_repair, SQL_MOJIBAKE_REPAIR),
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "stream_late_data": (q_stream_late_data, SQL_STREAM_LATE_DATA),
+    "kn_perplexity": (q_kn_perplexity, SQL_KN_PERPLEXITY),
 }
 
 

@@ -259,3 +259,104 @@ def dsir_select(docs: DataFrame, target_col: str = "source",
             ).alias("keep"),
         )
     )
+
+
+def train_kn(corpus: DataFrame) -> dict[str, DataFrame]:
+    """Interpolated Kneser-Ney bigram model (X143; Kneser & Ney 1995,
+    Chen & Goodman 1999 — the canonical n-gram smoothing, upgrading
+    X47's add-one baseline): absolute discount d = 3/4 moves mass
+    from seen bigrams to a CONTINUATION distribution p_cont(w) ∝ how
+    many distinct contexts w follows — the fix for add-one's
+    over-penalty of fluent-but-unseen pairs ("San Francisco" inflates
+    unigram "Francisco"; continuation counts do not).
+
+    With per-language counts c(v,w), c(v) = Σ_w c(v,w), N1+(v·) =
+    |{w : c(v,w) > 0}|, N1+(·w) = |{v : c(v,w) > 0}|, B = distinct
+    bigram types, V = vocab (continuation distribution add-one
+    smoothed over B+V so unseen words keep nonzero mass):
+
+        seen ctx:   p(w|v) = [max(4c−3, 0)·(B+V) + 3·N1+(v·)·(N1+(·w)+1)]
+                             / (4·c(v)·(B+V))
+        unseen ctx: p(w)   = (N1+(·w)+1) / (B+V)
+        unseen lang:        p = 1/2  (UNSEEN_LANG_NLL_MICRO)
+
+    Everything left of the division is exact BIGINT (d = 3/4 folds
+    into the ·4 common denominator; both sides < 2^53 while
+    c·(B+V) < 9·10^15 — true for any per-language shard this engine
+    trains; the lm.py micro-nat ln-sum identity covers beyond), so
+    ONE double division + ONE ln + ONE micro-nat round per scored
+    row keeps the DuckDB oracle bit-exact.
+
+    Returns relations keyed for the scoring joins: 'bc' (lang, prev,
+    cur, c), 'cc' (lang, prev, c_prev, n1_fwd), 'cw' (lang, cur,
+    n1_back), 'sz' (lang, b_total, v).
+    """
+    bg = _bigram_stream(corpus)
+    bc = bg.groupBy("lang", "prev", "cur").agg(F.count("*").alias("c"))
+    cc = bc.groupBy("lang", "prev").agg(
+        F.sum("c").alias("c_prev"), F.count("*").alias("n1_fwd")
+    )
+    cw = bc.groupBy("lang", "cur").agg(F.count("*").alias("n1_back"))
+    sz = bc.groupBy("lang").agg(F.count("*").alias("b_total")).join(
+        corpus.select(
+            "lang", F.explode(tokens(F.col("text"))).alias("tok")
+        ).groupBy("lang").agg(F.countDistinct("tok").alias("v")),
+        "lang",
+    )
+    return {"bc": bc, "cc": cc, "cw": cw, "sz": sz}
+
+
+def kn_scores(docs: DataFrame, lm: dict[str, DataFrame] | None = None
+              ) -> DataFrame:
+    """(doc_id, lang, n_bigrams, n_seen, avg_nll): average per-bigram
+    Kneser-Ney negative log-likelihood (nats, 4dp) — the upgraded
+    CCNet fluency signal. lm=None self-trains on `docs`; pass
+    train_kn(sample) for the sample-train/score-all form (the
+    contract query trains on doc_id % 3 == 0, so the backoff rungs
+    are exercised under the oracle too). n_seen counts full-rung
+    (seen-bigram) hits. Docs with < 2 tokens score NULL
+    (n_bigrams = 0). Ordered by doc_id."""
+    if lm is None:
+        lm = train_kn(docs)
+    bg = _bigram_stream(docs)
+    j = (
+        bg.join(lm["bc"], ["lang", "prev", "cur"], "left")
+        .join(lm["cc"], ["lang", "prev"], "left")
+        .join(lm["cw"], ["lang", "cur"], "left")
+        .join(lm["sz"], ["lang"], "left")
+    )
+    bv = (F.col("b_total") + F.col("v")).cast("double")
+    n1b1 = (F.coalesce("n1_back", F.lit(0)) + 1).cast("long")
+    full_num = (
+        F.greatest(4 * F.coalesce("c", F.lit(0)) - 3, F.lit(0))
+        * (F.col("b_total") + F.col("v"))
+        + 3 * F.col("n1_fwd") * n1b1
+    ).cast("double")
+    full_den = (4 * F.col("c_prev")).cast("double") * bv
+    cont_num = n1b1.cast("double")
+    nll = F.when(
+        F.col("c_prev").isNotNull() & F.col("b_total").isNotNull(),
+        (-F.round(F.log(full_num / full_den) * 1_000_000, 0))
+        .cast("long"),
+    ).when(
+        F.col("b_total").isNotNull(),
+        (-F.round(F.log(cont_num / bv) * 1_000_000, 0)).cast("long"),
+    ).otherwise(F.lit(UNSEEN_LANG_NLL_MICRO).cast("long"))
+    scored = j.groupBy("doc_id").agg(
+        F.sum(nll).alias("s"), F.count("*").alias("n"),
+        F.sum(F.when(F.col("c").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_seen"),
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id", "lang",
+            F.coalesce("n", F.lit(0).cast("long")).alias("n_bigrams"),
+            F.coalesce("n_seen", F.lit(0)).cast("long").alias("n_seen"),
+            F.round(
+                F.col("s") / (F.col("n") * F.lit(1_000_000.0)), 4
+            ).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
