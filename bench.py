@@ -193,6 +193,7 @@ HEADLINE = [
     "char_entropy",
     "stream_late_data",
     "kn_perplexity",
+    "bm25_eval",
 ]
 
 

@@ -9087,6 +9087,57 @@ ORDER BY d.doc_id
 """
 
 
+def q_bm25_eval(spark, sf_dir):
+    """Planted-relevant retrieval eval for X120 (X144,
+    pipeline/retrieval.py bm25_eval): a truncated copy (first 3/5 of
+    tokens, re-ID'd at +10,000,001 ≡ 77 mod 97 so it can never be a
+    query) of every eval-holdout doc joins the corpus; the receipt
+    scores whether bm25_topk retrieves the planted copy —
+    integer-exact MRR (10^6 DIV rank, floored twice, documented) and
+    hits@1/@5. Known ground truth by construction."""
+    from ptt_spider_go_spark.pipeline.retrieval import bm25_eval
+
+    return bm25_eval(_t(spark, sf_dir, "documents"), k=5)
+
+
+def _bm25_eval_sql() -> str:
+    inner = SQL_BM25_TOPK.replace("FROM documents", "FROM bmcorpus")
+    head, tail = inner.split('SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro', 1)
+    corpus = """bmcorpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000001 AS doc_id,
+         array_to_string(
+           toks[1 : greatest((3 * len(toks)) // 5, 1)], ' ') AS text
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents WHERE doc_id % 97 = 0)),
+"""
+    head = head.replace("WITH toks", "WITH " + corpus + "toks", 1)
+    return (
+        head.rstrip() + ",\nbmtopk AS (" + 'SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro' + tail.rstrip() + """),
+bmqrel AS (SELECT doc_id AS q_id, doc_id + 10000001 AS rel
+           FROM documents WHERE doc_id % 97 = 0),
+bmfound AS (
+  SELECT q.q_id, t.rank
+  FROM bmqrel q LEFT JOIN bmtopk t
+    ON t.q_id = q.q_id AND t.doc_id = q.rel)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(coalesce(sum(CASE WHEN rank = 1 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS hits_at_1,
+       CAST(coalesce(sum(CASE WHEN rank IS NOT NULL THEN 1 ELSE 0 END),
+                     0) AS BIGINT) AS hits_at_5,
+       CAST(CASE WHEN count(*) = 0 THEN 0
+                 ELSE coalesce(sum(1000000 // rank), 0) // count(*)
+            END AS BIGINT) AS mrr_ppm
+FROM bmfound
+""")
+
+
+SQL_BM25_EVAL = _bm25_eval_sql()
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -9310,6 +9361,7 @@ QUERIES = {
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "stream_late_data": (q_stream_late_data, SQL_STREAM_LATE_DATA),
     "kn_perplexity": (q_kn_perplexity, SQL_KN_PERPLEXITY),
+    "bm25_eval": (q_bm25_eval, SQL_BM25_EVAL),
 }
 
 

@@ -175,3 +175,66 @@ def bm25_topk(docs: DataFrame, k: int = 5, modulus: int = 97,
         .select("q_id", F.col("rank").cast("long").alias("rank"),
                 "doc_id", "score_micro")
     )
+
+
+#: planted-copy id offset — ≡ 77 (mod 97), so planted docs can never
+#: enter the query holdout themselves.
+EVAL_OFFSET = 10_000_001
+
+
+def bm25_eval(docs: DataFrame, k: int = 5, modulus: int = 97,
+              first_k: int = 8) -> DataFrame:
+    """One-row retrieval-quality receipt for X120 (X144): plant a
+    truncated copy (first 3/5 of tokens, re-ID'd at doc_id +
+    EVAL_OFFSET) of every eval-holdout doc into the corpus, run the
+    standard bm25_topk, and score whether the ranker finds the
+    planted copy — the self-validating IR eval (known ground truth
+    by construction, the planted-relevant protocol) a release runs
+    before trusting BM25-driven contamination triage or seed-set
+    expansion.
+
+    Columns: n_queries, hits_at_1, hits_at_5 (planted copy retrieved
+    at rank 1 / within k), mrr_ppm = (Σ_q 10^6 DIV rank_q) DIV
+    n_queries with rank_q the planted copy's rank (missing -> 0
+    contribution) — the integer-exact MRR definition (documented:
+    reciprocal ranks floor to ppm before averaging, and the mean
+    floors again, so the receipt is BIGINT end to end and
+    partitioning-invariant).
+
+    Scale shape: one extra |eval|-sized union into the X120 plan;
+    metrics are one broadcast-sized join + a 1-row aggregate."""
+    holdout = docs.filter(F.col("doc_id") % modulus == 0)
+    planted = holdout.select(
+        tokens(F.col("text")).alias("toks"), "doc_id"
+    ).select(
+        (F.col("doc_id") + EVAL_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.expr("slice(toks, 1, greatest((3 * size(toks)) DIV 5, 1))"),
+            " ",
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    topk = bm25_topk(corpus, k=k, modulus=modulus, first_k=first_k)
+    qrel = holdout.select(
+        F.col("doc_id").alias("q_id"),
+        (F.col("doc_id") + EVAL_OFFSET).alias("rel"),
+    )
+    found = qrel.join(
+        topk.withColumnsRenamed({"doc_id": "rel"}), ["q_id", "rel"],
+        "left",
+    )
+    return found.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.coalesce(
+            F.sum(F.when(F.col("rank") == 1, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("hits_at_1"),
+        F.coalesce(
+            F.sum(F.when(F.col("rank").isNotNull(), 1).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("hits_at_5"),
+        F.expr(
+            "CAST(CASE WHEN count(*) = 0 THEN 0"
+            " ELSE coalesce(sum(1000000 DIV rank), 0) DIV count(*)"
+            " END AS BIGINT)"
+        ).alias("mrr_ppm"),
+    )
