@@ -194,6 +194,7 @@ HEADLINE = [
     "stream_late_data",
     "kn_perplexity",
     "bm25_eval",
+    "pii_luhn",
 ]
 
 

@@ -9138,6 +9138,74 @@ FROM bmfound
 SQL_BM25_EVAL = _bm25_eval_sql()
 
 
+def q_pii_luhn(spark, sf_dir):
+    """Luhn card-number validation (X145, textstats.pii_luhn — the
+    ISO/IEC 7812 checksum that separates payment-card numbers from
+    ordinary long digit runs, upgrading X23's blanket redaction to a
+    precision pass): per 13-19-digit candidate, the in-row
+    right-to-left double-every-second-digit checksum verdict.
+    Map-only; the oracle computes the same checksum relationally."""
+    from ptt_spider_go_spark.pipeline.textstats import pii_luhn
+
+    docs = _t(spark, sf_dir, "documents")
+    # deterministic candidate injection (the corpus has no 13-19
+    # digit runs): docs with doc_id % 11 == 0 get a 16-digit span
+    # derived from doc_id — ~9% Luhn-pass by arithmetic chance, so
+    # both verdicts appear. Same rule replayed in the oracle.
+    cand = F.lpad(
+        ((F.col("doc_id") * 48271 + 12345) % F.lit(10 ** 16))
+        .cast("string"), 16, "0",
+    )
+    dirty = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" card "), cand),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return pii_luhn(dirty).orderBy("doc_id", "cand_idx")
+
+
+SQL_PII_LUHN = """
+WITH ldirty AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0
+              THEN text || ' card ' ||
+                   lpad(CAST((doc_id * 48271 + 12345) %
+                             10000000000000000 AS VARCHAR), 16, '0')
+              ELSE text END AS text
+  FROM documents),
+lcand AS (
+  SELECT doc_id, i - 1 AS cand_idx, l[i] AS cand
+  FROM (SELECT doc_id, l,
+               unnest(generate_series(1, len(l))) AS i
+        FROM (SELECT doc_id,
+                     list_filter(
+                       regexp_extract_all(text, '[0-9]+'),
+                       c -> length(c) BETWEEN 13 AND 19) AS l
+              FROM ldirty))),
+ldig AS (
+  SELECT doc_id, cand_idx, length(cand) AS n,
+         unnest(generate_series(1, length(cand))) AS j, cand
+  FROM lcand),
+lsum AS (
+  SELECT doc_id, cand_idx, n,
+         sum(CASE WHEN j % 2 = 0 THEN
+               CASE WHEN (ascii(substr(cand, CAST(n - j + 1 AS INT),
+                                       1)) - 48) * 2 > 9
+                    THEN (ascii(substr(cand, CAST(n - j + 1 AS INT),
+                                       1)) - 48) * 2 - 9
+                    ELSE (ascii(substr(cand, CAST(n - j + 1 AS INT),
+                                       1)) - 48) * 2 END
+             ELSE ascii(substr(cand, CAST(n - j + 1 AS INT), 1)) - 48
+             END) AS s
+  FROM ldig GROUP BY doc_id, cand_idx, n)
+SELECT doc_id, CAST(cand_idx AS BIGINT) AS cand_idx,
+       CAST(n AS BIGINT) AS n_digits, (s % 10 = 0) AS luhn_valid
+FROM lsum ORDER BY doc_id, cand_idx
+"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -9362,6 +9430,7 @@ QUERIES = {
     "stream_late_data": (q_stream_late_data, SQL_STREAM_LATE_DATA),
     "kn_perplexity": (q_kn_perplexity, SQL_KN_PERPLEXITY),
     "bm25_eval": (q_bm25_eval, SQL_BM25_EVAL),
+    "pii_luhn": (q_pii_luhn, SQL_PII_LUHN),
 }
 
 

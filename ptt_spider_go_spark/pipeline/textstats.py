@@ -1449,3 +1449,73 @@ def priority_sample_mass(docs: DataFrame, k: int = PRIORITY_SAMPLE_K,
             ).alias("est_ok"),
         )
     )
+
+
+#: maximal digit runs; PAN candidates are those of length 13-19 —
+#: matching [0-9]{13,19} directly would TRUNCATE a 21-digit run into
+#: a false 19-digit candidate (and RE2/DuckDB has no lookaround to
+#: anchor it), so extraction takes maximal runs and filters length
+#: in-row.
+PII_DIGIT_RUN = r"[0-9]+"
+
+
+def pii_luhn(docs: DataFrame) -> DataFrame:
+    """(doc_id, cand_idx, n_digits, luhn_valid): Luhn-checksum
+    validation of card-number candidates (X145) — the precision
+    upgrade to X23's blanket long-digit-run redaction: a 13-19-digit
+    span is only a payment-card number if its Luhn checksum holds
+    (ISO/IEC 7812; ~10% of random digit runs pass), and a
+    production PII pass redacts the validated spans while keeping
+    order numbers / timestamps / ids readable. Candidates are
+    MAXIMAL digit runs of length 13-19 (a 21-digit run is not a
+    card number and yields nothing). This relation is the
+    per-candidate evidence that pass consumes.
+
+    Shape: ONE map-only projection — candidates via
+    regexp_extract_all, the Luhn fold (right-to-left, double every
+    second digit, subtract 9 over 9, sum % 10) rides in-row per
+    candidate on an integer aggregate over ≤19 positions. No
+    shuffle, no UDF; the DuckDB oracle computes the same checksum
+    relationally and matches bit-exactly. Unordered (consumers
+    sort)."""
+    cands = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.regexp_extract_all(
+                    F.col("text"), F.lit(PII_DIGIT_RUN), 0
+                ),
+                lambda c: F.char_length(c).between(13, 19),
+            )
+        ).alias("cand_idx", "cand"),
+    )
+    n = F.char_length("cand")
+    luhn_sum = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc + F.when(
+            j % 2 == 0,
+            F.when(
+                (F.ascii(F.substring(F.col("cand"),
+                                     (n - j + 1).cast("int"),
+                                     F.lit(1))) - 48) * 2 > 9,
+                (F.ascii(F.substring(F.col("cand"),
+                                     (n - j + 1).cast("int"),
+                                     F.lit(1))) - 48) * 2 - 9,
+            ).otherwise(
+                (F.ascii(F.substring(F.col("cand"),
+                                     (n - j + 1).cast("int"),
+                                     F.lit(1))) - 48) * 2
+            ),
+        ).otherwise(
+            F.ascii(F.substring(F.col("cand"),
+                                (n - j + 1).cast("int"),
+                                F.lit(1))) - 48
+        ).cast("long"),
+    )
+    return cands.select(
+        "doc_id",
+        F.col("cand_idx").cast("long").alias("cand_idx"),
+        n.cast("long").alias("n_digits"),
+        (luhn_sum % 10 == 0).alias("luhn_valid"),
+    )
