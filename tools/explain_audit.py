@@ -48,6 +48,12 @@ CROSS_OK = {
     # same pattern over the VALUE dimension (distinct lengths):
     # triangular v<=v ranks + 5-row probe-point non-equi joins.
     "quantile_telemetry",
+    # r5j single-plan ADC scorer: the |eval|-row query-vector relation
+    # (holdout-sized, broadcast by construction) crossed against the
+    # coded vectors — the deliberate replacement for the 51-branch
+    # per-query union (BASELINE r5j); the IVF variant joins on the
+    # probe relation instead and needs no cross.
+    "pq_adc_topk",
 }
 # Queries that run a full superstep pipeline / streaming job — plans are
 # multi-job, skip static audit.
