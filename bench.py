@@ -195,6 +195,7 @@ HEADLINE = [
     "kn_perplexity",
     "bm25_eval",
     "pii_luhn",
+    "stream_interval_join",
 ]
 
 

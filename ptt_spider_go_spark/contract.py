@@ -9206,6 +9206,34 @@ FROM lsum ORDER BY doc_id, cand_idx
 """
 
 
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join (X146, streaming/joins.py —
+    view→purchase attribution): purchases ⋈ views on user within a
+    24h look-back, both sides watermarked; bounded (availableNow,
+    one microbatch, so no cross-batch drops by the X142 lag rule)
+    the streaming plan produces exactly the batch interval join,
+    which the DuckDB oracle certifies bit-for-bit. Unbounded, the
+    same code runs with watermark+window-bounded symmetric state."""
+    from ptt_spider_go_spark import streaming as S
+    from ptt_spider_go_spark.streaming.joins import (
+        stream_view_purchase_join,
+    )
+
+    ev = S.read_events_stream(spark, sf_dir)
+    return stream_view_purchase_join(spark, ev)
+
+
+SQL_STREAM_INTERVAL_JOIN = """
+SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+       p.user_id AS user_id
+FROM events p JOIN events v
+  ON p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.user_id = p.user_id
+ AND v.ts >= p.ts - INTERVAL 24 HOUR AND v.ts <= p.ts
+ORDER BY purchase_id, view_id
+"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -9431,6 +9459,8 @@ QUERIES = {
     "kn_perplexity": (q_kn_perplexity, SQL_KN_PERPLEXITY),
     "bm25_eval": (q_bm25_eval, SQL_BM25_EVAL),
     "pii_luhn": (q_pii_luhn, SQL_PII_LUHN),
+    "stream_interval_join": (q_stream_interval_join,
+                             SQL_STREAM_INTERVAL_JOIN),
 }
 
 
