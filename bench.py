@@ -196,6 +196,7 @@ HEADLINE = [
     "bm25_eval",
     "pii_luhn",
     "stream_interval_join",
+    "pair_panel",
 ]
 
 

@@ -9234,6 +9234,101 @@ ORDER BY purchase_id, view_id
 """
 
 
+def q_pair_panel(spark, sf_dir):
+    """Pair similarity panel (X147, dedup_text.pair_similarity_panel
+    — the threshold-calibration table): exact Jaccard, both
+    containment directions, SimHash Hamming, and winnowing overlap
+    computed side by side for the SAME MinHash-LSH candidate pairs.
+    Where the measures diverge is where dedup policy lives. All
+    BIGINT; the oracle composes the minhash/token/simhash/winnow
+    chains and matches every cell bit-exactly."""
+    from ptt_spider_go_spark.pipeline.dedup_text import (
+        pair_similarity_panel,
+    )
+
+    return pair_similarity_panel(_t(spark, sf_dir, "documents"))
+
+
+SQL_PAIR_PANEL = f"""
+WITH {_TOKS_CTE}, {_SHINGLES_CTE},
+psig AS (
+  SELECT doc_id, {_mh_sql(0)}, {_mh_sql(1)}, {_mh_sql(2)}, {_mh_sql(3)}
+  FROM shingles GROUP BY doc_id),
+pban AS (
+  SELECT doc_id, 0 AS band,
+         CAST(mh0 AS VARCHAR) || ',' || CAST(mh1 AS VARCHAR) AS sig
+  FROM psig
+  UNION ALL
+  SELECT doc_id, 1,
+         CAST(mh2 AS VARCHAR) || ',' || CAST(mh3 AS VARCHAR)
+  FROM psig),
+ppairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pban a JOIN pban b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+pdtok AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)),
+psz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        FROM pdtok GROUP BY doc_id),
+pcom AS (
+  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS common
+  FROM ppairs p
+  JOIN pdtok ta ON ta.doc_id = p.doc_a
+  JOIN pdtok tb ON tb.doc_id = p.doc_b AND tb.tok = ta.tok
+  GROUP BY p.doc_a, p.doc_b),
+ssh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+        FROM pdtok),
+sbits AS (
+  SELECT doc_id, i,
+         ((CAST(floor(h / (2 ** i)) AS BIGINT) % 2) * 2 - 1) AS contrib
+  FROM ssh, generate_series(0, 31) g(i)),
+sper AS (SELECT doc_id, i, sum(contrib) AS s
+         FROM sbits GROUP BY doc_id, i),
+sfp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(2 ** i AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM sper GROUP BY doc_id),
+{_WINNOW_CHAIN.lstrip()},
+pwfp AS (SELECT DISTINCT doc_id, fp FROM wfp),
+pwsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS wn
+         FROM pwfp GROUP BY doc_id),
+pwsh AS (
+  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS wshared
+  FROM ppairs p
+  JOIN pwfp wa ON wa.doc_id = p.doc_a
+  JOIN pwfp wb ON wb.doc_id = p.doc_b AND wb.fp = wa.fp
+  GROUP BY 1, 2)
+SELECT p.doc_a AS doc_a, p.doc_b AS doc_b,
+       CAST(coalesce(c.common, 0) * 1000000
+            // (za.n + zb.n - coalesce(c.common, 0)) AS BIGINT)
+         AS jaccard_ppm,
+       CAST(coalesce(c.common, 0) * 1000000 // za.n AS BIGINT)
+         AS cont_a_ppm,
+       CAST(coalesce(c.common, 0) * 1000000 // zb.n AS BIGINT)
+         AS cont_b_ppm,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT)
+         AS hamming,
+       CAST(coalesce(w.wshared, 0) AS BIGINT) AS winnow_shared,
+       CAST(CASE WHEN coalesce(wza.wn, 0) > 0
+                  AND coalesce(wzb.wn, 0) > 0
+                 THEN coalesce(w.wshared, 0) * 1000000
+                      // least(wza.wn, wzb.wn)
+                 ELSE 0 END AS BIGINT) AS winnow_ppm
+FROM ppairs p
+JOIN psz za ON za.doc_id = p.doc_a
+JOIN psz zb ON zb.doc_id = p.doc_b
+JOIN sfp sa ON sa.doc_id = p.doc_a
+JOIN sfp sb ON sb.doc_id = p.doc_b
+LEFT JOIN pcom c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+LEFT JOIN pwsz wza ON wza.doc_id = p.doc_a
+LEFT JOIN pwsz wzb ON wzb.doc_id = p.doc_b
+LEFT JOIN pwsh w ON w.doc_a = p.doc_a AND w.doc_b = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
 QUERIES = {
     # --- driver-window head -------------------------------------------------
     # The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -9461,6 +9556,7 @@ QUERIES = {
     "pii_luhn": (q_pii_luhn, SQL_PII_LUHN),
     "stream_interval_join": (q_stream_interval_join,
                              SQL_STREAM_INTERVAL_JOIN),
+    "pair_panel": (q_pair_panel, SQL_PAIR_PANEL),
 }
 
 

@@ -967,3 +967,90 @@ def containment_pairs_naive(docs: DataFrame, threshold_ppm: int = 600_000,
         .select("doc_a", "doc_b", "common", "sz_a", "sz_b",
                 "cont_a_ppm", "cont_b_ppm")
     )
+
+
+def pair_similarity_panel(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard_ppm, cont_a_ppm, cont_b_ppm, hamming,
+    winnow_shared, winnow_ppm): the threshold-tuning table (X147) —
+    EVERY similarity measure the engine ships, computed for the SAME
+    MinHash-LSH candidate pairs, side by side: exact token Jaccard
+    (X4's ground truth), both containment directions (X128's
+    asymmetric signal), SimHash-32 Hamming distance (X3), and the
+    winnowing fingerprint overlap (X134's local-copy evidence). This
+    is the table a dedup-threshold calibration session reads: where
+    the measures agree, any threshold works; where they diverge
+    (quotes: containment 1.0 / Jaccard 0.01; reordered text: Jaccard
+    high / winnow low) is exactly where the policy choice lives.
+
+    Scale shape: candidates come from the LSH bands (never
+    all-pairs); every measure joins through the pair relation, so
+    fan-out is |pairs| x doc-size, bounded by the band buckets. The
+    pair list is localCheckpointed once and reused by all four
+    measure joins; token/fingerprint relations shuffle on their
+    hash keys only. All measures exact BIGINT (ppm by
+    cross-multiplied floor division; Hamming via bit_count(xor) on
+    the 32-bit fingerprints). Ordered (doc_a, doc_b)."""
+    from ptt_spider_go_spark.pipeline.winnow import winnow_fingerprints
+
+    pairs = lsh_candidate_pairs(minhash_signatures(docs)).localCheckpoint()
+    dtok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+    )
+    sz = dtok.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    common = (
+        pairs
+        .join(dtok.withColumnsRenamed({"doc_id": "doc_a"}), "doc_a")
+        .join(dtok.withColumnsRenamed({"doc_id": "doc_b"}),
+              ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    sh = simhash32(docs)
+    wfp = winnow_fingerprints(docs).select("doc_id", "fp").distinct()
+    wsz = wfp.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("wn")
+    )
+    wshared = (
+        pairs
+        .join(wfp.withColumnsRenamed({"doc_id": "doc_a"}), "doc_a")
+        .join(wfp.withColumnsRenamed({"doc_id": "doc_b"}),
+              ["doc_b", "fp"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("wshared"))
+    )
+    out = (
+        pairs
+        .join(common, ["doc_a", "doc_b"], "left")
+        .join(sz.withColumnsRenamed({"doc_id": "doc_a", "n": "sz_a"}),
+              "doc_a")
+        .join(sz.withColumnsRenamed({"doc_id": "doc_b", "n": "sz_b"}),
+              "doc_b")
+        .join(sh.withColumnsRenamed({"doc_id": "doc_a",
+                                     "simhash": "sh_a"}), "doc_a")
+        .join(sh.withColumnsRenamed({"doc_id": "doc_b",
+                                     "simhash": "sh_b"}), "doc_b")
+        .join(wsz.withColumnsRenamed({"doc_id": "doc_a", "wn": "wn_a"}),
+              "doc_a", "left")
+        .join(wsz.withColumnsRenamed({"doc_id": "doc_b", "wn": "wn_b"}),
+              "doc_b", "left")
+        .join(wshared, ["doc_a", "doc_b"], "left")
+        .withColumn("common", F.coalesce("common", F.lit(0)))
+        .withColumn("wshared", F.coalesce("wshared", F.lit(0)))
+    )
+    return out.select(
+        "doc_a", "doc_b",
+        F.expr("common * 1000000 DIV (sz_a + sz_b - common)")
+        .alias("jaccard_ppm"),
+        F.expr("common * 1000000 DIV sz_a").alias("cont_a_ppm"),
+        F.expr("common * 1000000 DIV sz_b").alias("cont_b_ppm"),
+        F.bit_count(
+            F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+        ).cast("long").alias("hamming"),
+        F.col("wshared").alias("winnow_shared"),
+        F.when(
+            F.least(F.coalesce("wn_a", F.lit(0)),
+                    F.coalesce("wn_b", F.lit(0))) > 0,
+            F.expr("wshared * 1000000 DIV least(wn_a, wn_b)"),
+        ).otherwise(F.lit(0)).cast("long").alias("winnow_ppm"),
+    ).orderBy("doc_a", "doc_b")
